@@ -1,0 +1,63 @@
+"""Unified TN entry point (reference kaldi_text_normalizer.py:62-111).
+
+Prefers WeTextProcessing's OpenFst grammars when importable (exact parity
+with the reference environment); otherwise falls back to the built-in
+rule-based normalizers in this package.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from functools import lru_cache
+
+from .normalize import detect_language, remove_angle_bracket_content
+
+
+@lru_cache(maxsize=None)
+def _zh_normalizer():
+    try:  # pragma: no cover - depends on env
+        from tn.chinese.normalizer import Normalizer as WeZhNormalizer
+
+        return WeZhNormalizer(
+            cache_dir="./cache",
+            remove_erhua=False,
+            remove_interjections=False,
+            remove_puncts=True,
+            overwrite_cache=False,
+        )
+    except Exception:
+        from .zh_tn import ZhNormalizer
+
+        return ZhNormalizer(remove_puncts=True)
+
+
+@lru_cache(maxsize=None)
+def _en_normalizer():
+    try:  # pragma: no cover - depends on env
+        from tn.english.normalizer import Normalizer as WeEnNormalizer
+
+        return WeEnNormalizer(cache_dir="./cache", overwrite_cache=False)
+    except Exception:
+        from .en_tn import EnNormalizer
+
+        return EnNormalizer()
+
+
+_EN_PUNCT_RE = re.compile(r"[^\w\s']")
+
+
+def normalize_text(text: str, language: str = "auto") -> str:
+    """Normalize a transcript line for scoring
+    (reference kaldi_text_normalizer.py:62-111): strip tags, NFKC, route to
+    zh/en grammar, en additionally lowercased and punct-stripped."""
+    text = remove_angle_bracket_content(text).strip()
+    if not text:
+        return ""
+    lang = detect_language(text) if language == "auto" else language
+    if lang == "zh":
+        text = unicodedata.normalize("NFKC", text)
+        return _zh_normalizer().normalize(text)
+    out = _en_normalizer().normalize(text)
+    out = _EN_PUNCT_RE.sub(" ", out)
+    return re.sub(r"\s+", " ", out).strip().lower()

@@ -1,0 +1,375 @@
+"""Character/word error rate with full alignment.
+
+Re-implementation (from scratch, numpy DP) of the reference's
+self-contained WER calculator (reference compute_wer_line.py:82-470) and of
+the `kaldialign.align` call surface used by `write_error_stats`
+(reference infer.py:91, infer_kaldidata.py:195).
+
+Semantics preserved:
+- `characterize` splits mixed CJK/latin text: one token per CJK char
+  (unicode category Lo), one token per latin word run, `<tag>` kept as a
+  single token, punctuation and spaces dropped
+  (reference compute_wer_line.py:12-42).
+- edit costs cor=0, sub=1, del=1, ins=1; WER = (sub+del+ins)/len(ref).
+- the alignment trace reports per-position (ref_token, hyp_token) pairs
+  with "" for the missing side, matching the reference's `lab`/`rec`
+  output lists (reference compute_wer_line.py:148-195).
+"""
+
+from __future__ import annotations
+
+import sys
+import unicodedata
+from typing import Dict, List, Optional, Sequence, Tuple
+
+PUNCTS = frozenset(
+    [
+        "!", ",", ".", "?", "！", "，", "。", "？", ";", "；", "、", '"', "”",
+        "“", "`", "·", "~", "：", ":", "︰", "「", "」", "『", "』", "《", "》",
+        "(", ")", "（", "）",
+    ]
+)
+_SPACES = frozenset([" ", "\t", "\r", "\n"])
+
+
+def characterize(text: str) -> List[str]:
+    """Tokenize mixed-script text for CER/WER scoring.
+
+    CJK ideographs become single-char tokens; ASCII runs become word
+    tokens; angle-bracket tags (``<unk>``) are single tokens; punctuation
+    and whitespace are dropped.
+    """
+    out: List[str] = []
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if ch in PUNCTS:
+            i += 1
+            continue
+        cat = unicodedata.category(ch)
+        if cat in ("Zs", "Cn") or ch in _SPACES:
+            i += 1
+            continue
+        if cat == "Lo":  # CJK / other-letter: one token per char
+            out.append(ch)
+            i += 1
+            continue
+        # ascii-ish run: read until space / punct / non-ascii; '<' opens a tag
+        # that runs to '>'
+        closer = ">" if ch == "<" else " "
+        j = i + 1
+        while j < n:
+            c = text[j]
+            if ord(c) >= 128 or c in _SPACES or c == closer or c in PUNCTS:
+                break
+            j += 1
+        if j < n and text[j] == ">":
+            j += 1
+        out.append(text[i:j])
+        i = j
+    return out
+
+
+def strip_tags(token: str) -> str:
+    """Remove ``<...>`` spans from a token (reference compute_wer_line.py:45-58)."""
+    out: List[str] = []
+    i = 0
+    n = len(token)
+    while i < n:
+        if token[i] == "<":
+            while i < n and token[i] != ">":
+                i += 1
+            i += 1
+        else:
+            out.append(token[i])
+            i += 1
+    return "".join(out)
+
+
+def _normalize_tokens(
+    tokens: Sequence[str],
+    ignore_words: frozenset = frozenset(),
+    case_sensitive: bool = False,
+    remove_tag: bool = True,
+) -> List[str]:
+    out: List[str] = []
+    for tok in tokens:
+        x = tok if case_sensitive else tok.upper()
+        if x in ignore_words:
+            continue
+        if remove_tag:
+            x = strip_tags(x)
+        if x:
+            out.append(x)
+    return out
+
+
+# Backtrace codes
+_COR, _SUB, _DEL, _INS = 0, 1, 2, 3
+
+
+def _edit_align(ref: Sequence[str], hyp: Sequence[str]) -> List[int]:
+    """Levenshtein DP over token lists; returns the op sequence (ref order).
+
+    Tie-break preference mirrors the reference DP (del, then ins, then
+    diagonal with strict '<' updates — reference compute_wer_line.py:124-146)
+    so alignment displays match; the distance itself is tie-invariant.
+    """
+    n, m = len(ref), len(hyp)
+    # dist rows kept as python ints (token lists are short: utterances)
+    prev = list(range(m + 1))
+    # backpointers, (n+1) x (m+1), stored flat
+    bp = bytearray((n + 1) * (m + 1))
+    for j in range(1, m + 1):
+        bp[j] = _INS
+    for i in range(1, n + 1):
+        cur = [i] + [0] * m
+        bp[i * (m + 1)] = _DEL
+        ri = ref[i - 1]
+        prow = prev
+        brow_off = i * (m + 1)
+        for j in range(1, m + 1):
+            best = prow[j] + 1  # del
+            op = _DEL
+            d = cur[j - 1] + 1  # ins
+            if d < best:
+                best = d
+                op = _INS
+            if ri == hyp[j - 1]:
+                d = prow[j - 1]
+                if d < best:
+                    best = d
+                    op = _COR
+            else:
+                d = prow[j - 1] + 1
+                if d < best:
+                    best = d
+                    op = _SUB
+            cur[j] = best
+            bp[brow_off + j] = op
+        prev = cur
+    # trace back
+    ops: List[int] = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        op = bp[i * (m + 1) + j]
+        ops.append(op)
+        if op in (_COR, _SUB):
+            i -= 1
+            j -= 1
+        elif op == _DEL:
+            i -= 1
+        else:
+            j -= 1
+    ops.reverse()
+    return ops
+
+
+def align(
+    ref: Sequence[str], hyp: Sequence[str], eps: str = "*"
+) -> List[Tuple[str, str]]:
+    """kaldialign.align-compatible pairing of ref/hyp with `eps` fillers.
+
+    Drop-in for the C++ `kaldialign.align` used by the reference's
+    `write_error_stats` (reference infer.py:91)."""
+    ops = _edit_align(ref, hyp)
+    pairs: List[Tuple[str, str]] = []
+    i = j = 0
+    for op in ops:
+        if op in (_COR, _SUB):
+            pairs.append((ref[i], hyp[j]))
+            i += 1
+            j += 1
+        elif op == _DEL:
+            pairs.append((ref[i], eps))
+            i += 1
+        else:
+            pairs.append((eps, hyp[j]))
+            j += 1
+    return pairs
+
+
+class Calculator:
+    """Stateful WER accumulator with per-token statistics.
+
+    API-compatible with the reference Calculator
+    (reference compute_wer_line.py:82-219): `calculate(lab, rec)` returns
+    ``{'lab': [...], 'rec': [...], 'all', 'cor', 'sub', 'ins', 'del'}`` and
+    accumulates per-token counts retrievable via `overall()` / `cluster()`.
+    """
+
+    def __init__(self) -> None:
+        self.data: Dict[str, Dict[str, int]] = {}
+
+    def _tok(self, token: str) -> Dict[str, int]:
+        d = self.data.get(token)
+        if d is None:
+            d = {"all": 0, "cor": 0, "sub": 0, "ins": 0, "del": 0}
+            self.data[token] = d
+        return d
+
+    def calculate(self, lab: Sequence[str], rec: Sequence[str]) -> Dict:
+        lab = [t for t in lab if t]
+        rec = [t for t in rec if t]
+        result: Dict = {"lab": [], "rec": [], "all": 0, "cor": 0, "sub": 0,
+                        "ins": 0, "del": 0}
+        ops = _edit_align(lab, rec)
+        i = j = 0
+        for op in ops:
+            if op == _COR:
+                d = self._tok(lab[i])
+                d["all"] += 1
+                d["cor"] += 1
+                result["all"] += 1
+                result["cor"] += 1
+                result["lab"].append(lab[i])
+                result["rec"].append(rec[j])
+                i += 1
+                j += 1
+            elif op == _SUB:
+                d = self._tok(lab[i])
+                d["all"] += 1
+                d["sub"] += 1
+                self._tok(rec[j])
+                result["all"] += 1
+                result["sub"] += 1
+                result["lab"].append(lab[i])
+                result["rec"].append(rec[j])
+                i += 1
+                j += 1
+            elif op == _DEL:
+                d = self._tok(lab[i])
+                d["all"] += 1
+                d["del"] += 1
+                result["all"] += 1
+                result["del"] += 1
+                result["lab"].append(lab[i])
+                result["rec"].append("")
+                i += 1
+            else:  # _INS
+                d = self._tok(rec[j])
+                d["ins"] += 1
+                result["ins"] += 1
+                result["lab"].append("")
+                result["rec"].append(rec[j])
+                j += 1
+        return result
+
+    def overall(self) -> Dict[str, int]:
+        out = {"all": 0, "cor": 0, "sub": 0, "ins": 0, "del": 0}
+        for d in self.data.values():
+            for k in out:
+                out[k] += d[k]
+        return out
+
+    def cluster(self, tokens: Sequence[str]) -> Dict[str, int]:
+        out = {"all": 0, "cor": 0, "sub": 0, "ins": 0, "del": 0}
+        for tok in tokens:
+            d = self.data.get(tok)
+            if d is not None:
+                for k in out:
+                    out[k] += d[k]
+        return out
+
+    def keys(self) -> List[str]:
+        return list(self.data.keys())
+
+
+def _unicode_name(ch: str) -> str:
+    try:
+        return unicodedata.name(ch)
+    except ValueError:
+        return "Other"
+
+
+def default_cluster(word: str) -> str:
+    """Classify a token as Mandarin / English / Japanese / Number / Other
+    (reference compute_wer_line.py:233-270)."""
+    names = []
+    for ch in word:
+        nm = _unicode_name(ch)
+        if nm.startswith("DIGIT"):
+            names.append("Number")
+        elif nm.startswith(("CJK UNIFIED IDEOGRAPH", "CJK COMPATIBILITY IDEOGRAPH")):
+            names.append("Mandarin")
+        elif nm.startswith(("LATIN CAPITAL LETTER", "LATIN SMALL LETTER")):
+            names.append("English")
+        elif nm.startswith("HIRAGANA LETTER"):
+            names.append("Japanese")
+        elif nm.startswith(
+            ("AMPERSAND", "APOSTROPHE", "COMMERCIAL AT", "DEGREE CELSIUS",
+             "EQUALS SIGN", "FULL STOP", "HYPHEN-MINUS", "LOW LINE",
+             "NUMBER SIGN", "PLUS SIGN", "SEMICOLON")
+        ):
+            continue  # joining chars are transparent
+        else:
+            return "Other"
+    if not names:
+        return "Other"
+    first = names[0]
+    return first if all(n == first for n in names) else "Other"
+
+
+def compute_wer_line(
+    label_text: str,
+    recog_text: str,
+    tochar: bool = True,
+    verbose: int = 0,
+    ignore_words: Optional[Sequence[str]] = None,
+    case_sensitive: bool = False,
+) -> Dict:
+    """Score one (ref, hyp) pair.
+
+    Returns ``{'stats': {'wer','all','cor','sub','del','ins'}, 'lab', 'rec'}``
+    matching the reference's return contract
+    (reference compute_wer_line.py:278-470; used by asr_check.py:56-98 and
+    run_audio_cat_cut.py stage 4/5)."""
+    ig = frozenset(
+        (w if case_sensitive else w.upper()) for w in (ignore_words or [])
+    )
+    lab_toks = characterize(label_text) if tochar else label_text.strip().split()
+    rec_toks = characterize(recog_text) if tochar else recog_text.strip().split()
+    lab = _normalize_tokens(lab_toks, ig, case_sensitive)
+    rec = _normalize_tokens(rec_toks, ig, case_sensitive)
+
+    calc = Calculator()
+    result = calc.calculate(lab, rec)
+    wer = (
+        100.0 * (result["ins"] + result["sub"] + result["del"]) / result["all"]
+        if result["all"]
+        else 0.0
+    )
+    if verbose:
+        print("WER: %4.2f %%" % wer, end=" ")
+        print(
+            "N=%d C=%d S=%d D=%d I=%d"
+            % (result["all"], result["cor"], result["sub"], result["del"],
+               result["ins"])
+        )
+        for name, seq in (("lab", result["lab"]), ("rec", result["rec"])):
+            print(f"{name}: " + " ".join(t if t else "*" for t in seq))
+    return {
+        "stats": {
+            "wer": wer,
+            "all": result["all"],
+            "cor": result["cor"],
+            "sub": result["sub"],
+            "del": result["del"],
+            "ins": result["ins"],
+        },
+        "lab": result["lab"],
+        "rec": result["rec"],
+    }
+
+
+def main(argv: Sequence[str] = None) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) != 2:
+        print("usage: python -m fun_asr_vllm_tpu.text.wer REF_TEXT HYP_TEXT")
+        return
+    compute_wer_line(argv[0], argv[1], tochar=True, verbose=1)
+
+
+if __name__ == "__main__":
+    main()

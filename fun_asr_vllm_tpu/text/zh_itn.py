@@ -1,0 +1,77 @@
+"""Rule-based Chinese inverse text normalization (ITN: spoken → written).
+
+Stand-in for WeTextProcessing's
+``itn.chinese.inverse_normalizer.InverseNormalizer(enable_0_to_9=False)``
+(reference kaldi_text_itn.py:38-45): hanzi number words become digits, but
+bare single digits below ten are left verbalized (enable_0_to_9=False
+semantics), so "三个人" stays while "三十二个人" → "32个人".
+"""
+
+from __future__ import annotations
+
+import re
+
+from .zh_num import BIG_UNITS, NUM_CHARS, SMALL_UNITS, VALUE_OF, parse_hanzi_number
+
+_NUM_RUN_RE = re.compile(
+    "[" + "".join(sorted(NUM_CHARS | {"点"})) + "]+"
+)
+
+
+def _format_number(run: str, enable_0_to_9: bool) -> str:
+    # split off decimal part
+    if "点" in run:
+        int_part, _, frac_part = run.partition("点")
+        if not int_part or not frac_part or not all(c in VALUE_OF for c in frac_part):
+            return run
+        try:
+            iv, _ = parse_hanzi_number(int_part)
+        except ValueError:
+            return run
+        frac = "".join(str(VALUE_OF[c]) for c in frac_part)
+        return f"{iv}.{frac}"
+    try:
+        value, spelled = parse_hanzi_number(run)
+    except ValueError:
+        return run
+    if spelled:
+        # digit-by-digit readings (years, phone): always convert
+        return "".join(str(VALUE_OF[c]) for c in run)
+    if not enable_0_to_9 and value < 10 and len(run) == 1:
+        return run
+    return str(value)
+
+
+class ZhInverseNormalizer:
+    def __init__(self, cache_dir: str = None, enable_0_to_9: bool = False,
+                 overwrite_cache: bool = False) -> None:
+        self.enable_0_to_9 = enable_0_to_9
+
+    def normalize(self, text: str) -> str:
+        def repl(m: re.Match) -> str:
+            run = m.group(0)
+            # pure unit chars ("万一", "千万") in idioms: require a digit char
+            if not any(c in VALUE_OF for c in run):
+                return run
+            # strip leading/trailing lone units that are likely lexical
+            return _format_number(run.rstrip("点"), self.enable_0_to_9) + \
+                ("点" * (len(run) - len(run.rstrip("点"))) if run.endswith("点") else "")
+
+        out = _NUM_RUN_RE.sub(repl, text)
+        # percent: 百分之X (already digitized above) → X%
+        out = re.sub(r"百分之(\d+(?:\.\d+)?)", r"\1%", out)
+        return out
+
+
+def inverse_normalize_text(text: str, language: str = "auto") -> str:
+    """Reference kaldi_text_itn.py:21-58: zh → ITN; en → punctuation-spacing
+    fixes only."""
+    from .normalize import detect_language
+
+    lang = detect_language(text) if language == "auto" else language
+    if lang == "zh":
+        return ZhInverseNormalizer().normalize(text)
+    # en: collapse space before punctuation, ensure one after
+    out = re.sub(r"\s+([,.!?;:])", r"\1", text)
+    out = re.sub(r"([,.!?;:])(?=\S)", r"\1 ", out)
+    return out

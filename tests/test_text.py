@@ -1,0 +1,253 @@
+"""Text/scoring layer tests.
+
+The zh/en mixed pair below is the reference's own self-test input
+(reference compute_wer_line.py:453-465) — the expected counts were derived
+by running the reference algorithm's DP semantics by hand.
+"""
+
+import io
+
+from fun_asr_vllm_tpu.text import (
+    Calculator,
+    EnNormalizer,
+    ZhInverseNormalizer,
+    ZhNormalizer,
+    align,
+    characterize,
+    compute_wer_line,
+    detect_language,
+    inverse_normalize_text,
+    normalize_text,
+    normalize_text_alimeeting,
+    store_transcripts,
+    strip_tags,
+    write_error_stats,
+)
+from fun_asr_vllm_tpu.text.zh_num import (
+    digits_to_hanzi,
+    int_to_hanzi,
+    parse_hanzi_number,
+)
+
+
+class TestCharacterize:
+    def test_cjk_splits_per_char(self):
+        assert characterize("你好世界") == ["你", "好", "世", "界"]
+
+    def test_latin_words_stay_whole(self):
+        assert characterize("hello world") == ["hello", "world"]
+
+    def test_mixed(self):
+        assert characterize("我用iphone打电话") == [
+            "我", "用", "iphone", "打", "电", "话",
+        ]
+
+    def test_tags_are_single_tokens(self):
+        assert characterize("<unk><noise>你") == ["<unk>", "<noise>", "你"]
+
+    def test_puncts_dropped(self):
+        assert characterize("你好，世界。") == ["你", "好", "世", "界"]
+        assert characterize("a, b.") == ["a", "b"]
+
+    def test_strip_tags(self):
+        assert strip_tags("<unk>") == ""
+        assert strip_tags("a<x>b") == "ab"
+
+
+class TestAlign:
+    def test_identity(self):
+        assert align(["a", "b"], ["a", "b"]) == [("a", "a"), ("b", "b")]
+
+    def test_sub_del_ins(self):
+        pairs = align(["a", "b", "c"], ["a", "x", "c", "d"])
+        assert ("a", "a") in pairs and ("c", "c") in pairs
+        assert ("b", "x") in pairs
+        assert ("*", "d") in pairs
+
+    def test_empty_sides(self):
+        assert align([], ["a"]) == [("*", "a")]
+        assert align(["a"], []) == [("a", "*")]
+
+
+class TestWer:
+    def test_perfect(self):
+        r = compute_wer_line("今天天气不错", "今天天气不错")
+        assert r["stats"]["wer"] == 0.0
+        assert r["stats"]["all"] == 6
+        assert r["stats"]["cor"] == 6
+
+    def test_one_sub(self):
+        r = compute_wer_line("今天天气不错", "今天天汽不错")
+        assert r["stats"]["sub"] == 1
+        assert abs(r["stats"]["wer"] - 100.0 / 6) < 1e-9
+
+    def test_case_insensitive(self):
+        r = compute_wer_line("hello world", "HELLO WORLD")
+        assert r["stats"]["wer"] == 0.0
+
+    def test_mixed_zh_en(self):
+        # the reference's own __main__ example shape: zh chars + en words
+        ref = "我们 今天 使用 GPU 训练"
+        hyp = "我们 今天 使用 CPU 训练"
+        r = compute_wer_line(ref, hyp)
+        assert r["stats"]["sub"] == 1
+        assert r["stats"]["all"] == 9  # 8 zh chars + 1 en word
+
+    def test_alignment_lists_same_length(self):
+        r = compute_wer_line("abc def", "abc xyz qqq")
+        assert len(r["lab"]) == len(r["rec"])
+
+    def test_edit_distance_is_minimal(self):
+        r = compute_wer_line("abc", "abc def ghi")  # tochar en words
+        assert r["stats"]["ins"] == 2
+
+    def test_calculator_accumulates(self):
+        c = Calculator()
+        c.calculate(["你", "好"], ["你", "坏"])
+        c.calculate(["你"], ["你"])
+        ov = c.overall()
+        assert ov["all"] == 3 and ov["cor"] == 2 and ov["sub"] == 1
+        assert c.cluster(["你"]) == {"all": 2, "cor": 2, "sub": 0, "ins": 0, "del": 0}
+
+
+class TestErrorStats:
+    def test_report_sections_and_wer(self, tmp_path):
+        results = [
+            ("utt1", "今天天气", "今天天汽"),
+            ("utt2", "不错", "不错"),
+        ]
+        buf = io.StringIO()
+        wer = write_error_stats(buf, "test", results, enable_log=False)
+        text = buf.getvalue()
+        assert "%WER = 16.67" in text  # 1 sub / 6 ref chars
+        assert abs(wer - 100.0 / 6) < 1e-9
+        for section in ("PER-UTT DETAILS", "SUBSTITUTIONS:", "DELETIONS:",
+                        "INSERTIONS:", "PER-WORD STATS:"):
+            assert section in text
+        assert "(气->汽)" in text
+
+        p = tmp_path / "hypos.txt"
+        store_transcripts(str(p), results)
+        lines = p.read_text().splitlines()
+        assert lines[0] == "utt1:\tref=今天天气"
+        assert lines[1] == "utt1:\thyp=今天天汽"
+
+
+class TestDetectLanguage:
+    def test_zh(self):
+        assert detect_language("今天天气不错") == "zh"
+
+    def test_en(self):
+        assert detect_language("this is an english sentence") == "en"
+
+    def test_mixed_threshold(self):
+        # reference semantics: ascii-letter ratio over letter+han chars;
+        # a higher threshold keeps mostly-zh sentences zh
+        s = "我有一个iPhone但是我很少用它打电话发短信"
+        assert detect_language(s, en_ratio_threshold=0.5) == "zh"
+        assert detect_language(s, en_ratio_threshold=0.2) == "en"
+
+
+class TestAlimeeting:
+    def test_cleanup(self):
+        assert normalize_text_alimeeting("你 好，世界。") == "你好世界"
+        assert normalize_text_alimeeting("<sil>abc<%>") == "ABC"
+        assert normalize_text_alimeeting("ａｂｃ") in ("ABC", "ABC")
+
+
+class TestZhNum:
+    def test_int_to_hanzi(self):
+        assert int_to_hanzi(0) == "零"
+        assert int_to_hanzi(10) == "十"
+        assert int_to_hanzi(14) == "十四"
+        assert int_to_hanzi(25) == "二十五"
+        assert int_to_hanzi(105) == "一百零五"
+        assert int_to_hanzi(110) == "一百一十"
+        assert int_to_hanzi(1001) == "一千零一"
+        assert int_to_hanzi(10000) == "一万"
+        assert int_to_hanzi(100010) == "十万零一十"
+        assert int_to_hanzi(123456789) == "一亿二千三百四十五万六千七百八十九"
+
+    def test_digits_to_hanzi(self):
+        assert digits_to_hanzi("2024") == "二零二四"
+        assert digits_to_hanzi("13901234567", phone_style=True) == \
+            "幺三九零幺二三四五六七"
+
+    def test_parse_roundtrip(self):
+        for n in (0, 5, 10, 14, 25, 105, 110, 1001, 10000, 100010,
+                  123456789, 200000000):
+            v, spelled = parse_hanzi_number(int_to_hanzi(n))
+            assert not spelled
+            assert v == n, int_to_hanzi(n)
+
+    def test_parse_spelled(self):
+        v, spelled = parse_hanzi_number("二零二四")
+        assert spelled and v == 2024
+
+
+class TestZhTN:
+    def setup_method(self):
+        self.tn = ZhNormalizer(remove_puncts=True)
+
+    def test_numbers(self):
+        assert self.tn.normalize("我有25个苹果") == "我有二十五个苹果"
+
+    def test_year(self):
+        assert self.tn.normalize("2024年") == "二零二四年"
+
+    def test_percent(self):
+        assert self.tn.normalize("增长了3.5%") == "增长了百分之三点五"
+
+    def test_time(self):
+        assert self.tn.normalize("上午8:30开会") == "上午八点三十分开会"
+
+    def test_punct_removed(self):
+        assert self.tn.normalize("你好，世界！") == "你好世界"
+
+    def test_date(self):
+        assert self.tn.normalize("3月15日") == "三月十五日"
+
+    def test_decimal(self):
+        assert self.tn.normalize("价格是12.5元") == "价格是十二点五元"
+
+
+class TestZhITN:
+    def setup_method(self):
+        self.itn = ZhInverseNormalizer(enable_0_to_9=False)
+
+    def test_big_number(self):
+        assert self.itn.normalize("三十二个人") == "32个人"
+
+    def test_single_digit_kept(self):
+        # enable_0_to_9=False: bare digits below ten stay verbalized
+        assert self.itn.normalize("三个人") == "三个人"
+
+    def test_decimal(self):
+        assert self.itn.normalize("三点五公里") == "3.5公里"
+
+    def test_percent(self):
+        assert self.itn.normalize("百分之三十") == "30%"
+
+    def test_spelled_year(self):
+        assert self.itn.normalize("二零二四年") == "2024年"
+
+    def test_api(self):
+        out = inverse_normalize_text("一共五十六元", language="zh")
+        assert out == "一共56元"
+
+
+class TestEnTN:
+    def test_numbers(self):
+        out = EnNormalizer().normalize("I have 25 apples")
+        assert "twenty five" in out
+
+    def test_normalize_text_api_en(self):
+        out = normalize_text("I have 25 apples.", language="en")
+        assert out == "i have twenty five apples"
+
+    def test_normalize_text_api_zh(self):
+        out = normalize_text("我有25个苹果。", language="zh")
+        assert out == "我有二十五个苹果"
+
+    def test_tag_removal(self):
+        assert normalize_text("<noise>你好", language="zh") == "你好"
