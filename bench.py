@@ -1,0 +1,172 @@
+"""Benchmark: end-to-end ASR pipeline RTFx at batch 16 (reference protocol).
+
+Replicates the reference's measurement (BASELINE.md, infer.py:441-501):
+wall clock spans fbank extraction → encoder+adaptor forward → engine
+generate → per-hyp text normalization, batch size 16. RTF = time /
+audio-seconds; RTFx = 1/RTF. Baseline: vLLM on 1×H20 = RTFx 136.9.
+
+Weights are random at the flagship shape (no checkpoint in this
+environment); random weights never emit EOS, so decode length is pinned to
+~2 tokens per audio second (a zh transcript-length stand-in) — the compute
+per token is identical to real weights.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def synth_utterances(total_seconds: float, seed: int = 0, fs: int = 16000):
+    """Speech-length-distributed synthetic utterances (SPEECHIO-ish: 2-15 s)."""
+    rng = np.random.default_rng(seed)
+    utts = []
+    acc = 0.0
+    while acc < total_seconds:
+        dur = float(np.clip(rng.gamma(4.0, 1.8), 2.0, 15.0))
+        dur = min(dur, total_seconds - acc) if total_seconds - acc > 2.0 else dur
+        n = int(dur * fs)
+        # modulated noise ~ speech-like envelope
+        t = np.arange(n) / fs
+        env = 0.3 + 0.7 * np.abs(np.sin(2 * np.pi * 1.3 * t))
+        wav = (rng.normal(size=n) * 0.1 * env).astype(np.float32)
+        utts.append(wav)
+        acc += dur
+    return utts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=240.0,
+                    help="total synthetic audio seconds")
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--max_num_seqs", type=int, default=16)
+    ap.add_argument("--tokens_per_audio_sec", type=float, default=2.0)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny model + 30 s audio (smoke)")
+    ap.add_argument("--dtype", type=str, default="bfloat16")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fun_asr_vllm_tpu.audio.frontend import WavFrontend
+    from fun_asr_vllm_tpu.engine import LLM, SamplingParams
+    from fun_asr_vllm_tpu.models import adaptor as adaptor_mod
+    from fun_asr_vllm_tpu.models import encoder as encoder_mod
+    from fun_asr_vllm_tpu.models import qwen3 as qwen3_mod
+    from fun_asr_vllm_tpu.text.tn_api import normalize_text
+
+    jdtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.quick:
+        args.seconds = min(args.seconds, 30.0)
+        enc_cfg = encoder_mod.SANMEncoderConfig(
+            output_size=128, attention_heads=4, linear_units=256,
+            num_blocks=4, dtype=jdtype,
+        )
+        llm_cfg = qwen3_mod.Qwen3Config(
+            vocab_size=1024, hidden_size=256, num_hidden_layers=4,
+            num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+            intermediate_size=512, dtype=jdtype,
+        )
+    else:
+        # flagship: SenseVoice-small-family encoder + Qwen3-0.6B
+        enc_cfg = encoder_mod.SANMEncoderConfig(
+            output_size=512, attention_heads=4, linear_units=2048,
+            num_blocks=50, dtype=jdtype,
+        )
+        llm_cfg = qwen3_mod.Qwen3Config(dtype=jdtype)  # 0.6B defaults
+    ad_cfg = adaptor_mod.NanoAdaptorConfig(
+        encoder_dim=enc_cfg.output_size, llm_dim=llm_cfg.hidden_size,
+        ffn_dim=2048 if not args.quick else 256, dtype=jdtype,
+    )
+
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
+    key = jax.random.PRNGKey(0)
+    enc_params = encoder_mod.init_params(enc_cfg, key)
+    ad_params = adaptor_mod.init_params(ad_cfg, key)
+    llm_params = qwen3_mod.init_params(llm_cfg, key)
+
+    llm = LLM(
+        params=llm_params, config=llm_cfg, tokenizer=None,
+        dtype=args.dtype, max_num_seqs=args.max_num_seqs,
+        max_model_len=1536,
+    )
+
+    frontend = WavFrontend(dither=0.0)
+    utts = synth_utterances(args.seconds)
+    audio_seconds = sum(len(u) for u in utts) / 16000.0
+    print(f"# {len(utts)} utts, {audio_seconds:.1f} s audio", file=sys.stderr)
+
+    # fixed ChatML-ish prefix/suffix embeddings (reference infer.py:394-404)
+    rng = np.random.default_rng(1)
+    prefix = rng.normal(scale=0.02, size=(12, llm_cfg.hidden_size)).astype(
+        np.float32
+    )
+    suffix = rng.normal(scale=0.02, size=(5, llm_cfg.hidden_size)).astype(
+        np.float32
+    )
+
+    def run_epoch(utt_list):
+        hyp_count = 0
+        for i in range(0, len(utt_list), args.batch_size):
+            batch = utt_list[i : i + args.batch_size]
+            speech, speech_lengths = frontend.extract(batch)
+            enc_out, enc_lens = encoder_mod.encode(
+                enc_params, enc_cfg, speech, speech_lengths
+            )
+            audio, audio_lens = adaptor_mod.forward(
+                ad_params, ad_cfg, enc_out, enc_lens
+            )
+            audio_np = np.asarray(audio, dtype=np.float32)
+            lens_np = np.asarray(audio_lens)
+            embeds = [
+                np.concatenate([prefix, audio_np[j, : int(lens_np[j])], suffix])
+                for j in range(len(batch))
+            ]
+            mean_dur = np.mean([len(b) for b in batch]) / 16000.0
+            max_toks = max(4, int(mean_dur * args.tokens_per_audio_sec))
+            sp = SamplingParams(top_p=0.001, max_tokens=max_toks)
+            outs = llm.generate(
+                [{"prompt_embeds": e} for e in embeds], sp, use_tqdm=False
+            )
+            for o in outs:
+                # reference normalizes every hyp inside the timed loop
+                # (infer.py:493-496); token ids → pseudo-text stand-in
+                _ = normalize_text(
+                    " ".join(str(t) for t in o.outputs[0].token_ids),
+                    language="zh",
+                )
+                hyp_count += 1
+        return hyp_count
+
+    # warmup on a slice (compile buckets)
+    warm = utts[: args.batch_size]
+    run_epoch(warm)
+
+    t0 = time.time()
+    n = run_epoch(utts)
+    dt = time.time() - t0
+
+    rtf = dt / audio_seconds
+    rtfx = 1.0 / rtf if rtf > 0 else 0.0
+    print(
+        f"# decode {n} utts in {dt:.2f}s, engine stats {llm.stats}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "RTFx_batch16_speechio_protocol",
+        "value": round(rtfx, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtfx / 136.9, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,3 +16,13 @@ From-scratch re-design of the capabilities of duj12/Fun-ASR-vllm
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("FUN_ASR_PLATFORM"):
+    # force a JAX platform (e.g. FUN_ASR_PLATFORM=cpu for host-only runs).
+    # Some environments pre-register a TPU plugin at interpreter boot, so
+    # the env var JAX_PLATFORMS alone can be too late — use the config API.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["FUN_ASR_PLATFORM"])

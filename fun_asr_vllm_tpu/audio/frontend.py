@@ -1,0 +1,236 @@
+"""Batched JAX/TPU kaldi fbank frontend (+ LFR + CMVN).
+
+TPU-native replacement for funasr's WavFrontend + torchaudio kaldi fbank
+(the `extract_fbank` surface, reference model.py:372-377, infer.py:446-450).
+Design notes:
+
+- one jitted function computes framing → DC removal → preemphasis →
+  window → rFFT(512) → power → mel matmul → log for a whole padded batch;
+  the mel projection is a [256, 80] matmul that XLA fuses with the log,
+  and the FFT runs on-device, so feature extraction rides the TPU instead
+  of CPU dataloader workers (reference hot-loop item (3), SURVEY.md §3).
+- audio lengths are bucketed (1 s steps) so jit caches a handful of shapes.
+- numerics match `fbank_ref.fbank_numpy` (golden tests in
+  tests/test_frontend.py); dither defaults to 0 for deterministic decoding.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fbank_ref import (
+    EPSILON,
+    apply_cmvn,
+    apply_lfr,
+    feature_window,
+    load_cmvn,
+    mel_banks,
+    num_frames,
+)
+
+_INT16_SCALE = 32768.0  # funasr WavFrontend scales [-1,1] floats to int16 range
+
+
+@lru_cache(maxsize=8)
+def _window_const(frame_length: int, window_type: str) -> np.ndarray:
+    return feature_window(frame_length, window_type)
+
+
+@lru_cache(maxsize=8)
+def _mel_const(n_mels: int, n_fft: int, fs: int, low: float, high: float) -> np.ndarray:
+    return mel_banks(n_mels, n_fft, fs, low, high).T  # [n_fft//2, n_mels]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "frame_length", "frame_shift", "n_fft", "n_mels", "window_type",
+        "fs", "preemph", "remove_dc",
+    ),
+)
+def fbank_jax(
+    waveform: jax.Array,  # [B, N] float32, int16 scale
+    frame_length: int = 400,
+    frame_shift: int = 160,
+    n_fft: int = 512,
+    n_mels: int = 80,
+    window_type: str = "hamming",
+    fs: int = 16000,
+    preemph: float = 0.97,
+    remove_dc: bool = True,
+) -> jax.Array:
+    """[B, N] → [B, T, n_mels] log-mel; T = 1 + (N - frame_length)//frame_shift."""
+    b, n = waveform.shape
+    t = 1 + (n - frame_length) // frame_shift
+    starts = jnp.arange(t, dtype=jnp.int32) * frame_shift
+    idx = starts[:, None] + jnp.arange(frame_length, dtype=jnp.int32)[None, :]
+    frames = jnp.take(waveform, idx, axis=1)  # [B, T, L]
+
+    if remove_dc:
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    if preemph:
+        first = frames[..., :1] * (1.0 - preemph)
+        rest = frames[..., 1:] - preemph * frames[..., :-1]
+        frames = jnp.concatenate([first, rest], axis=-1)
+    window = jnp.asarray(_window_const(frame_length, window_type))
+    frames = frames * window
+
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # [B, T, n_fft//2+1]
+    mel_t = jnp.asarray(_mel_const(n_mels, n_fft, fs, 20.0, 0.0))
+    mel = jnp.einsum(
+        "btf,fm->btm", power[..., : n_fft // 2], mel_t,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.log(jnp.maximum(mel, EPSILON))
+
+
+class WavFrontend:
+    """Config-compatible analogue of funasr's WavFrontend.
+
+    Exposes the attributes the reference reads off the frontend object —
+    ``fs``, ``frame_shift``, ``lfr_n`` (reference model.py:363, 384-385) —
+    and an `extract` method producing [B, T, D] features + lengths.
+    """
+
+    def __init__(
+        self,
+        fs: int = 16000,
+        window: str = "hamming",
+        n_mels: int = 80,
+        frame_length: int = 25,
+        frame_shift: int = 10,
+        lfr_m: int = 1,
+        lfr_n: int = 1,
+        dither: float = 0.0,
+        cmvn_file: Optional[str] = None,
+        bucket_seconds: float = 1.0,
+        **_unused,
+    ) -> None:
+        self.fs = fs
+        self.window = window
+        self.n_mels = n_mels
+        self.frame_length = frame_length  # ms
+        self.frame_shift = frame_shift  # ms
+        self.lfr_m = lfr_m
+        self.lfr_n = lfr_n
+        self.dither = dither
+        self.bucket_samples = max(int(bucket_seconds * fs), 1)
+        self.cmvn = load_cmvn(cmvn_file) if cmvn_file else None
+        self._frame_len_samp = int(fs * frame_length / 1000)
+        self._frame_shift_samp = int(fs * frame_shift / 1000)
+
+    @property
+    def output_size(self) -> int:
+        return self.n_mels * self.lfr_m
+
+    def frame_count(self, n_samples: int) -> int:
+        return num_frames(n_samples, self._frame_len_samp, self._frame_shift_samp)
+
+    def lfr_frame_count(self, n_samples: int) -> int:
+        t = self.frame_count(n_samples)
+        return int(math.ceil(t / self.lfr_n)) if t else 0
+
+    def extract(
+        self, wavs: Sequence[np.ndarray]
+    ) -> Tuple[jax.Array, jax.Array]:
+        """List of mono float32 [-1,1] arrays → ([B, T, D], lengths [B])."""
+        wavs = [np.asarray(w, dtype=np.float32).reshape(-1) for w in wavs]
+        lens = [len(w) for w in wavs]
+        max_len = max(lens)
+        padded_len = max(
+            self._frame_len_samp,
+            ((max_len + self.bucket_samples - 1) // self.bucket_samples)
+            * self.bucket_samples,
+        )
+        batch = np.zeros((len(wavs), padded_len), dtype=np.float32)
+        for i, w in enumerate(wavs):
+            batch[i, : len(w)] = w
+        batch *= _INT16_SCALE
+
+        feats = fbank_jax(
+            jnp.asarray(batch),
+            frame_length=self._frame_len_samp,
+            frame_shift=self._frame_shift_samp,
+            n_mels=self.n_mels,
+            window_type=self.window,
+            fs=self.fs,
+        )
+        feat_lens = np.array([self.frame_count(n) for n in lens], dtype=np.int32)
+
+        if self.lfr_m != 1 or self.lfr_n != 1:
+            feats = _lfr_jax(feats, self.lfr_m, self.lfr_n)
+            feat_lens = np.ceil(feat_lens / self.lfr_n).astype(np.int32)
+        if self.cmvn is not None:
+            add, scale = self.cmvn
+            feats = (feats + jnp.asarray(add)) * jnp.asarray(scale)
+        return feats, jnp.asarray(feat_lens)
+
+    # numpy single-utterance path (golden/CPU tooling)
+    def extract_numpy(self, wav: np.ndarray) -> np.ndarray:
+        feats = _fbank_np_int16(
+            np.asarray(wav, dtype=np.float32) * _INT16_SCALE,
+            self.fs, self.n_mels, self.frame_length, self.frame_shift,
+            self.window, self.dither,
+        )
+        feats = apply_lfr(feats, self.lfr_m, self.lfr_n)
+        if self.cmvn is not None:
+            feats = apply_cmvn(feats, *self.cmvn)
+        return feats
+
+
+def _fbank_np_int16(wav_int16_scale, fs, n_mels, frame_length_ms, frame_shift_ms,
+                    window, dither):
+    from .fbank_ref import fbank_numpy
+
+    return fbank_numpy(
+        wav_int16_scale,
+        sample_frequency=fs,
+        num_mel_bins=n_mels,
+        frame_length_ms=frame_length_ms,
+        frame_shift_ms=frame_shift_ms,
+        window_type=window,
+        dither=dither,
+    )
+
+
+@partial(jax.jit, static_argnames=("lfr_m", "lfr_n"))
+def _lfr_jax(feats: jax.Array, lfr_m: int, lfr_n: int) -> jax.Array:
+    """Batched LFR stacking matching fbank_ref.apply_lfr."""
+    b, t, d = feats.shape
+    t_lfr = -(-t // lfr_n)
+    left_pad = (lfr_m - 1) // 2
+    need = (t_lfr - 1) * lfr_n + lfr_m
+    right_pad = max(0, need - (t + left_pad))
+    padded = jnp.concatenate(
+        [
+            jnp.repeat(feats[:, :1], left_pad, axis=1),
+            feats,
+            jnp.repeat(feats[:, -1:], right_pad, axis=1),
+        ],
+        axis=1,
+    )
+    idx = (
+        jnp.arange(t_lfr, dtype=jnp.int32)[:, None] * lfr_n
+        + jnp.arange(lfr_m, dtype=jnp.int32)[None, :]
+    )
+    return jnp.take(padded, idx, axis=1).reshape(b, t_lfr, lfr_m * d)
+
+
+def extract_fbank(
+    wavs: Union[Sequence[np.ndarray], np.ndarray],
+    frontend: WavFrontend,
+    is_final: bool = True,
+    data_type: str = "sound",
+) -> Tuple[jax.Array, jax.Array]:
+    """funasr `extract_fbank(wavs, frontend=..., is_final=True)` analogue
+    (reference infer.py:446-450) → (features [B,T,D], lengths [B])."""
+    if isinstance(wavs, np.ndarray) and wavs.ndim == 1:
+        wavs = [wavs]
+    return frontend.extract(list(wavs))

@@ -1,0 +1,123 @@
+"""HF-dataset batch evaluation CLI (the reference infer.py:215-519 surface —
+the README benchmark driver).
+
+Usage (flag parity with the reference README.md:72-80):
+    python -m fun_asr_vllm_tpu.cli.infer \
+        --model_dir <dir> --huggingface_dataset yuekai/speechio \
+        --subset_name SPEECHIO_ASR_ZH00007 --split_name test \
+        --batch_size 16 --log_dir ./logs [--vllm_model_dir ignored-on-tpu]
+
+Outputs: {log_dir}/hypos.txt, wer.txt, inference_time.txt — same files,
+same formats (reference infer.py:503-517).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+import unicodedata
+
+
+def get_args():
+    p = argparse.ArgumentParser(description="HF-dataset batch ASR eval")
+    p.add_argument("--model_dir", type=str, required=True)
+    p.add_argument("--huggingface_dataset", type=str, default="yuekai/speechio")
+    p.add_argument("--subset_name", type=str, default="SPEECHIO_ASR_ZH00007")
+    p.add_argument("--split_name", type=str, default="test")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--ref_column", type=str, default="text")
+    p.add_argument("--device", type=str, default="tpu")
+    p.add_argument("--log_dir", type=str, default="./logs")
+    p.add_argument("--output_file", type=str, default="hypos.txt")
+    p.add_argument("--stats_file", type=str, default="wer.txt")
+    p.add_argument("--vllm_model_dir", type=str, default=None,
+                   help="engine is built-in on TPU; flag kept for parity — "
+                        "any non-None value enables the engine (default on)")
+    p.add_argument("--disable_engine", action="store_true")
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--max_num_seqs", type=int, default=None)
+    return p.parse_args()
+
+
+def collate(batch, ref_column: str, target_sr: int = 16000):
+    """The DataCollator analogue (reference infer.py:291-332): ids, 16 kHz
+    float wavs, reference texts."""
+    import numpy as np
+
+    from ..audio.io import resample
+
+    ids, wavs, texts = [], [], []
+    for item in batch:
+        utt_id = (
+            item.get("id") or item.get("segment_id")
+            or str(item.get("key", "unknown"))
+        )
+        ids.append(utt_id)
+        ref = item.get(ref_column) or item.get("text") or item.get("sentence", "")
+        texts.append(ref)
+        audio = item["audio"]
+        arr = np.asarray(audio["array"], dtype=np.float32)
+        sr = audio["sampling_rate"]
+        if sr != target_sr:
+            arr = resample(arr, sr, target_sr)
+        wavs.append(arr)
+    return ids, wavs, texts
+
+
+def main():
+    args = get_args()
+    import datasets as hf_datasets
+
+    from ..pipeline import BatchPipeline
+    from ..text.error_stats import store_transcripts, write_error_stats
+    from ..text.normalize import normalize_text_alimeeting
+    from ..text.tn_api import _zh_normalizer
+
+    pipe = BatchPipeline(
+        args.model_dir, dtype=args.dtype,
+        enable_engine=not args.disable_engine,
+        max_num_seqs=args.max_num_seqs or args.batch_size,
+    )
+
+    dataset = hf_datasets.load_dataset(
+        args.huggingface_dataset, args.subset_name, split=args.split_name,
+        trust_remote_code=True,
+    )
+
+    zh_tn = _zh_normalizer()
+
+    def normalize(text: str) -> str:
+        # reference infer.py:431-435: NFKC → alimeeting cleanup → ZhNormalizer
+        text = unicodedata.normalize("NFKC", text)
+        text = normalize_text_alimeeting(text)
+        return zh_tn.normalize(text)
+
+    results = []
+    print("Starting inference...")
+    start_time = time.time()
+    batch: list = []
+    n = len(dataset)
+    for idx in range(0, n, args.batch_size):
+        batch = [dataset[i] for i in range(idx, min(idx + args.batch_size, n))]
+        batch_ids, batch_wavs, batch_refs = collate(batch, args.ref_column)
+        response = pipe.transcribe_batch(batch_wavs)
+        for cut_id, ref, hyp in zip(batch_ids, batch_refs, response):
+            results.append((cut_id, normalize(ref).upper(), normalize(hyp).upper()))
+        print(response)
+    end_time = time.time()
+    print(f"Inference time: {end_time - start_time} seconds")
+    print(f"Stage timings: {pipe.timings}")
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    with open(os.path.join(args.log_dir, "inference_time.txt"), "w") as f:
+        f.write(f"Inference time: {end_time - start_time} seconds")
+    store_transcripts(os.path.join(args.log_dir, args.output_file), results)
+    with open(os.path.join(args.log_dir, args.stats_file), "w") as f:
+        write_error_stats(f, args.huggingface_dataset, results)
+    print("Done.")
+
+
+if __name__ == "__main__":
+    main()

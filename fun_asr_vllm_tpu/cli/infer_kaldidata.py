@@ -1,0 +1,143 @@
+"""Kaldi wav.scp batch evaluation + data-parallel CLI
+(the reference infer_kaldidata.py:1-1144 surface).
+
+Pipeline per shard: wav.scp (+optional text) → batched fbank → encoder →
+adaptor → engine generate → per-language TN → ITN/TN dual outputs →
+per-shard dirs merged sorted (reference merge_results,
+infer_kaldidata.py:1013-1062).
+
+Data parallelism: the reference spawns one process per GPU
+(infer_kaldidata.py:1064-1143). On TPU a single continuous-batching engine
+saturates the chip, so `--multiprocess` here shards the scp and runs the
+shards through the same engine sequentially, writing the identical
+`process_{i}/` file tree (multi-host DP over a jax.distributed mesh uses
+the same shard/merge protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def get_args():
+    p = argparse.ArgumentParser(description="Kaldi wav.scp batch ASR eval")
+    p.add_argument("--model_dir", type=str, required=True)
+    p.add_argument("--wav_scp", type=str, required=True)
+    p.add_argument("--text", type=str, default=None,
+                   help="optional reference text for WER")
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--itn", action="store_true", default=True)
+    p.add_argument("--no_itn", dest="itn", action="store_false")
+    p.add_argument("--language", type=str, default=None)
+    p.add_argument("--multiprocess", action="store_true")
+    p.add_argument("--gpu_list", type=str, default="0",
+                   help="kept for CLI parity; shard count on TPU")
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--max_tokens", type=int, default=500)
+    p.add_argument("--disable_engine", action="store_true")
+    return p.parse_args()
+
+
+def run_shard(pipe, shard, texts, out_dir, batch_size, itn):
+    """Decode one scp shard → per-shard output files
+    (reference run_inference_on_process, infer_kaldidata.py:618-824)."""
+    import numpy as np
+
+    from ..audio.io import load_audio
+    from ..data.kaldi import write_scp
+    from ..text.error_stats import store_transcripts, write_error_stats
+    from ..text.normalize import detect_language, nfkc, normalize_text_alimeeting
+    from ..text.tn_api import normalize_text
+    from ..text.zh_itn import inverse_normalize_text
+
+    os.makedirs(out_dir, exist_ok=True)
+    hyp_rows, itn_rows, tn_rows, results = [], [], [], []
+    t_start = time.time()
+    audio_seconds = 0.0
+    for i in range(0, len(shard), batch_size):
+        batch = shard[i : i + batch_size]
+        wavs = []
+        keys = []
+        for key, path in batch:
+            try:
+                wav = load_audio(path, fs=16000)
+            except Exception as e:  # placeholder on load failure
+                print(f"load failed for {key}: {e}")
+                wav = np.zeros(1600, np.float32)
+            wavs.append(wav)
+            keys.append(key)
+            audio_seconds += len(wav) / 16000.0
+        hyps = pipe.transcribe_batch(wavs)
+        for key, hyp in zip(keys, hyps):
+            hyp_rows.append((key, hyp))
+            # dual outputs (reference infer_kaldidata.py:800-812)
+            itn_rows.append((key, inverse_normalize_text(hyp)
+                             if itn else hyp))
+            tn_rows.append((key, normalize_text(hyp)))
+            if texts is not None and key in texts:
+                ref = normalize_text(nfkc(normalize_text_alimeeting(texts[key])))
+                hyp_n = normalize_text(nfkc(normalize_text_alimeeting(hyp)))
+                results.append((key, ref.upper(), hyp_n.upper()))
+    elapsed = time.time() - t_start
+
+    write_scp(os.path.join(out_dir, "text"), hyp_rows)
+    write_scp(os.path.join(out_dir, "text_itn"), itn_rows)
+    write_scp(os.path.join(out_dir, "text_tn"), tn_rows)
+    store_transcripts(os.path.join(out_dir, "hypos.txt"),
+                      [(k, "", h) for k, h in hyp_rows] if not results else results)
+    if results:
+        with open(os.path.join(out_dir, "wer.txt"), "w") as f:
+            write_error_stats(f, "kaldi", results)
+    with open(os.path.join(out_dir, "inference_time.txt"), "w") as f:
+        f.write(f"Inference time: {elapsed} seconds\n")
+    with open(os.path.join(out_dir, "process_info.json"), "w") as f:
+        json.dump(
+            {
+                "num_utts": len(shard),
+                "audio_seconds": audio_seconds,
+                "elapsed": elapsed,
+                "rtfx": audio_seconds / elapsed if elapsed > 0 else 0.0,
+            },
+            f, indent=2,
+        )
+    return elapsed
+
+
+def main():
+    args = get_args()
+    from ..data.kaldi import merge_results, read_scp, read_scp_dict, split_scp
+    from ..pipeline import BatchPipeline
+
+    scp = read_scp(args.wav_scp)
+    texts = read_scp_dict(args.text) if args.text else None
+
+    pipe = BatchPipeline(
+        args.model_dir, dtype=args.dtype,
+        enable_engine=not args.disable_engine,
+        max_num_seqs=args.batch_size, itn=args.itn, language=args.language,
+        max_tokens=args.max_tokens,
+    )
+
+    if args.multiprocess:
+        n_shards = max(1, len(args.gpu_list.split(",")))
+        shards = split_scp(scp, n_shards)
+        part_dirs = []
+        for i, shard in enumerate(shards):
+            d = os.path.join(args.output_dir, f"process_{i}")
+            run_shard(pipe, shard, texts, d, args.batch_size, args.itn)
+            part_dirs.append(d)
+        merge_results(
+            part_dirs, args.output_dir,
+            filenames=("text", "text_itn", "text_tn", "hypos.txt"),
+        )
+    else:
+        run_shard(pipe, scp, texts, args.output_dir, args.batch_size, args.itn)
+    print(f"done → {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Per-utterance language/emotion/event tagging (the reference
+run_sense_voice.py:1-269 surface).
+
+The reference runs SenseVoiceSmall and parses its three leading
+``<|tag|>`` markers into sidecar files `sense_voice_language`,
+`sense_voice_emotion`, `sense_voice_event` (run_sense_voice.py:54-64).
+Tagger backends are pluggable; the default heuristic tagger gives
+language via text/audio heuristics and neutral emotion/event so the
+downstream JSONL generators (data/jsonl.py) always have sidecars.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+from typing import Callable, Dict, Tuple
+
+from .kaldi import read_scp, read_scp_dict, write_scp
+
+TAG_RE = re.compile(r"<\|([^|]+)\|>")
+
+
+def parse_leading_tags(text: str) -> Tuple[str, str, str, str]:
+    """'<|zh|><|NEUTRAL|><|Speech|>你好' → (zh, NEUTRAL, Speech, 你好)
+    (reference run_sense_voice.py:54-64)."""
+    tags = []
+    rest = text
+    for _ in range(3):
+        m = TAG_RE.match(rest)
+        if not m:
+            break
+        tags.append(m.group(1))
+        rest = rest[m.end():]
+    tags += ["zh", "NEUTRAL", "Speech"][len(tags):]
+    return tags[0], tags[1], tags[2], rest
+
+
+class HeuristicTagger:
+    """language from transcript script ratio; neutral emotion/event."""
+
+    def __call__(self, key: str, wav_path: str, text: str = "") -> str:
+        from ..text.normalize import detect_language
+
+        lang = detect_language(text, en_ratio_threshold=0.5) if text else "zh"
+        return f"<|{lang}|><|NEUTRAL|><|Speech|>{text}"
+
+
+def tag_scp(
+    wav_scp_path: str,
+    out_dir: str,
+    tagger: Callable[[str, str, str], str] = None,
+    text_path: str = None,
+) -> int:
+    tagger = tagger or HeuristicTagger()
+    items = read_scp(wav_scp_path)
+    texts: Dict[str, str] = read_scp_dict(text_path) if text_path else {}
+    langs, emos, events = [], [], []
+    for key, path in items:
+        raw = tagger(key, path, texts.get(key, ""))
+        lang, emo, event, _rest = parse_leading_tags(raw)
+        langs.append((key, lang))
+        emos.append((key, emo))
+        events.append((key, event))
+    os.makedirs(out_dir, exist_ok=True)
+    write_scp(os.path.join(out_dir, "sense_voice_language"), langs)
+    write_scp(os.path.join(out_dir, "sense_voice_emotion"), emos)
+    write_scp(os.path.join(out_dir, "sense_voice_event"), events)
+    return len(items)
+
+
+def main():
+    ap = argparse.ArgumentParser(description="tag wav.scp with lang/emo/event")
+    ap.add_argument("--wav_scp", required=True)
+    ap.add_argument("--text", default=None)
+    ap.add_argument("--out_dir", required=True)
+    args = ap.parse_args()
+    n = tag_scp(args.wav_scp, args.out_dir, text_path=args.text)
+    print(f"tagged {n} utts → {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

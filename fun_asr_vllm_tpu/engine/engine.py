@@ -1,0 +1,364 @@
+"""Continuous-batching LLM engine with a vLLM-shaped `generate` surface.
+
+Replaces `vllm.LLM(model, enable_prompt_embeds=True, ...)` +
+`llm.generate([{"prompt_embeds": T×D}], SamplingParams(...))`
+(reference model.py:645-653, infer.py:381-389, 468-475) with a TPU-native
+engine:
+
+- requests enter a FIFO queue; up to `max_num_seqs` run concurrently in
+  fixed decode slots (continuous batching — a finished request's slot is
+  refilled immediately, so long transcripts never stall the batch the way
+  the reference's HF right-padded fallback does, reference infer.py:477-491);
+- prompt embeddings are prefilled one sequence at a time at bucketed
+  lengths (compile-once per bucket), writing the paged KV cache;
+- every decode step advances all slots with one jitted program
+  (engine/kv_cache.py) — the CUDA-graph analogue;
+- sampling is greedy for the reference's `top_p=0.001` setting, with
+  full temperature/top-p/top-k supported on-device.
+
+Host scheduling is deliberately thin Python; all compute is jitted XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from collections import deque
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import qwen3 as qwen3_mod
+from ..models.qwen3 import Qwen3Config
+from .kv_cache import CacheConfig, decode_step, init_cache, prefill_step
+from .sampling import SamplingParams, sample_tokens
+
+logger = logging.getLogger(__name__)
+
+PREFILL_BUCKETS = (32, 64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
+
+
+def _bucket_len(t: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if t <= b:
+            return b
+    return ((t + 255) // 256) * 256
+
+
+@dataclasses.dataclass
+class CompletionOutput:
+    index: int
+    text: str
+    token_ids: List[int]
+    finish_reason: str = "stop"
+
+
+@dataclasses.dataclass
+class RequestOutput:
+    request_id: int
+    outputs: List[CompletionOutput]
+    prompt_len: int = 0
+    metrics: Optional[Dict] = None
+
+
+class _Request:
+    __slots__ = (
+        "rid", "embeds", "prompt_len", "max_tokens", "out_ids", "slot",
+        "blocks", "done", "t_enqueue", "t_first_token",
+    )
+
+    def __init__(self, rid: int, embeds: np.ndarray, max_tokens: int):
+        self.rid = rid
+        self.embeds = embeds
+        self.prompt_len = embeds.shape[0]
+        self.max_tokens = max_tokens
+        self.out_ids: List[int] = []
+        self.slot = -1
+        self.blocks: List[int] = []
+        self.done = False
+        self.t_enqueue = time.perf_counter()
+        self.t_first_token = 0.0
+
+
+def _as_numpy_2d(x: Any) -> np.ndarray:
+    """Accept numpy/jax/torch [T, D] prompt embeddings."""
+    if hasattr(x, "detach"):  # torch tensor
+        x = x.detach()
+        if str(getattr(x, "dtype", "")) == "torch.bfloat16":
+            x = x.float()
+        x = x.cpu().numpy()
+    arr = np.asarray(x, dtype=np.float32)
+    if arr.ndim != 2:
+        raise ValueError(f"prompt_embeds must be [T, D], got {arr.shape}")
+    return arr
+
+
+class LLM:
+    """vLLM-call-compatible engine front (reference model.py:645-653).
+
+    Accepts either a HF model dir (`model=`) or preloaded
+    (`params=`, `config=`) for tests. Extra vLLM kwargs
+    (gpu_memory_utilization, compilation_config, tensor_parallel_size, ...)
+    are accepted for CLI compatibility and mapped or ignored.
+    """
+
+    def __init__(
+        self,
+        model: Optional[str] = None,
+        *,
+        params: Optional[Dict] = None,
+        config: Optional[Qwen3Config] = None,
+        tokenizer: Any = None,
+        enable_prompt_embeds: bool = True,
+        dtype: str = "bfloat16",
+        max_num_seqs: int = 16,
+        max_model_len: int = 2048,
+        num_blocks: Optional[int] = None,
+        block_size: int = 16,
+        gpu_memory_utilization: float = 0.4,  # accepted, unused on TPU
+        tensor_parallel_size: int = 1,
+        compilation_config: Any = None,
+        mesh: Any = None,
+        use_pallas: Optional[bool] = None,
+        **_ignored,
+    ) -> None:
+        jdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                  "float16": jnp.bfloat16}[dtype]
+        if params is None:
+            from ..models.convert import qwen3_from_pretrained
+
+            params, config = qwen3_from_pretrained(model, dtype=jdtype)
+            if tokenizer is None:
+                from transformers import AutoTokenizer
+
+                tokenizer = AutoTokenizer.from_pretrained(model)
+        if config is None:
+            raise ValueError("need `config` when passing preloaded params")
+        self.params = params
+        self.cfg = config
+        self.tokenizer = tokenizer
+        self.max_num_seqs = max_num_seqs
+        self.mesh = mesh
+
+        mb = -(-max_model_len // block_size)
+        if num_blocks is None:
+            # enough pages for all slots at max length, + slack + garbage blk
+            num_blocks = max_num_seqs * mb + mb + 1
+        self.cache_cfg = CacheConfig(
+            num_blocks=num_blocks, block_size=block_size,
+            max_blocks_per_seq=mb, dtype=jdtype,
+        )
+        self.k_cache, self.v_cache = init_cache(config, self.cache_cfg)
+
+        if use_pallas is None:
+            # Pallas decode kernel needs lane-aligned tiles: head_dim
+            # multiple of 128 and a reasonable head-count tile. Tiny test
+            # models fall back to the XLA gather path.
+            dev = jax.devices()[0]
+            on_tpu = dev.platform == "tpu" or "TPU" in getattr(
+                dev, "device_kind", ""
+            )
+            use_pallas = (
+                on_tpu
+                and config.head_dim % 128 == 0
+                and config.num_attention_heads >= 8
+            )
+        self.use_pallas = use_pallas
+
+        self.eos_ids = {config.eos_token_id, config.pad_token_id}
+        if tokenizer is not None and getattr(tokenizer, "eos_token_id", None):
+            self.eos_ids.add(tokenizer.eos_token_id)
+
+        s, mbps = max_num_seqs, self.cache_cfg.max_blocks_per_seq
+        self._slots: List[Optional[_Request]] = [None] * s
+        self._free_blocks = deque(range(1, num_blocks))  # block 0 = garbage
+        self._block_tables = np.zeros((s, mbps), dtype=np.int32)
+        self._positions = np.zeros((s,), dtype=np.int32)
+        self._seq_lens = np.zeros((s,), dtype=np.int32)
+        self._last_tokens = np.zeros((s,), dtype=np.int32)
+        self._active = np.zeros((s,), dtype=bool)
+        self._rng = jax.random.PRNGKey(0)
+        self._next_rid = 0
+        self.stats = {"prefill_tokens": 0, "decode_tokens": 0, "steps": 0}
+
+    # ---------------- scheduling internals ----------------
+
+    def _alloc_blocks(self, n: int) -> Optional[List[int]]:
+        if len(self._free_blocks) < n:
+            return None
+        return [self._free_blocks.popleft() for _ in range(n)]
+
+    def _free(self, req: _Request) -> None:
+        self._free_blocks.extend(req.blocks)
+        req.blocks = []
+        s = req.slot
+        if s >= 0:
+            self._slots[s] = None
+            self._active[s] = False
+            self._block_tables[s, :] = 0
+            req.slot = -1
+
+    def _try_admit(self, req: _Request) -> bool:
+        try:
+            slot = self._slots.index(None)
+        except ValueError:
+            return False
+        bs = self.cache_cfg.block_size
+        need = -(-(req.prompt_len + 1) // bs)
+        if req.prompt_len + req.max_tokens > self.cache_cfg.max_model_len:
+            req.max_tokens = max(
+                1, self.cache_cfg.max_model_len - req.prompt_len
+            )
+        blocks = self._alloc_blocks(need)
+        if blocks is None:
+            return False
+        req.slot = slot
+        req.blocks = blocks
+        self._slots[slot] = req
+
+        # device prefill
+        t = req.prompt_len
+        tb = _bucket_len(t)
+        embeds = np.zeros((1, tb, self.cfg.hidden_size), dtype=np.float32)
+        embeds[0, :t] = req.embeds
+        table = np.zeros((self.cache_cfg.max_blocks_per_seq,), dtype=np.int32)
+        table[: len(blocks)] = blocks
+        logits, self.k_cache, self.v_cache = prefill_step(
+            self.params, self.cfg, self.k_cache, self.v_cache,
+            jnp.asarray(embeds), jnp.asarray(t, jnp.int32), jnp.asarray(table),
+        )
+        self.stats["prefill_tokens"] += t
+        first = self._sample(logits[None, :])[0]
+        req.t_first_token = time.perf_counter()
+
+        self._block_tables[slot, :] = 0
+        self._block_tables[slot, : len(blocks)] = blocks
+        self._positions[slot] = t  # position of the NEXT token
+        self._seq_lens[slot] = t + 1
+        self._last_tokens[slot] = first
+        self._active[slot] = True
+        self._handle_token(req, int(first))
+        return True
+
+    def _sample(self, logits: jax.Array) -> np.ndarray:
+        sp = self._cur_sampling
+        if sp.is_greedy:
+            return np.asarray(jnp.argmax(logits, axis=-1), dtype=np.int32)
+        self._rng, sub = jax.random.split(self._rng)
+        return np.asarray(
+            sample_tokens(logits, sub, sp.temperature, sp.top_p, sp.top_k)
+        )
+
+    def _handle_token(self, req: _Request, token: int) -> None:
+        stop_ids = self.eos_ids | set(self._cur_sampling.stop_token_ids or ())
+        stopped = token in stop_ids
+        if not stopped:
+            req.out_ids.append(token)
+        if stopped or len(req.out_ids) >= req.max_tokens:
+            req.done = True
+            self._free(req)
+
+    def _grow_blocks_if_needed(self) -> None:
+        bs = self.cache_cfg.block_size
+        for slot, req in enumerate(self._slots):
+            if req is None:
+                continue
+            # the next written position is self._positions[slot]
+            need = self._positions[slot] // bs + 1
+            while len(req.blocks) < need:
+                blocks = self._alloc_blocks(1)
+                if blocks is None:
+                    raise RuntimeError(
+                        "KV cache out of blocks — raise num_blocks/"
+                        "max_model_len headroom"
+                    )
+                req.blocks.extend(blocks)
+                self._block_tables[slot, len(req.blocks) - 1] = blocks[0]
+
+    def _decode_once(self) -> None:
+        logits, self.k_cache, self.v_cache = decode_step(
+            self.params, self.cfg, self.k_cache, self.v_cache,
+            jnp.asarray(self._last_tokens), jnp.asarray(self._positions),
+            jnp.asarray(self._block_tables), jnp.asarray(self._seq_lens),
+            jnp.asarray(self._active), use_pallas=self.use_pallas,
+        )
+        tokens = self._sample(logits)
+        self.stats["steps"] += 1
+        for slot, req in enumerate(self._slots):
+            if req is None:
+                continue
+            self.stats["decode_tokens"] += 1
+            self._positions[slot] += 1
+            self._seq_lens[slot] += 1
+            self._last_tokens[slot] = tokens[slot]
+            self._handle_token(req, int(tokens[slot]))
+
+    # ---------------- public API ----------------
+
+    def generate(
+        self,
+        prompts: Union[Dict, Sequence],
+        sampling_params: Optional[SamplingParams] = None,
+        use_tqdm: bool = False,
+        **_ignored,
+    ) -> List[RequestOutput]:
+        """vLLM-shaped generate: each prompt is ``{"prompt_embeds": [T,D]}``
+        (or a raw [T,D] array). Returns outputs in submission order."""
+        sp = sampling_params or SamplingParams()
+        self._cur_sampling = sp
+        if isinstance(prompts, dict) or (
+            hasattr(prompts, "ndim") and getattr(prompts, "ndim", 0) == 2
+        ):
+            prompts = [prompts]
+
+        reqs: List[_Request] = []
+        for p in prompts:
+            embeds = p["prompt_embeds"] if isinstance(p, dict) else p
+            req = _Request(self._next_rid, _as_numpy_2d(embeds), sp.max_tokens)
+            self._next_rid += 1
+            reqs.append(req)
+
+        waiting = deque(reqs)
+        iterator = None
+        if use_tqdm:
+            try:
+                from tqdm import tqdm
+
+                iterator = tqdm(total=len(reqs), desc="generate")
+            except ImportError:
+                pass
+        done_count = 0
+        while done_count < len(reqs):
+            while waiting and not waiting[0].done and self._try_admit(waiting[0]):
+                waiting.popleft()
+            # drop requests finished at prefill (eos as first token)
+            while waiting and waiting[0].done:
+                waiting.popleft()
+            if any(r is not None for r in self._slots):
+                self._grow_blocks_if_needed()
+                self._decode_once()
+            new_done = sum(r.done for r in reqs)
+            if iterator is not None and new_done > done_count:
+                iterator.update(new_done - done_count)
+            done_count = new_done
+        if iterator is not None:
+            iterator.close()
+
+        outs = []
+        for req in reqs:
+            text = ""
+            if self.tokenizer is not None:
+                text = self.tokenizer.decode(
+                    req.out_ids, skip_special_tokens=sp.skip_special_tokens
+                )
+            outs.append(
+                RequestOutput(
+                    request_id=req.rid,
+                    outputs=[CompletionOutput(0, text, list(req.out_ids))],
+                    prompt_len=req.prompt_len,
+                )
+            )
+        return outs

@@ -1,0 +1,214 @@
+"""Paged KV cache + jitted prefill/decode step functions.
+
+The TPU analogue of vLLM's paged attention + CUDA-graph execution
+(reference model.py:645-653; infer_kaldidata.py:648-656 captures CUDA
+graphs for batch sizes 1..B — here every step is a jit-compiled XLA
+program over *fixed* slot/bucket shapes, so the same effect falls out of
+jit's compile cache).
+
+Layout: k_cache/v_cache ``[L, num_blocks, block_size, Nkv, D]`` in HBM.
+Block 0 is reserved as a garbage sink — padding positions and inactive
+slots write there, which keeps every step fully dense (no host-side
+branching inside jit).
+
+Two step functions:
+- `prefill_step`: one sequence (bucketed length) of prompt *embeddings*
+  (the reference feeds vLLM `prompt_embeds`, reference model.py:648) →
+  causal self-attention, cache population, first sampled token.
+- `decode_step`: all `max_num_seqs` slots advance one token via paged
+  attention over their block tables. The XLA gather path here is the
+  reference implementation; `ops.paged_attention` provides the Pallas
+  kernel used on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import qwen3
+from ..models.qwen3 import Qwen3Config, rms_norm, rope_cos_sin, apply_rope
+
+
+@dataclasses.dataclass(frozen=True)
+class CacheConfig:
+    num_blocks: int = 512          # incl. reserved garbage block 0
+    block_size: int = 16
+    max_blocks_per_seq: int = 128  # → max seq len = 2048 tokens by default
+    dtype: "jnp.dtype" = jnp.bfloat16
+
+    @property
+    def max_model_len(self) -> int:
+        return self.max_blocks_per_seq * self.block_size
+
+
+def init_cache(cfg: Qwen3Config, cc: CacheConfig) -> Tuple[jax.Array, jax.Array]:
+    shape = (
+        cfg.num_hidden_layers, cc.num_blocks, cc.block_size,
+        cfg.num_key_value_heads, cfg.head_dim,
+    )
+    return jnp.zeros(shape, cc.dtype), jnp.zeros(shape, cc.dtype)
+
+
+def _gather_pages(cache_l: jax.Array, block_tables: jax.Array) -> jax.Array:
+    """cache_l [NB, BS, Nkv, D], block_tables [S, MB] → [S, MB*BS, Nkv, D]."""
+    s, mb = block_tables.shape
+    nb, bs, nkv, d = cache_l.shape
+    pages = jnp.take(cache_l, block_tables.reshape(-1), axis=0)
+    return pages.reshape(s, mb * bs, nkv, d)
+
+
+def paged_attention_xla(
+    q: jax.Array,            # [S, Nq, D] one new token per slot
+    k_cache_l: jax.Array,    # [NB, BS, Nkv, D]
+    v_cache_l: jax.Array,
+    block_tables: jax.Array,  # [S, MB]
+    seq_lens: jax.Array,      # [S] kv length incl. current token
+) -> jax.Array:
+    """Reference paged decode attention (gather + masked softmax). f32 math."""
+    s, nq, d = q.shape
+    k = _gather_pages(k_cache_l, block_tables)  # [S, T, Nkv, D]
+    v = _gather_pages(v_cache_l, block_tables)
+    t = k.shape[1]
+    nkv = k.shape[2]
+    n_rep = nq // nkv
+    qf = q.astype(jnp.float32) * (d ** -0.5)
+    qf = qf.reshape(s, nkv, n_rep, d)
+    logits = jnp.einsum(
+        "sgrd,stgd->sgrt", qf, k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    mask = jnp.arange(t)[None, :] < seq_lens[:, None]  # [S, T]
+    logits = jnp.where(mask[:, None, None, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "sgrt,stgd->sgrd", probs, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(s, nq, d).astype(q.dtype)
+
+
+def _scatter_token_kv(
+    cache_l: jax.Array,      # [NB, BS, Nkv, D]
+    new: jax.Array,          # [S, Nkv, D]
+    block_ids: jax.Array,    # [S]
+    offsets: jax.Array,      # [S]
+) -> jax.Array:
+    return cache_l.at[block_ids, offsets].set(new)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "use_pallas"),
+    donate_argnames=("k_cache", "v_cache"),
+)
+def decode_step(
+    params: Dict,
+    cfg: Qwen3Config,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    token_ids: jax.Array,      # [S] last sampled token per slot
+    positions: jax.Array,      # [S] position of the new token
+    block_tables: jax.Array,   # [S, MB]
+    seq_lens: jax.Array,       # [S] kv length incl. new token
+    active: jax.Array,         # [S] bool
+    use_pallas: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One decode step for all slots → (logits [S, V] f32, k_cache, v_cache).
+
+    Inactive slots compute garbage and write to block 0 (their block_tables
+    rows must point at 0); callers ignore their logits.
+    """
+    s = token_ids.shape[0]
+    bs = k_cache.shape[2]
+    x = qwen3.embed_tokens(params, token_ids).astype(cfg.dtype)  # [S, H]
+
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)  # [S, D/2]
+    cos, sin = cos[:, None, :], sin[:, None, :]
+
+    in_block = positions // bs
+    write_blocks = jnp.where(
+        active,
+        jnp.take_along_axis(block_tables, in_block[:, None], axis=1)[:, 0],
+        0,
+    )
+    write_offsets = positions % bs
+
+    if use_pallas:
+        from ..ops.paged_attention import paged_attention_pallas as attn_impl
+    else:
+        attn_impl = paged_attention_xla
+
+    def body(carry, scanned):
+        xc, kc, vc = carry
+        lp, lid = scanned
+        h = rms_norm(xc, lp["input_ln"], cfg.rms_norm_eps)
+        q = (h @ lp["wq"]).reshape(s, cfg.num_attention_heads, cfg.head_dim)
+        k = (h @ lp["wk"]).reshape(s, cfg.num_key_value_heads, cfg.head_dim)
+        v = (h @ lp["wv"]).reshape(s, cfg.num_key_value_heads, cfg.head_dim)
+        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        kc = kc.at[lid, write_blocks, write_offsets].set(k.astype(kc.dtype))
+        vc = vc.at[lid, write_blocks, write_offsets].set(v.astype(vc.dtype))
+        att = attn_impl(q, kc[lid], vc[lid], block_tables, seq_lens)
+        xc = xc + att.reshape(s, -1) @ lp["wo"]
+        h = rms_norm(xc, lp["post_ln"], cfg.rms_norm_eps)
+        xc = xc + qwen3._layer_mlp(lp, h)
+        return (xc, kc, vc), None
+
+    layer_ids = jnp.arange(cfg.num_hidden_layers)
+    (x, k_cache, v_cache), _ = jax.lax.scan(
+        body, (x, k_cache, v_cache), (params["layers"], layer_ids)
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    logits = qwen3.lm_logits(params, cfg, x)
+    return logits, k_cache, v_cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg",),
+    donate_argnames=("k_cache", "v_cache"),
+)
+def prefill_step(
+    params: Dict,
+    cfg: Qwen3Config,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    inputs_embeds: jax.Array,  # [1, T_bucket, H]
+    length: jax.Array,          # [] valid prompt length
+    block_table: jax.Array,     # [MB]
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Prefill one sequence of prompt embeddings → (last-token logits [V],
+    caches). Padding positions are masked out of attention and their KV is
+    routed to garbage block 0."""
+    _, t, _ = inputs_embeds.shape
+    bs = k_cache.shape[2]
+    pos = jnp.arange(t)[None, :]
+    hidden, kvs = qwen3.forward_hidden(
+        params, cfg, inputs_embeds.astype(cfg.dtype), pos,
+        attn_lengths=length[None], return_kv=True,
+    )
+    k_new, v_new = kvs  # [L, 1, T, Nkv, D]
+    k_new = k_new[:, 0]
+    v_new = v_new[:, 0]
+
+    tok_pos = jnp.arange(t)
+    valid = tok_pos < length
+    blocks = jnp.where(valid, jnp.take(block_table, tok_pos // bs), 0)
+    offsets = tok_pos % bs
+    k_cache = k_cache.at[:, blocks, offsets].set(k_new.astype(k_cache.dtype))
+    v_cache = v_cache.at[:, blocks, offsets].set(v_new.astype(v_cache.dtype))
+
+    last_hidden = jnp.take_along_axis(
+        hidden, (length - 1)[None, None, None].astype(jnp.int32), axis=1
+    )[0, 0]
+    logits = qwen3.lm_logits(params, cfg, last_hidden)
+    return logits, k_cache, v_cache

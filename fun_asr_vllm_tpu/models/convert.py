@@ -1,0 +1,134 @@
+"""Checkpoint conversion: HF/funasr torch weights → JAX param pytrees.
+
+The reference builds its decoder from an HF checkpoint dir
+(reference model.py:74-75 `AutoModelForCausalLM.from_config` +
+`init_param_path`) and its encoder/adaptor from a funasr `model.pt`
+(reference model.py:57-59, 112-124). This module maps those state_dicts
+onto the stacked-layer layouts used by `models/qwen3.py`,
+`models/encoder.py` and `models/adaptor.py`.
+
+torch is only needed when actually converting (CPU build is in the image);
+safetensors checkpoints load without torch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Iterable, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from .qwen3 import Qwen3Config
+
+
+def _to_np(t: Any) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor (possibly bf16) without importing torch at module scope
+    if hasattr(t, "detach"):
+        t = t.detach()
+        if str(t.dtype) == "torch.bfloat16":
+            t = t.float()
+        return t.cpu().numpy()
+    return np.asarray(t)
+
+
+def load_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
+    """Load all tensors from a checkpoint dir: *.safetensors preferred,
+    falling back to torch model.pt / pytorch_model.bin."""
+    tensors: Dict[str, np.ndarray] = {}
+    st_files = sorted(
+        f for f in os.listdir(model_dir) if f.endswith(".safetensors")
+    )
+    if st_files:
+        from safetensors import safe_open
+
+        for fn in st_files:
+            with safe_open(os.path.join(model_dir, fn), framework="np") as f:
+                for k in f.keys():
+                    tensors[k] = f.get_tensor(k)
+        return tensors
+    for fn in ("model.pt", "pytorch_model.bin", "model.safetensors.index.json"):
+        path = os.path.join(model_dir, fn)
+        if os.path.exists(path) and fn.endswith((".pt", ".bin")):
+            import torch
+
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            return {k: _to_np(v) for k, v in sd.items()}
+    raise FileNotFoundError(f"no checkpoint files in {model_dir}")
+
+
+def _stack(sd: Mapping[str, np.ndarray], fmt: str, n: int,
+           transpose: bool = False) -> jnp.ndarray:
+    mats = [sd[fmt.format(i)] for i in range(n)]
+    if transpose:
+        mats = [m.T for m in mats]
+    return jnp.asarray(np.stack(mats))
+
+
+def qwen3_from_state_dict(
+    sd: Mapping[str, np.ndarray], cfg: Qwen3Config, prefix: str = ""
+) -> Dict:
+    """HF Qwen3ForCausalLM state_dict → stacked param tree.
+
+    torch Linear stores [out, in]; our layout is [in, out], hence the
+    transposes. Accepts an optional key prefix (e.g. ``llm.`` for the
+    combined FunASRNano checkpoint)."""
+    p = prefix
+    L = cfg.num_hidden_layers
+
+    def f32(x):
+        return jnp.asarray(x, jnp.float32)
+
+    def cast(x):
+        return x.astype(cfg.dtype)
+
+    layers = {
+        "input_ln": f32(_stack(sd, p + "model.layers.{}.input_layernorm.weight", L)),
+        "post_ln": f32(
+            _stack(sd, p + "model.layers.{}.post_attention_layernorm.weight", L)
+        ),
+        "wq": cast(
+            _stack(sd, p + "model.layers.{}.self_attn.q_proj.weight", L, True)
+        ),
+        "wk": cast(
+            _stack(sd, p + "model.layers.{}.self_attn.k_proj.weight", L, True)
+        ),
+        "wv": cast(
+            _stack(sd, p + "model.layers.{}.self_attn.v_proj.weight", L, True)
+        ),
+        "wo": cast(
+            _stack(sd, p + "model.layers.{}.self_attn.o_proj.weight", L, True)
+        ),
+        "q_norm": f32(_stack(sd, p + "model.layers.{}.self_attn.q_norm.weight", L)),
+        "k_norm": f32(_stack(sd, p + "model.layers.{}.self_attn.k_norm.weight", L)),
+        "w_gate": cast(
+            _stack(sd, p + "model.layers.{}.mlp.gate_proj.weight", L, True)
+        ),
+        "w_up": cast(_stack(sd, p + "model.layers.{}.mlp.up_proj.weight", L, True)),
+        "w_down": cast(
+            _stack(sd, p + "model.layers.{}.mlp.down_proj.weight", L, True)
+        ),
+    }
+    params = {
+        "embed": cast(jnp.asarray(sd[p + "model.embed_tokens.weight"])),
+        "final_norm": f32(jnp.asarray(sd[p + "model.norm.weight"])),
+        "layers": layers,
+    }
+    head_key = p + "lm_head.weight"
+    if head_key in sd and not cfg.tie_word_embeddings:
+        params["lm_head"] = cast(jnp.asarray(sd[head_key]).T)
+    return params
+
+
+def qwen3_from_pretrained(model_dir: str, dtype=jnp.bfloat16):
+    cfg = Qwen3Config.from_pretrained(model_dir, dtype=dtype)
+    sd = load_state_dict(model_dir)
+    return qwen3_from_state_dict(sd, cfg), cfg
+
+
+def subdict(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}

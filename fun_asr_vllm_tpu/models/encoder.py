@@ -1,0 +1,213 @@
+"""SAN-M (self-attention + FSMN memory) audio encoder in functional JAX.
+
+TPU-native re-design of the SenseVoice-style encoder the reference pulls
+from the funasr registry (reference model.py:57-59
+`tables.encoder_classes[name](input_size=80, **conf)`; the Fun-ASR-Nano
+model card wires a SenseVoiceEncoderSmall-family encoder). Architecture
+family, faithfully reproduced but laid out TPU-first:
+
+- fbank [B, T, 80] is scaled by sqrt(d) and summed with sinusoidal
+  positions, then projected to `output_size` by the first layer;
+- each layer: LN → SAN-M attention → residual, LN → ReLU FFN → residual.
+  SAN-M attention = standard MHSA plus an FSMN memory branch: a depthwise
+  1-D convolution over the value projections, added to the attention
+  output (the funasr MultiHeadedAttentionSANM contract);
+- all layers after the first are homogeneous and run as one `lax.scan`
+  (one compiled body instead of N unrolled layers);
+- masking by sequence length everywhere; bf16 matmuls, f32 norms/softmax.
+
+Returns (encoder_out [B, T, D], encoder_out_lens [B]) matching the
+`audio_encoder(speech, speech_lengths)` call surface
+(reference model.py:256-265, infer.py:455-457).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import full_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class SANMEncoderConfig:
+    input_size: int = 80
+    output_size: int = 512
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 50
+    kernel_size: int = 11  # FSMN memory kernel
+    sanm_shift: int = 0
+    dropout_rate: float = 0.1  # unused at inference; kept for config parity
+    dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def from_conf(cls, conf: Dict, input_size: int = 80, dtype=jnp.bfloat16):
+        return cls(
+            input_size=input_size,
+            output_size=conf.get("output_size", 512),
+            attention_heads=conf.get("attention_heads", 4),
+            linear_units=conf.get("linear_units", 2048),
+            num_blocks=conf.get("num_blocks", 50),
+            kernel_size=conf.get("kernel_size", 11),
+            sanm_shift=conf.get("sanm_shift", 0),
+            dtype=dtype,
+        )
+
+
+def sinusoidal_positions(t: int, d: int) -> np.ndarray:
+    """funasr SinusoidalPositionEncoder convention: positions start at 1."""
+    pos = np.arange(1, t + 1, dtype=np.float64)[:, None]
+    div = np.exp(
+        np.arange(0, d, 2, dtype=np.float64) * -(np.log(10000.0) / d)
+    )[None, :]
+    pe = np.zeros((t, d), dtype=np.float32)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return pe
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+               eps: float = 1e-12) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (out * scale + bias).astype(x.dtype)
+
+
+def _fsmn_memory(
+    v: jax.Array,  # [B, T, D] value projections (head-merged)
+    kernel: jax.Array,  # [K, D] depthwise weights
+    mask: jax.Array,  # [B, T, 1]
+) -> jax.Array:
+    """FSMN block: depthwise 1-D conv over time, SAME padding, no bias —
+    the memory branch of SAN-M attention."""
+    k = kernel.shape[0]
+    v = v * mask
+    # depthwise conv via feature-group conv: [B, T, D] → NWC conv
+    out = jax.lax.conv_general_dilated(
+        v.astype(jnp.float32),
+        kernel.astype(jnp.float32)[:, None, :],  # [K, 1, D] (W, I/g, O)
+        window_strides=(1,),
+        padding=[((k - 1) // 2, k - 1 - (k - 1) // 2)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=v.shape[-1],
+    )
+    return (out.astype(v.dtype) + v) * mask
+
+
+def _sanm_attention(
+    lp: Dict,
+    cfg: SANMEncoderConfig,
+    x: jax.Array,  # [B, T, in_dim]
+    mask: jax.Array,  # [B, T, 1] 1/0 validity
+    lengths: jax.Array,  # [B]
+) -> jax.Array:
+    b, t, _ = x.shape
+    d = cfg.output_size
+    h = cfg.attention_heads
+    qkv = x @ lp["w_qkv"] + lp["b_qkv"]  # [B, T, 3D]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    mem = _fsmn_memory(v, lp["fsmn_kernel"], mask)
+    q = q.reshape(b, t, h, d // h)
+    k = k.reshape(b, t, h, d // h)
+    v = v.reshape(b, t, h, d // h)
+    att = full_attention(q, k, v, kv_lengths=lengths).reshape(b, t, d)
+    return (att + mem) @ lp["w_out"] + lp["b_out"]
+
+
+def _ffn(lp: Dict, x: jax.Array) -> jax.Array:
+    h = jax.nn.relu(x @ lp["w_ff1"] + lp["b_ff1"])
+    return h @ lp["w_ff2"] + lp["b_ff2"]
+
+
+def _encoder_layer(
+    lp: Dict,
+    cfg: SANMEncoderConfig,
+    x: jax.Array,
+    mask: jax.Array,
+    lengths: jax.Array,
+    residual_attn: bool = True,
+) -> jax.Array:
+    h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
+    att = _sanm_attention(lp, cfg, h, mask, lengths)
+    x = x + att if residual_attn else att
+    h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
+    return x + _ffn(lp, h)
+
+
+def init_params(cfg: SANMEncoderConfig, key: jax.Array) -> Dict:
+    d, i, k_sz = cfg.output_size, cfg.linear_units, cfg.kernel_size
+    n_rest = cfg.num_blocks - 1
+
+    def w(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) * fan_in ** -0.5).astype(
+            cfg.dtype
+        )
+
+    def layer(k, in_dim, stacked: Optional[int] = None):
+        def shp(s):
+            return (stacked, *s) if stacked else s
+
+        ks = jax.random.split(k, 6)
+        return {
+            "ln1_scale": jnp.ones(shp((in_dim,)), jnp.float32),
+            "ln1_bias": jnp.zeros(shp((in_dim,)), jnp.float32),
+            "w_qkv": w(ks[0], shp((in_dim, 3 * d)), in_dim),
+            "b_qkv": jnp.zeros(shp((3 * d,)), cfg.dtype),
+            "fsmn_kernel": w(ks[1], shp((k_sz, d)), k_sz),
+            "w_out": w(ks[2], shp((d, d)), d),
+            "b_out": jnp.zeros(shp((d,)), cfg.dtype),
+            "ln2_scale": jnp.ones(shp((d,)), jnp.float32),
+            "ln2_bias": jnp.zeros(shp((d,)), jnp.float32),
+            "w_ff1": w(ks[3], shp((d, i)), d),
+            "b_ff1": jnp.zeros(shp((i,)), cfg.dtype),
+            "w_ff2": w(ks[4], shp((i, d)), i),
+            "b_ff2": jnp.zeros(shp((d,)), cfg.dtype),
+        }
+
+    k0, k1 = jax.random.split(key)
+    return {
+        "layer0": layer(k0, cfg.input_size),
+        "layers": layer(k1, d, stacked=n_rest),
+        "after_norm_scale": jnp.ones((d,), jnp.float32),
+        "after_norm_bias": jnp.zeros((d,), jnp.float32),
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def encode(
+    params: Dict,
+    cfg: SANMEncoderConfig,
+    speech: jax.Array,  # [B, T, input_size]
+    speech_lengths: jax.Array,  # [B]
+) -> Tuple[jax.Array, jax.Array]:
+    """fbank → encoder states. Output length == input length (no
+    subsampling in the encoder; the adaptor downsamples, reference
+    model.py:391-396)."""
+    b, t, _ = speech.shape
+    x = speech.astype(jnp.float32) * (cfg.output_size ** 0.5)
+    pe = jnp.asarray(sinusoidal_positions(t, cfg.input_size))
+    x = (x + pe[None, :, :]).astype(cfg.dtype)
+    mask = (
+        jnp.arange(t)[None, :] < speech_lengths[:, None]
+    )[..., None].astype(cfg.dtype)
+    x = x * mask
+
+    # first layer projects input_size → output_size (no attention residual
+    # across differing dims, funasr EncoderLayerSANM in_size!=size contract)
+    x = _encoder_layer(params["layer0"], cfg, x, mask, speech_lengths,
+                       residual_attn=False)
+
+    def body(carry, lp):
+        return _encoder_layer(lp, cfg, carry, mask, speech_lengths), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = layer_norm(x, params["after_norm_scale"], params["after_norm_bias"])
+    return x * mask, speech_lengths

@@ -1,0 +1,428 @@
+"""FunASRNano: speech-LLM assembly (audio encoder → adaptor → Qwen3).
+
+TPU-native re-design of the reference model core
+(reference model.py:23-718): ChatML prompt assembly with
+``<|startofspeech|>…<|endofspeech|>`` audio spans, audio-embedding splice
+into the token-embedding sequence, decode via the paged-KV engine
+(`self.vllm` attribute contract preserved, reference test.py:12-20) or an
+engine-less greedy fallback (the HF-generate analogue,
+reference model.py:655-659).
+
+Public surface parity:
+- ``FunASRNano.from_pretrained(model=dir, device=...)`` → (model, kwargs)
+  with kwargs["tokenizer"], kwargs["frontend"] (reference model.py:710-718)
+- ``m.inference(data_in=[wav], hotwords=..., language=..., itn=...)`` →
+  ([{key, text, text_tn, label}], meta_data) (reference model.py:544-708)
+- ``m.audio_encoder(speech, lens)`` / ``m.audio_adaptor(out, lens)``
+  callables for the batch harness (reference infer.py:455-460)
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import random
+import re
+import string
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.frontend import WavFrontend
+from ..audio.io import load_audio
+from ..config import (
+    FLAGSHIP_ADAPTOR_CONF,
+    FLAGSHIP_ENCODER_CONF,
+    FLAGSHIP_FRONTEND_CONF,
+    NanoModelConfig,
+)
+from ..text.normalize import clean_response, strip_special_chars
+from ..utils.serialization import cast_tree, load_params, save_params
+from ..utils.tokenizer import ByteTokenizer, load_tokenizer
+from . import adaptor as adaptor_mod
+from . import encoder as encoder_mod
+from . import qwen3 as qwen3_mod
+from .qwen3 import Qwen3Config
+
+logger = logging.getLogger(__name__)
+
+SPEECH_SPAN_RE = re.compile(r"(<\|startofspeech\|>.*?<\|endofspeech\|>)")
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+           "float32": jnp.float32, "fp32": jnp.float32, "fp16": jnp.bfloat16}
+
+
+class FunASRNano:
+    def __init__(
+        self,
+        *,
+        encoder_params: Dict,
+        encoder_cfg: encoder_mod.SANMEncoderConfig,
+        adaptor_params: Dict,
+        adaptor_cfg: adaptor_mod.NanoAdaptorConfig,
+        llm_params: Dict,
+        llm_cfg: Qwen3Config,
+        frontend: WavFrontend,
+        tokenizer: Any,
+        model_dir: str = "",
+    ) -> None:
+        self.encoder_params = encoder_params
+        self.encoder_cfg = encoder_cfg
+        self.adaptor_params = adaptor_params
+        self.adaptor_cfg = adaptor_cfg
+        self.llm_params = llm_params
+        self.llm_cfg = llm_cfg
+        self.frontend = frontend
+        self.tokenizer = tokenizer
+        self.model_dir = model_dir
+        self.use_low_frame_rate = adaptor_cfg.use_low_frame_rate
+        # engine slots attached by callers (reference test.py:12-20)
+        self.vllm = None
+        self.vllm_sampling_params = None
+
+    # ------------- component call surfaces (reference infer.py:455-460) ----
+
+    def audio_encoder(self, speech, speech_lengths):
+        return encoder_mod.encode(
+            self.encoder_params, self.encoder_cfg, jnp.asarray(speech),
+            jnp.asarray(speech_lengths),
+        )
+
+    def audio_adaptor(self, encoder_out, encoder_out_lens):
+        return adaptor_mod.forward(
+            self.adaptor_params, self.adaptor_cfg, encoder_out, encoder_out_lens
+        )
+
+    def embed_ids(self, ids: Sequence[int]) -> jax.Array:
+        """Token ids → embedding rows (the `get_input_embeddings()` surface,
+        reference infer.py:403-404)."""
+        return qwen3_mod.embed_tokens(
+            self.llm_params, jnp.asarray(list(ids), jnp.int32)
+        ).astype(jnp.float32)
+
+    def encode_batch(
+        self, wavs: Sequence[np.ndarray]
+    ) -> Tuple[jax.Array, jax.Array]:
+        """wavs → audio prompt embeddings [B, T', llm_dim] + lengths."""
+        speech, speech_lengths = self.frontend.extract(list(wavs))
+        enc_out, enc_lens = self.audio_encoder(speech, speech_lengths)
+        return self.audio_adaptor(enc_out, enc_lens)
+
+    # ----------------------- prompt assembly ------------------------------
+
+    @staticmethod
+    def build_instruction(
+        hotwords: Sequence[str] = (),
+        language: Optional[str] = None,
+        itn: bool = True,
+    ) -> str:
+        """The reference's transcription instruction
+        (reference model.py:553-568)."""
+        prompt = ""
+        if hotwords:
+            joined = ", ".join(hotwords)
+            prompt = (
+                "请结合上下文信息，更加准确地完成语音转写任务。"
+                "如果没有相关信息，我们会留空。\n\n\n**上下文信息：**\n\n\n"
+            )
+            prompt += f"热词列表：[{joined}]\n"
+        prompt += "语音转写" if language is None else f"语音转写成{language}"
+        if not itn:
+            prompt += "，不进行文本规整"
+        return prompt + "："
+
+    def chatml_parts(
+        self, instruction: str, system: str = "You are a helpful assistant.",
+        sys_prompt: bool = True,
+    ) -> Tuple[List[int], List[int]]:
+        """(prefix_ids, suffix_ids) around the audio span
+        (reference model.py:330, infer.py:395-396)."""
+        prefix = (
+            f"<|im_start|>system\n{system}<|im_end|>\n<|im_start|>user\n{instruction}"
+            if sys_prompt
+            else f"<|im_start|>user\n{instruction}"
+        )
+        suffix = "<|im_end|>\n<|im_start|>assistant\n"
+        return self.tokenizer.encode(prefix), self.tokenizer.encode(suffix)
+
+    def build_prompt_embeds(
+        self,
+        audio_embeds: jax.Array,  # [B, T', D]
+        audio_lens: jax.Array,  # [B]
+        prefix_ids: Sequence[int],
+        suffix_ids: Sequence[int],
+    ) -> List[np.ndarray]:
+        """Per-utterance [prefix ⧺ speech ⧺ suffix] embedding sequences
+        (reference infer.py:462-466)."""
+        prefix = np.asarray(self.embed_ids(prefix_ids))
+        suffix = np.asarray(self.embed_ids(suffix_ids))
+        audio = np.asarray(audio_embeds, dtype=np.float32)
+        lens = np.asarray(audio_lens)
+        return [
+            np.concatenate([prefix, audio[i, : int(lens[i])], suffix], axis=0)
+            for i in range(audio.shape[0])
+        ]
+
+    # ----------------------------- inference ------------------------------
+
+    def inference(
+        self,
+        data_in: Sequence,
+        data_lengths=None,
+        key: Optional[List[str]] = None,
+        tokenizer=None,
+        frontend=None,
+        **kwargs,
+    ) -> Tuple[List[Dict], Dict]:
+        """Single-utterance decode (batch=1, like the reference —
+        model.py:463-464 raises for batch>1; batch work goes through the
+        engine harnesses)."""
+        if kwargs.get("batch_size", 1) > 1 or len(data_in) > 1:
+            raise NotImplementedError("batch decoding is not implemented")
+        meta_data: Dict[str, Any] = {}
+        fe = frontend or self.frontend
+
+        instruction = self.build_instruction(
+            kwargs.get("hotwords", []), kwargs.get("language"),
+            kwargs.get("itn", True),
+        )
+        prefix_ids, suffix_ids = self.chatml_parts(instruction)
+
+        t0 = time.perf_counter()
+        wav = load_audio(data_in[0], fs=fe.fs)
+        t1 = time.perf_counter()
+        meta_data["load_data"] = f"{t1 - t0:0.3f}"
+        speech, speech_lengths = fe.extract([wav])
+        t2 = time.perf_counter()
+        meta_data["extract_feat"] = f"{t2 - t1:0.3f}"
+        meta_data["batch_data_time"] = (
+            float(jnp.sum(speech_lengths)) * fe.frame_shift * fe.lfr_n / 1000
+        )
+
+        enc_out, enc_lens = self.audio_encoder(speech, speech_lengths)
+        audio_embeds, audio_lens = self.audio_adaptor(enc_out, enc_lens)
+        embeds = self.build_prompt_embeds(
+            audio_embeds, audio_lens, prefix_ids, suffix_ids
+        )[0]
+
+        max_tokens = kwargs.get("max_tokens", kwargs.get("max_length", 500))
+        if self.vllm is not None:
+            sp = self.vllm_sampling_params
+            if sp is None:
+                from ..engine import SamplingParams
+
+                sp = SamplingParams(top_p=0.001, max_tokens=max_tokens)
+            outputs = self.vllm.generate(
+                {"prompt_embeds": embeds}, sp, use_tqdm=False
+            )
+            response = outputs[0].outputs[0].text
+        else:
+            out_ids = qwen3_mod.greedy_decode_simple(
+                self.llm_params, self.llm_cfg, jnp.asarray(embeds)[None],
+                max_new_tokens=max_tokens,
+            )
+            response = self.tokenizer.decode(
+                out_ids.tolist(), skip_special_tokens=True
+            )
+
+        if key is None:
+            chars = string.ascii_letters + string.digits
+            key = ["rand_key_" + "".join(random.choice(chars) for _ in range(13))]
+        result = {
+            "key": key[0],
+            "text": clean_response(response),
+            "text_tn": strip_special_chars(response),
+            "label": "null",
+        }
+        out_dir = kwargs.get("output_dir")
+        if out_dir:
+            d = os.path.join(out_dir, "1best_recog")
+            os.makedirs(d, exist_ok=True)
+            for name, val in (
+                ("text", result["text"]), ("label", result["label"]),
+                ("text_tn", result["text_tn"]),
+            ):
+                with open(os.path.join(d, name), "a", encoding="utf-8") as f:
+                    f.write(f"{key[0]}\t{val}\n".replace("\n\n", "\n"))
+        return [result], meta_data
+
+    # ------------------------- load / save --------------------------------
+
+    @staticmethod
+    def from_pretrained(
+        model: str = None, device: str = None, dtype: str = "bfloat16",
+        **kwargs,
+    ) -> Tuple["FunASRNano", Dict]:
+        """Build from a model dir (config.yaml [+ model.safetensors]).
+
+        Returns (model, kwargs) with tokenizer/frontend like the reference's
+        AutoModel.build_model contract (reference model.py:710-718). Missing
+        weights random-initialize with a warning (benchmark/test mode)."""
+        jdtype = _DTYPES[dtype]
+        cfg = NanoModelConfig.from_dir(model)
+        enc_cfg = encoder_mod.SANMEncoderConfig.from_conf(
+            cfg.audio_encoder_conf, input_size=cfg.input_size, dtype=jdtype
+        )
+        ad_cfg = adaptor_mod.NanoAdaptorConfig.from_conf(
+            cfg.audio_adaptor_conf, dtype=jdtype
+        )
+        frontend = WavFrontend(**cfg.frontend_conf)
+        tokenizer = load_tokenizer(model)
+
+        ckpt = os.path.join(model, "model.safetensors")
+        llm_dir = cfg.llm_conf.get("init_param_path")
+        if os.path.exists(ckpt):
+            tree = load_params(ckpt)
+            enc_params = cast_tree(tree["audio_encoder"], jdtype)
+            ad_params = cast_tree(tree["audio_adaptor"], jdtype)
+            llm_params = cast_tree(tree["llm"], jdtype)
+            if llm_dir and os.path.exists(os.path.join(llm_dir, "config.json")):
+                llm_cfg = Qwen3Config.from_pretrained(llm_dir, dtype=jdtype)
+            else:
+                llm_cfg = _infer_llm_cfg_from_tree(llm_params, jdtype)
+        else:
+            if llm_dir and os.path.exists(os.path.join(llm_dir, "config.json")):
+                from .convert import qwen3_from_pretrained
+
+                llm_params, llm_cfg = qwen3_from_pretrained(llm_dir, dtype=jdtype)
+            else:
+                logger.warning(
+                    "no llm weights found in %s — random-initializing", model
+                )
+                llm_cfg = Qwen3Config(dtype=jdtype)
+                llm_params = qwen3_mod.init_params(llm_cfg, jax.random.PRNGKey(0))
+            logger.warning(
+                "no encoder/adaptor weights in %s — random-initializing", model
+            )
+            enc_params = encoder_mod.init_params(enc_cfg, jax.random.PRNGKey(1))
+            ad_cfg = adaptor_mod.NanoAdaptorConfig(
+                encoder_dim=enc_cfg.output_size,
+                llm_dim=llm_cfg.hidden_size,
+                ffn_dim=ad_cfg.ffn_dim,
+                use_low_frame_rate=ad_cfg.use_low_frame_rate,
+                dtype=jdtype,
+            )
+            ad_params = adaptor_mod.init_params(ad_cfg, jax.random.PRNGKey(2))
+
+        m = FunASRNano(
+            encoder_params=enc_params, encoder_cfg=enc_cfg,
+            adaptor_params=ad_params, adaptor_cfg=ad_cfg,
+            llm_params=llm_params, llm_cfg=llm_cfg,
+            frontend=frontend, tokenizer=tokenizer, model_dir=model,
+        )
+        out_kwargs = dict(kwargs)
+        out_kwargs.update(
+            tokenizer=tokenizer, frontend=frontend, model_path=model,
+            device=device or "tpu",
+        )
+        return m, out_kwargs
+
+    def save_pretrained(self, model_dir: str) -> None:
+        os.makedirs(model_dir, exist_ok=True)
+        NanoModelConfig(
+            audio_encoder="SANMEncoder",
+            audio_encoder_conf=dict(
+                output_size=self.encoder_cfg.output_size,
+                attention_heads=self.encoder_cfg.attention_heads,
+                linear_units=self.encoder_cfg.linear_units,
+                num_blocks=self.encoder_cfg.num_blocks,
+                kernel_size=self.encoder_cfg.kernel_size,
+            ),
+            audio_adaptor="NanoAdaptor",
+            audio_adaptor_conf=dict(
+                encoder_dim=self.adaptor_cfg.encoder_dim,
+                llm_dim=self.adaptor_cfg.llm_dim,
+                ffn_dim=self.adaptor_cfg.ffn_dim,
+                use_low_frame_rate=self.adaptor_cfg.use_low_frame_rate,
+            ),
+            llm_conf=dict(
+                hidden_size=self.llm_cfg.hidden_size,
+                num_hidden_layers=self.llm_cfg.num_hidden_layers,
+                num_attention_heads=self.llm_cfg.num_attention_heads,
+                num_key_value_heads=self.llm_cfg.num_key_value_heads,
+                head_dim=self.llm_cfg.head_dim,
+                intermediate_size=self.llm_cfg.intermediate_size,
+                vocab_size=self.llm_cfg.vocab_size,
+                eos_token_id=self.llm_cfg.eos_token_id,
+            ),
+            frontend_conf=dict(
+                fs=self.frontend.fs, window=self.frontend.window,
+                n_mels=self.frontend.n_mels, lfr_m=self.frontend.lfr_m,
+                lfr_n=self.frontend.lfr_n,
+            ),
+            input_size=self.encoder_cfg.input_size,
+        ).save(model_dir)
+        save_params(
+            os.path.join(model_dir, "model.safetensors"),
+            {
+                "audio_encoder": self.encoder_params,
+                "audio_adaptor": self.adaptor_params,
+                "llm": self.llm_params,
+            },
+        )
+
+
+def _infer_llm_cfg_from_tree(llm_params: Dict, dtype) -> Qwen3Config:
+    """Derive a Qwen3Config from parameter shapes (our combined checkpoint
+    carries no separate HF config.json)."""
+    lyr = llm_params["layers"]
+    L, H, QD = lyr["wq"].shape
+    D = lyr["q_norm"].shape[-1]
+    V = llm_params["embed"].shape[0]
+    return Qwen3Config(
+        vocab_size=V, hidden_size=H, num_hidden_layers=L,
+        num_attention_heads=QD // D,
+        num_key_value_heads=lyr["wk"].shape[-1] // D,
+        head_dim=D, intermediate_size=lyr["w_gate"].shape[-1],
+        tie_word_embeddings="lm_head" not in llm_params,
+        eos_token_id=1 if V < 1000 else 151645,
+        pad_token_id=0 if V < 1000 else 151643,
+        dtype=dtype,
+    )
+
+
+def make_test_model_dir(
+    path: str,
+    *,
+    vocab_size: int = 258,
+    hidden_size: int = 64,
+    num_layers: int = 2,
+    enc_dim: int = 64,
+    enc_blocks: int = 2,
+    seed: int = 0,
+) -> str:
+    """Fabricate a tiny random-weight FunASRNano model dir (config.yaml +
+    model.safetensors, ByteTokenizer implied) for CLI/e2e tests and benches
+    — the engine-level fake-model strategy from SURVEY.md §4."""
+    os.makedirs(path, exist_ok=True)
+    llm_cfg = Qwen3Config(
+        vocab_size=vocab_size, hidden_size=hidden_size,
+        num_hidden_layers=num_layers, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=max(hidden_size // 4, 8),
+        intermediate_size=hidden_size * 2, tie_word_embeddings=True,
+        eos_token_id=1, pad_token_id=0, dtype=jnp.float32,
+    )
+    enc_cfg = encoder_mod.SANMEncoderConfig(
+        input_size=80, output_size=enc_dim, attention_heads=4,
+        linear_units=enc_dim * 2, num_blocks=enc_blocks, dtype=jnp.float32,
+    )
+    ad_cfg = adaptor_mod.NanoAdaptorConfig(
+        encoder_dim=enc_dim, llm_dim=hidden_size, ffn_dim=hidden_size * 2,
+        dtype=jnp.float32,
+    )
+    m = FunASRNano(
+        encoder_params=encoder_mod.init_params(enc_cfg, jax.random.PRNGKey(seed)),
+        encoder_cfg=enc_cfg,
+        adaptor_params=adaptor_mod.init_params(ad_cfg, jax.random.PRNGKey(seed + 1)),
+        adaptor_cfg=ad_cfg,
+        llm_params=qwen3_mod.init_params(llm_cfg, jax.random.PRNGKey(seed + 2)),
+        llm_cfg=llm_cfg,
+        frontend=WavFrontend(**FLAGSHIP_FRONTEND_CONF),
+        tokenizer=ByteTokenizer(),
+        model_dir=path,
+    )
+    m.save_pretrained(path)
+    return path

@@ -1,0 +1,314 @@
+"""Qwen3 decoder-only LM in functional JAX.
+
+TPU-native replacement for the HF `Qwen3ForCausalLM` the reference loads as
+its speech-LLM decoder (reference model.py:74-75, Qwen3-0.6B per README.md:3)
+and for the vLLM engine's model executor. Architecture: RMSNorm (pre-norm),
+GQA with per-head q/k RMSNorm, rotary embeddings over the full head_dim,
+SwiGLU MLP, optional tied embeddings.
+
+Design:
+- parameters are a pytree of stacked per-layer arrays (leading L dim) so the
+  whole decoder runs as one `lax.scan` — one compiled layer body instead of
+  28 unrolled layers (faster compiles, identical math);
+- attention is pluggable: prefill uses the XLA/Pallas causal kernel and
+  *returns the new K/V per layer* for the paged cache; decode passes an
+  `attn_fn` that reads the paged cache (engine/kv_cache.py);
+- bf16 weights, f32 norms/softmax/logits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import gqa_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen3Config:
+    vocab_size: int = 151936
+    hidden_size: int = 1024
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    intermediate_size: int = 3072
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1_000_000.0
+    tie_word_embeddings: bool = True
+    max_position_embeddings: int = 40960
+    dtype: Any = jnp.bfloat16
+
+    # tokens the reference decodes with (ChatML; reference infer.py:395-396)
+    eos_token_id: int = 151645  # <|im_end|>
+    pad_token_id: int = 151643  # <|endoftext|>
+
+    @classmethod
+    def from_hf_dict(cls, d: Dict, dtype=jnp.bfloat16) -> "Qwen3Config":
+        return cls(
+            vocab_size=d.get("vocab_size", 151936),
+            hidden_size=d.get("hidden_size", 1024),
+            num_hidden_layers=d.get("num_hidden_layers", 28),
+            num_attention_heads=d.get("num_attention_heads", 16),
+            num_key_value_heads=d.get("num_key_value_heads", 8),
+            head_dim=d.get(
+                "head_dim",
+                d.get("hidden_size", 1024) // d.get("num_attention_heads", 16),
+            ),
+            intermediate_size=d.get("intermediate_size", 3072),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-6),
+            rope_theta=d.get("rope_theta", 1_000_000.0),
+            tie_word_embeddings=d.get("tie_word_embeddings", True),
+            max_position_embeddings=d.get("max_position_embeddings", 40960),
+            eos_token_id=(
+                d["eos_token_id"][0]
+                if isinstance(d.get("eos_token_id"), list)
+                else d.get("eos_token_id", 151645)
+            ),
+            dtype=dtype,
+        )
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, dtype=jnp.bfloat16) -> "Qwen3Config":
+        with open(os.path.join(model_dir, "config.json")) as f:
+            return cls.from_hf_dict(json.load(f), dtype=dtype)
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_cos_sin(
+    positions: jax.Array, head_dim: int, theta: float
+) -> Tuple[jax.Array, jax.Array]:
+    """positions [...,] → (cos, sin) each [..., head_dim//2], float32."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(
+    x: jax.Array, cos: jax.Array, sin: jax.Array
+) -> jax.Array:
+    """Rotate-half RoPE. x [..., N, D]; cos/sin broadcast [..., 1, D/2]."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out1 = xf1 * cos - xf2 * sin
+    out2 = xf2 * cos + xf1 * sin
+    return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
+
+
+def init_params(cfg: Qwen3Config, key: jax.Array) -> Dict:
+    """Random-init parameter tree (stacked layers); used for tests/benches
+    when no checkpoint is available."""
+    L, H, D = cfg.num_hidden_layers, cfg.hidden_size, cfg.head_dim
+    Nq, Nkv, I = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.intermediate_size
+    ks = jax.random.split(key, 10)
+
+    def w(k, shape, scale=None):
+        scale = scale if scale is not None else (shape[-2] ** -0.5 if len(shape) > 1 else 0.02)
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    params = {
+        "embed": w(ks[0], (cfg.vocab_size, H), 0.02),
+        "final_norm": jnp.ones((H,), jnp.float32),
+        "layers": {
+            "input_ln": jnp.ones((L, H), jnp.float32),
+            "post_ln": jnp.ones((L, H), jnp.float32),
+            "wq": w(ks[1], (L, H, Nq * D)),
+            "wk": w(ks[2], (L, H, Nkv * D)),
+            "wv": w(ks[3], (L, H, Nkv * D)),
+            "wo": w(ks[4], (L, Nq * D, H)),
+            "q_norm": jnp.ones((L, D), jnp.float32),
+            "k_norm": jnp.ones((L, D), jnp.float32),
+            "w_gate": w(ks[5], (L, H, I)),
+            "w_up": w(ks[6], (L, H, I)),
+            "w_down": w(ks[7], (L, I, H)),
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = w(ks[8], (H, cfg.vocab_size), 0.02)
+    return params
+
+
+def embed_tokens(params: Dict, input_ids: jax.Array) -> jax.Array:
+    """Token ids → embeddings (the `get_input_embeddings()` analogue,
+    reference model.py:506, infer.py:403-404)."""
+    return jnp.take(params["embed"], input_ids, axis=0)
+
+
+def _layer_qkv(
+    lp: Dict, cfg: Qwen3Config, x: jax.Array, cos: jax.Array, sin: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """x [B,T,H] → q [B,T,Nq,D], k/v [B,T,Nkv,D] with q/k-norm + RoPE."""
+    b, t, _ = x.shape
+    D = cfg.head_dim
+    q = (x @ lp["wq"]).reshape(b, t, cfg.num_attention_heads, D)
+    k = (x @ lp["wk"]).reshape(b, t, cfg.num_key_value_heads, D)
+    v = (x @ lp["wv"]).reshape(b, t, cfg.num_key_value_heads, D)
+    q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+    k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    return q, k, v
+
+
+def _layer_mlp(lp: Dict, x: jax.Array) -> jax.Array:
+    gate = x @ lp["w_gate"]
+    up = x @ lp["w_up"]
+    return (jax.nn.silu(gate) * up) @ lp["w_down"]
+
+
+AttnFn = Callable[[int, jax.Array, jax.Array, jax.Array], jax.Array]
+
+
+def forward_hidden(
+    params: Dict,
+    cfg: Qwen3Config,
+    inputs_embeds: jax.Array,  # [B, T, H]
+    positions: jax.Array,  # [B, T]
+    attn_lengths: Optional[jax.Array] = None,  # [B] valid length
+    return_kv: bool = False,
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+    """Self-contained prefill forward: causal attention within the batch.
+
+    Returns final hidden [B,T,H] and, when `return_kv`, per-layer
+    (k, v) stacked [L, B, T, Nkv, D] (post-RoPE) for writing the paged cache.
+    """
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+
+    def body(x, lp):
+        h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+        q, k, v = _layer_qkv(lp, cfg, h, cos, sin)
+        attn = gqa_attention(
+            q, k, v, causal=True, q_positions=positions, kv_lengths=attn_lengths
+        )
+        b, t, _, _ = attn.shape
+        x = x + attn.reshape(b, t, -1) @ lp["wo"]
+        h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+        x = x + _layer_mlp(lp, h)
+        return x, (k, v) if return_kv else None
+
+    x, kvs = jax.lax.scan(body, inputs_embeds, params["layers"])
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, kvs
+
+
+def forward_with_attn_fn(
+    params: Dict,
+    cfg: Qwen3Config,
+    inputs_embeds: jax.Array,  # [B, T, H]
+    positions: jax.Array,  # [B, T]
+    attn_fn: AttnFn,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Forward where attention is delegated (paged decode / custom kernels).
+
+    `attn_fn(layer_idx, q, k_new, v_new) -> attn_out` receives post-RoPE
+    q/k/v for the new tokens; it owns cache read/write. Returns final hidden
+    and stacked per-layer new (k, v).
+    """
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    layer_ids = jnp.arange(cfg.num_hidden_layers)
+
+    def body(x, scanned):
+        lp, lid = scanned
+        h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
+        q, k, v = _layer_qkv(lp, cfg, h, cos, sin)
+        attn = attn_fn(lid, q, k, v)
+        b, t, _, _ = attn.shape
+        x = x + attn.reshape(b, t, -1) @ lp["wo"]
+        h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
+        x = x + _layer_mlp(lp, h)
+        return x, (k, v)
+
+    x, kvs = jax.lax.scan(body, inputs_embeds, (params["layers"], layer_ids))
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, kvs
+
+
+def lm_logits(params: Dict, cfg: Qwen3Config, hidden: jax.Array) -> jax.Array:
+    """Hidden → vocab logits in float32."""
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    return jnp.einsum(
+        "...h,hv->...v", hidden.astype(jnp.float32), head.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def forward_logits(
+    params: Dict,
+    cfg: Qwen3Config,
+    input_ids: jax.Array,  # [B, T]
+    attn_lengths: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Token-in, logits-out convenience (parity tests vs transformers)."""
+    x = embed_tokens(params, input_ids).astype(cfg.dtype)
+    b, t = input_ids.shape
+    positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+    hidden, _ = forward_hidden(params, cfg, x, positions, attn_lengths)
+    return lm_logits(params, cfg, hidden)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _last_token_logits(params, cfg, embeds, length):
+    b, t, _ = embeds.shape
+    pos = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+    hidden, _ = forward_hidden(
+        params, cfg, embeds.astype(cfg.dtype), pos, attn_lengths=length[None]
+    )
+    last = jnp.take_along_axis(
+        hidden, (length - 1)[None, None, None].astype(jnp.int32), axis=1
+    )
+    return lm_logits(params, cfg, last)[0, 0]
+
+
+def greedy_decode_simple(
+    params: Dict,
+    cfg: Qwen3Config,
+    inputs_embeds: jax.Array,  # [1, T, H]
+    max_new_tokens: int = 128,
+    eos_id: Optional[int] = None,
+) -> np.ndarray:
+    """Engine-less greedy decoding (KV recomputed each step) — the slow
+    correctness path mirroring HF `generate` (reference model.py:655-659).
+    Uses one fixed [T + max_new] buffer so the step compiles once per call
+    shape. Used for e2e parity tests; the serving engine replaces this."""
+    eos = cfg.eos_token_id if eos_id is None else eos_id
+    _, t0, h = inputs_embeds.shape
+    buf = jnp.concatenate(
+        [inputs_embeds.astype(cfg.dtype),
+         jnp.zeros((1, max_new_tokens, h), cfg.dtype)],
+        axis=1,
+    )
+    out_ids = []
+    length = t0
+    for _ in range(max_new_tokens):
+        logits = _last_token_logits(
+            params, cfg, buf, jnp.asarray(length, jnp.int32)
+        )
+        nxt = int(jnp.argmax(logits))
+        if nxt == eos:
+            break
+        out_ids.append(nxt)
+        nxt_embed = embed_tokens(params, jnp.asarray([nxt])).astype(cfg.dtype)
+        buf = jax.lax.dynamic_update_slice(buf, nxt_embed[None], (0, length, 0))
+        length += 1
+    return np.asarray(out_ids, dtype=np.int64)

@@ -1,0 +1,101 @@
+"""Attention implementations (XLA reference paths).
+
+The CUDA analogues in the reference stack live inside vLLM/FlashInfer
+(reference infer_kaldidata.py:643 `VLLM_ATTENTION_BACKEND=FLASHINFER`).
+Here: pure-XLA grouped-query attention used for prefill and as the
+CPU-testable fallback for the Pallas kernels in
+`fun_asr_vllm_tpu.ops.paged_attention`.
+
+Layout convention throughout the framework: q [B, T, Nq, D],
+k/v [B, S, Nkv, D], GQA with Nq % Nkv == 0. Softmax in float32 regardless
+of input dtype (bf16 weights), output cast back to q.dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    """[B, S, Nkv, D] → [B, S, Nkv*n_rep, D] by head repetition."""
+    if n_rep == 1:
+        return x
+    b, s, nkv, d = x.shape
+    return jnp.broadcast_to(
+        x[:, :, :, None, :], (b, s, nkv, n_rep, d)
+    ).reshape(b, s, nkv * n_rep, d)
+
+
+def gqa_attention(
+    q: jax.Array,  # [B, T, Nq, D]
+    k: jax.Array,  # [B, S, Nkv, D]
+    v: jax.Array,  # [B, S, Nkv, D]
+    *,
+    causal: bool = True,
+    q_positions: Optional[jax.Array] = None,  # [B, T] absolute positions
+    kv_lengths: Optional[jax.Array] = None,  # [B] valid kv length
+    scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,  # [B, 1|Nq, T, S] additive
+) -> jax.Array:
+    """Grouped-query scaled-dot-product attention, f32 softmax.
+
+    causal masking uses absolute positions when `q_positions` is given
+    (needed when q is a suffix of a longer sequence); otherwise assumes
+    q and kv are aligned at 0.
+    """
+    b, t, nq, d = q.shape
+    s = k.shape[1]
+    nkv = k.shape[2]
+    n_rep = nq // nkv
+    if scale is None:
+        scale = d ** -0.5
+
+    k = repeat_kv(k, n_rep)
+    v = repeat_kv(v, n_rep)
+
+    logits = jnp.einsum(
+        "btnd,bsnd->bnts", q.astype(jnp.float32) * scale, k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    mask = None
+    if causal:
+        qpos = (
+            q_positions
+            if q_positions is not None
+            else jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+        )
+        kpos = jnp.arange(s)
+        mask = qpos[:, :, None] >= kpos[None, None, :]  # [B, T, S]
+    if kv_lengths is not None:
+        valid = kpos[None, None, :] < kv_lengths[:, None, None] if causal else (
+            jnp.arange(s)[None, None, :] < kv_lengths[:, None, None]
+        )
+        mask = valid if mask is None else (mask & valid)
+    if mask is not None:
+        logits = jnp.where(mask[:, None, :, :], logits, _NEG_INF)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bnts,bsnd->btnd", probs, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def full_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    kv_lengths: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Bidirectional (encoder) attention with optional length masking."""
+    return gqa_attention(q, k, v, causal=False, kv_lengths=kv_lengths, scale=scale)

@@ -1,0 +1,177 @@
+"""Pallas TPU paged decode attention.
+
+The TPU kernel replacing vLLM/FlashInfer's CUDA paged attention
+(reference infer_kaldidata.py:643 `VLLM_ATTENTION_BACKEND=FLASHINFER`) for
+the engine's decode step. Design (Ragged Paged Attention pattern,
+PAPERS.md):
+
+- grid = (num_seqs, max_blocks_per_seq); scalar-prefetched block tables
+  drive the BlockSpec index_map, so each step DMAs exactly one KV page
+  [block_size, Nkv, D] from HBM into VMEM — non-resident pages are never
+  touched (unlike the XLA gather fallback which materializes the full
+  padded KV window);
+- online-softmax accumulation in f32 VMEM scratch across a sequence's
+  pages (flash-attention style m/l running stats);
+- whole-sequence early exit: pages past `seq_len` are masked, and the
+  output is normalized and written once on the final page iteration;
+- q for one sequence is [num_q_heads, head_dim] (16×128 for Qwen3-0.6B) —
+  a native VPU/MXU tile.
+
+The XLA fallback (`engine.kv_cache.paged_attention_xla`) is the
+correctness reference; tests compare the two in interpret mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _paged_decode_kernel(
+    # scalar prefetch
+    block_tables_ref,  # [S, MB] int32 (SMEM)
+    seq_lens_ref,      # [S] int32 (SMEM)
+    # inputs
+    q_ref,             # [Nq, D] VMEM — this sequence's query
+    k_page_ref,        # [BS, Nkv, D] VMEM — current page
+    v_page_ref,        # [BS, Nkv, D] VMEM
+    # output
+    out_ref,           # [Nq, D] VMEM
+    # scratch
+    acc_ref,           # [Nq, D] f32
+    m_ref,             # [Nq, 128] f32 running max (lane-replicated)
+    l_ref,             # [Nq, 128] f32 running denom
+    *,
+    block_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    num_q_heads: int,
+):
+    s = pl.program_id(0)
+    j = pl.program_id(1)
+    mb = pl.num_programs(1)
+    seq_len = seq_lens_ref[s]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(j * block_size < seq_len)
+    def _process():
+        r = num_q_heads // num_kv_heads
+        scale = head_dim ** -0.5
+        q = q_ref[:].astype(jnp.float32) * scale  # [Nq, D]
+        k = k_page_ref[:].astype(jnp.float32)  # [BS, Nkv, D]
+        v = v_page_ref[:].astype(jnp.float32)
+
+        # GQA scores: head h uses kv group h // r
+        qg = q.reshape(num_kv_heads, r, head_dim)
+        kg = k.transpose(1, 2, 0)  # [Nkv, D, BS]
+        scores = jax.lax.dot_general(
+            qg, kg,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [Nkv, r, BS]
+        scores = scores.reshape(num_q_heads, block_size)
+
+        token_pos = j * block_size + jax.lax.broadcasted_iota(
+            jnp.int32, (num_q_heads, block_size), 1
+        )
+        scores = jnp.where(token_pos < seq_len, scores, -jnp.inf)
+
+        m_prev = m_ref[:, :1]  # [Nq, 1]
+        l_prev = l_ref[:, :1]
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)  # [Nq, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(scores - m_new)  # [Nq, BS]
+        alpha = jnp.exp(m_prev - m_new)  # [Nq, 1]
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+        pg = p.reshape(num_kv_heads, r, block_size)
+        vg = v.transpose(1, 0, 2)  # [Nkv, BS, D]
+        pv = jax.lax.dot_general(
+            pg, vg,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(num_q_heads, head_dim)
+
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == mb - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        out_ref[:] = (acc_ref[:] / safe_l).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_attention_pallas(
+    q: jax.Array,           # [S, Nq, D]
+    k_cache_l: jax.Array,   # [NB, BS, Nkv, D]
+    v_cache_l: jax.Array,
+    block_tables: jax.Array,  # [S, MB] int32
+    seq_lens: jax.Array,      # [S] int32
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in for `paged_attention_xla` (engine/kv_cache.py) on TPU."""
+    s, nq, d = q.shape
+    nb, bs, nkv, _ = k_cache_l.shape
+    mb = block_tables.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s, mb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, nq, d), lambda i, j, bt, sl: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bs, nkv, d), lambda i, j, bt, sl: (bt[i, j], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bs, nkv, d), lambda i, j, bt, sl: (bt[i, j], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nq, d), lambda i, j, bt, sl: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nq, d), jnp.float32),
+            pltpu.VMEM((nq, 128), jnp.float32),
+            pltpu.VMEM((nq, 128), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _paged_decode_kernel,
+        block_size=bs, num_kv_heads=nkv, head_dim=d, num_q_heads=nq,
+    )
+
+    def _kernel_squeezed(bt, sl, q_r, k_r, v_r, o_r, acc, m, l):
+        # block shapes carry a leading 1 (seq dim); present refs as 2-3D
+        kernel(
+            bt, sl,
+            q_r.at[0], k_r.at[0], v_r.at[0], o_r.at[0], acc, m, l,
+        )
+
+    out = pl.pallas_call(
+        _kernel_squeezed,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, nq, d), q.dtype),
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
+      q, k_cache_l, v_cache_l)
+    return out

@@ -1,0 +1,100 @@
+"""Device mesh construction and parameter sharding rules."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    dp: Optional[int] = None, tp: int = 1, devices=None
+) -> Mesh:
+    """(dp, tp) mesh over available devices; dp defaults to n_devices/tp.
+
+    tp is laid out innermost so tensor-parallel collectives ride the
+    fastest ICI links."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp({dp}) * tp({tp}) != devices({n})")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def qwen3_param_sharding(mesh: Mesh) -> Dict:
+    """PartitionSpecs for the stacked Qwen3 param tree (models/qwen3.py).
+
+    Megatron pattern: attention/MLP input projections column-parallel
+    (output features over `tp`), output projections row-parallel (input
+    features over `tp`); embeddings sharded over vocab; norms replicated.
+    Leading stacked-layer dim is never sharded."""
+    specs = {
+        "embed": P("tp", None),
+        "final_norm": P(),
+        "layers": {
+            "input_ln": P(None, None),
+            "post_ln": P(None, None),
+            "wq": P(None, None, "tp"),
+            "wk": P(None, None, "tp"),
+            "wv": P(None, None, "tp"),
+            "wo": P(None, "tp", None),
+            "q_norm": P(None, None),
+            "k_norm": P(None, None),
+            "w_gate": P(None, None, "tp"),
+            "w_up": P(None, None, "tp"),
+            "w_down": P(None, "tp", None),
+        },
+    }
+    return specs
+
+
+def encoder_param_sharding(mesh: Mesh) -> Dict:
+    """SAN-M encoder (models/encoder.py): FFN column/row pairs over `tp`;
+    fused qkv projection column-parallel; everything else replicated."""
+    def layer(stacked: bool):
+        lead = (None,) if stacked else ()
+        return {
+            "ln1_scale": P(*lead, None), "ln1_bias": P(*lead, None),
+            "w_qkv": P(*lead, None, "tp"), "b_qkv": P(*lead, "tp"),
+            "fsmn_kernel": P(*lead, None, "tp"),
+            "w_out": P(*lead, "tp", None), "b_out": P(*lead, None),
+            "ln2_scale": P(*lead, None), "ln2_bias": P(*lead, None),
+            "w_ff1": P(*lead, None, "tp"), "b_ff1": P(*lead, "tp"),
+            "w_ff2": P(*lead, "tp", None), "b_ff2": P(*lead, None),
+        }
+
+    return {
+        "layer0": layer(False),
+        "layers": layer(True),
+        "after_norm_scale": P(), "after_norm_bias": P(),
+    }
+
+
+def adaptor_param_sharding(mesh: Mesh) -> Dict:
+    return {
+        "conv1_w": P(None, None, None), "conv1_b": P(),
+        "conv2_w": P(None, None, None), "conv2_b": P(),
+        "w1": P(None, "tp"), "b1": P("tp"),
+        "w2": P("tp", None), "b2": P(),
+    }
+
+
+def shard_params(mesh: Mesh, params: Dict, specs: Dict) -> Dict:
+    """Place a param tree on the mesh according to a parallel spec tree
+    (recursive zip — PartitionSpec is a tuple subclass, so jax.tree.map
+    would wrongly traverse it)."""
+    if isinstance(params, dict):
+        return {k: shard_params(mesh, v, specs[k]) for k, v in params.items()}
+    return jax.device_put(params, NamedSharding(mesh, specs))
+
+
+def spec_tree_like(params: Dict, specs: Dict):
+    """Return specs aligned to params (validates structure)."""
+    if isinstance(params, dict):
+        return {k: spec_tree_like(v, specs[k]) for k, v in params.items()}
+    return specs

@@ -1,0 +1,143 @@
+"""Sharded training step for FunASRNano (the reference `forward` loss path).
+
+The reference keeps a teacher-forcing loss path with token-accuracy stats
+(reference model.py:132-248: scatter audio embeddings at `fbank_beg` into
+the token-embedding sequence, causal LM cross-entropy over labels with
+-100 masking, `force_gatherable` packaging for torch DataParallel at
+model.py:245-248). Here the same computation is a single pjit-compiled
+step over a (dp, tp) mesh: batch sharded over `dp`, decoder/encoder
+weights over `tp` (parallel/mesh.py rules), XLA inserting the collectives.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import adaptor as adaptor_mod
+from ..models import encoder as encoder_mod
+from ..models import qwen3 as qwen3_mod
+
+
+class NanoConfigs(NamedTuple):
+    encoder: encoder_mod.SANMEncoderConfig
+    adaptor: adaptor_mod.NanoAdaptorConfig
+    llm: qwen3_mod.Qwen3Config
+
+
+def splice_audio_embeds(
+    token_embeds: jax.Array,  # [B, L, H]
+    audio_embeds: jax.Array,  # [B, Ta, H]
+    audio_lens: jax.Array,  # [B]
+    fbank_beg: jax.Array,  # [B] start offset of the audio span per item
+) -> jax.Array:
+    """Vectorized audio-span scatter (reference model.py:513-541, done there
+    with a python loop + in-place tensor writes; here a masked gather —
+    identical result, jit/TPU-friendly)."""
+    b, l, h = token_embeds.shape
+    ta = audio_embeds.shape[1]
+    rel = jnp.arange(l)[None, :] - fbank_beg[:, None]  # [B, L]
+    in_span = (rel >= 0) & (rel < audio_lens[:, None])
+    gathered = jnp.take_along_axis(
+        audio_embeds, jnp.clip(rel, 0, ta - 1)[:, :, None], axis=1
+    )
+    return jnp.where(in_span[:, :, None], gathered, token_embeds)
+
+
+def nano_loss(
+    params: Dict,
+    cfgs: NanoConfigs,
+    batch: Dict[str, jax.Array],
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Teacher-forcing loss + stats (reference model.py:199-243 stats dict:
+    loss, token accuracy, batch/padding token counts)."""
+    enc_out, enc_lens = encoder_mod.encode(
+        params["audio_encoder"], cfgs.encoder,
+        batch["speech"], batch["speech_lengths"],
+    )
+    audio, audio_lens = adaptor_mod.forward(
+        params["audio_adaptor"], cfgs.adaptor, enc_out, enc_lens
+    )
+    input_ids = jnp.maximum(batch["input_ids"], 0)
+    embeds = qwen3_mod.embed_tokens(params["llm"], input_ids).astype(
+        cfgs.llm.dtype
+    )
+    embeds = splice_audio_embeds(
+        embeds, audio.astype(cfgs.llm.dtype), audio_lens, batch["fbank_beg"]
+    )
+    b, l, _ = embeds.shape
+    pos = jnp.broadcast_to(jnp.arange(l)[None, :], (b, l))
+    hidden, _ = qwen3_mod.forward_hidden(
+        params["llm"], cfgs.llm, embeds, pos,
+        attn_lengths=batch["attention_lengths"],
+    )
+    logits = qwen3_mod.lm_logits(params["llm"], cfgs.llm, hidden)  # [B,L,V] f32
+
+    labels = batch["labels"]
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    mask = (shift_labels != -100).astype(jnp.float32)
+    safe_labels = jnp.maximum(shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_logp = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(mask.sum(), 1.0)
+    loss = -(token_logp * mask).sum() / denom
+
+    preds = jnp.argmax(shift_logits, axis=-1)
+    acc = ((preds == safe_labels) * mask).sum() / denom
+    stats = {
+        "loss": loss,
+        "acc": acc,
+        "batch_tokens": mask.sum(),
+        "total_tokens": jnp.asarray(mask.size, jnp.float32),
+    }
+    return loss, stats
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01):
+    return optax.adamw(lr, weight_decay=weight_decay)
+
+
+def make_train_step(cfgs: NanoConfigs, optimizer):
+    """One pjit-compiled update: grads over all trainable components.
+    Shardings come from the input arrays' placements (GSPMD propagation)."""
+
+    @partial(jax.jit, static_argnums=(), donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch):
+        (loss, stats), grads = jax.value_and_grad(
+            lambda p: nano_loss(p, cfgs, batch), has_aux=True
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, stats
+
+    return train_step
+
+
+def make_synthetic_batch(
+    cfgs: NanoConfigs, batch: int, frames: int, seq_len: int, seed: int = 0
+) -> Dict[str, np.ndarray]:
+    """Tiny synthetic training batch honoring the audio-span layout."""
+    rng = np.random.default_rng(seed)
+    audio_tokens = adaptor_mod.downsampled_length(frames)
+    fbank_beg = np.full((batch,), 2, np.int32)
+    input_ids = rng.integers(
+        2, cfgs.llm.vocab_size, size=(batch, seq_len)
+    ).astype(np.int32)
+    labels = input_ids.copy()
+    labels[:, : 2 + audio_tokens] = -100  # prompt+audio positions unmasked
+    return {
+        "speech": rng.normal(size=(batch, frames, cfgs.encoder.input_size))
+        .astype(np.float32),
+        "speech_lengths": np.full((batch,), frames, np.int32),
+        "input_ids": input_ids,
+        "labels": labels,
+        "fbank_beg": fbank_beg,
+        "attention_lengths": np.full((batch,), seq_len, np.int32),
+    }

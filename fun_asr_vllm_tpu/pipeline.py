@@ -1,0 +1,104 @@
+"""Shared batch ASR pipeline: the reference's benchmark hot loop as a
+reusable component (reference infer.py:441-501 ≡ infer_kaldidata.py:707-776,
+de-duplicated here).
+
+Per batch: fbank → encoder → adaptor → per-utt
+[prefix ⧺ speech ⧺ suffix] prompt embeddings → engine generate.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .engine import LLM, SamplingParams
+from .models.nano import FunASRNano
+
+logger = logging.getLogger(__name__)
+
+
+class BatchPipeline:
+    def __init__(
+        self,
+        model_dir: str,
+        *,
+        dtype: str = "bfloat16",
+        enable_engine: bool = True,
+        max_num_seqs: int = 16,
+        max_model_len: int = 1536,
+        instruction: Optional[str] = None,
+        itn: bool = True,
+        language: Optional[str] = None,
+        top_p: float = 0.001,
+        max_tokens: int = 500,
+        gpu_memory_utilization: float = 0.4,  # accepted for CLI parity
+    ) -> None:
+        self.model, self.kwargs = FunASRNano.from_pretrained(
+            model=model_dir, dtype=dtype
+        )
+        m = self.model
+        if enable_engine:
+            m.vllm = LLM(
+                params=m.llm_params, config=m.llm_cfg, tokenizer=m.tokenizer,
+                dtype=dtype, max_num_seqs=max_num_seqs,
+                max_model_len=max_model_len,
+                gpu_memory_utilization=gpu_memory_utilization,
+            )
+            m.vllm_sampling_params = SamplingParams(
+                top_p=top_p, max_tokens=max_tokens
+            )
+        self.sampling = SamplingParams(top_p=top_p, max_tokens=max_tokens)
+        instruction = instruction or m.build_instruction(
+            language=language, itn=itn
+        )
+        self.prefix_ids, self.suffix_ids = m.chatml_parts(instruction)
+        # precompute prefix/suffix embeddings once (reference infer.py:394-404)
+        self._prefix = np.asarray(m.embed_ids(self.prefix_ids))
+        self._suffix = np.asarray(m.embed_ids(self.suffix_ids))
+        self.timings: Dict[str, float] = {"fbank": 0.0, "encode": 0.0,
+                                          "generate": 0.0}
+
+    def transcribe_batch(self, wavs: Sequence[np.ndarray]) -> List[str]:
+        m = self.model
+        t0 = time.perf_counter()
+        speech, speech_lengths = m.frontend.extract(list(wavs))
+        t1 = time.perf_counter()
+        enc_out, enc_lens = m.audio_encoder(speech, speech_lengths)
+        audio, audio_lens = m.audio_adaptor(enc_out, enc_lens)
+        audio_np = np.asarray(audio, dtype=np.float32)
+        lens_np = np.asarray(audio_lens)
+        t2 = time.perf_counter()
+        embeds = [
+            np.concatenate(
+                [self._prefix, audio_np[i, : int(lens_np[i])], self._suffix]
+            )
+            for i in range(len(wavs))
+        ]
+        if m.vllm is not None:
+            outs = m.vllm.generate(
+                [{"prompt_embeds": e} for e in embeds],
+                m.vllm_sampling_params or self.sampling,
+                use_tqdm=False,
+            )
+            texts = [o.outputs[0].text for o in outs]
+        else:
+            from .models import qwen3 as qwen3_mod
+            import jax.numpy as jnp
+
+            texts = []
+            for e in embeds:
+                ids = qwen3_mod.greedy_decode_simple(
+                    m.llm_params, m.llm_cfg, jnp.asarray(e)[None],
+                    max_new_tokens=min(self.sampling.max_tokens, 128),
+                )
+                texts.append(
+                    m.tokenizer.decode(ids.tolist(), skip_special_tokens=True)
+                )
+        t3 = time.perf_counter()
+        self.timings["fbank"] += t1 - t0
+        self.timings["encode"] += t2 - t1
+        self.timings["generate"] += t3 - t2
+        return texts

@@ -1,0 +1,201 @@
+"""FunASR-protocol WebSocket ASR server on the TPU engine.
+
+The serving front-end the reference only ships a client for
+(reference ASR_client_api.py; SURVEY.md §3.5: "the TPU build's serving
+front-end must speak this exact protocol so the client and asr_check work
+unchanged"). Modes:
+
+- offline: buffer PCM until ``is_speaking: false`` → one engine decode →
+  final text;
+- online: partial decode every `partial_interval_s` of new audio →
+  streaming text, final at end-of-speech;
+- 2pass: online partials (mode "2pass-online") + an offline-quality final
+  (mode "2pass-offline").
+
+Concurrent streams share one FunASRNano + engine; decodes are serialized
+through a thread executor (the engine's continuous batching absorbs
+multi-utterance load via the batch front, engine-level async admission is
+tracked for a later round).
+
+Run: python -m fun_asr_vllm_tpu.serving.server --model_dir <dir> --port 10095
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+import threading
+from typing import Optional
+
+import numpy as np
+
+from .protocol import Handshake, result_message
+
+logger = logging.getLogger(__name__)
+
+
+class ASRServer:
+    def __init__(
+        self,
+        model_dir: str,
+        *,
+        dtype: str = "bfloat16",
+        enable_engine: bool = True,
+        max_num_seqs: int = 16,
+        max_tokens: int = 500,
+        partial_interval_s: float = 0.6,
+    ) -> None:
+        from ..models.nano import FunASRNano
+
+        self.model, _ = FunASRNano.from_pretrained(model=model_dir, dtype=dtype)
+        if enable_engine:
+            from ..engine import LLM, SamplingParams
+
+            m = self.model
+            m.vllm = LLM(
+                params=m.llm_params, config=m.llm_cfg, tokenizer=m.tokenizer,
+                dtype=dtype, max_num_seqs=max_num_seqs,
+            )
+            m.vllm_sampling_params = SamplingParams(
+                top_p=0.001, max_tokens=max_tokens
+            )
+        self._decode_lock = threading.Lock()
+        self.partial_interval_s = partial_interval_s
+        self.max_tokens = max_tokens
+
+    # -------------------------------------------------------------- decode
+
+    def decode_pcm(self, pcm: np.ndarray, hs: Handshake,
+                   max_tokens: Optional[int] = None) -> str:
+        """int16-scale float [-1,1] mono 16 kHz → transcript."""
+        from ..text.zh_itn import inverse_normalize_text
+
+        if pcm.size < 400:  # below one fbank window
+            return ""
+        m = self.model
+        hotwords = [h for h in (hs.hotwords or "").split(",") if h.strip()]
+        with self._decode_lock:
+            instruction = m.build_instruction(hotwords=hotwords, itn=hs.itn)
+            prefix_ids, suffix_ids = m.chatml_parts(instruction)
+            speech, speech_lengths = m.frontend.extract([pcm])
+            enc_out, enc_lens = m.audio_encoder(speech, speech_lengths)
+            audio, audio_lens = m.audio_adaptor(enc_out, enc_lens)
+            embeds = m.build_prompt_embeds(
+                audio, audio_lens, prefix_ids, suffix_ids
+            )[0]
+            if m.vllm is not None:
+                sp = m.vllm_sampling_params
+                if max_tokens is not None:
+                    from ..engine import SamplingParams
+
+                    sp = SamplingParams(top_p=0.001, max_tokens=max_tokens)
+                outs = m.vllm.generate({"prompt_embeds": embeds}, sp,
+                                       use_tqdm=False)
+                text = outs[0].outputs[0].text
+            else:
+                import jax.numpy as jnp
+
+                from ..models import qwen3 as qwen3_mod
+
+                ids = qwen3_mod.greedy_decode_simple(
+                    m.llm_params, m.llm_cfg, jnp.asarray(embeds)[None],
+                    max_new_tokens=max_tokens or 64,
+                )
+                text = m.tokenizer.decode(ids.tolist(), skip_special_tokens=True)
+        from ..text.normalize import clean_response
+
+        text = clean_response(text).strip()
+        if hs.itn:
+            text = inverse_normalize_text(text)
+        return text
+
+    # ------------------------------------------------------------- session
+
+    async def handle(self, websocket) -> None:
+        hs: Optional[Handshake] = None
+        buf = np.zeros(0, dtype=np.float32)
+        emitted_upto = 0.0  # seconds of audio already partial-decoded
+        loop = asyncio.get_running_loop()
+        try:
+            async for message in websocket:
+                if isinstance(message, (bytes, bytearray)):
+                    pcm = np.frombuffer(bytes(message), dtype="<i2").astype(
+                        np.float32
+                    ) / 32768.0
+                    buf = np.concatenate([buf, pcm])
+                    if hs is None:
+                        continue
+                    if hs.mode in ("online", "2pass"):
+                        dur = len(buf) / hs.audio_fs
+                        if dur - emitted_upto >= self.partial_interval_s:
+                            emitted_upto = dur
+                            text = await loop.run_in_executor(
+                                None, self.decode_pcm, buf, hs, 64
+                            )
+                            mode = ("2pass-online" if hs.mode == "2pass"
+                                    else "online")
+                            await websocket.send(
+                                result_message(mode, hs.wav_name, text, False)
+                            )
+                    continue
+                # JSON control message
+                data = json.loads(message)
+                if hs is None:
+                    hs = Handshake.from_json(message)
+                    if hs.audio_fs != 16000:
+                        logger.info("resampling %s Hz stream", hs.audio_fs)
+                    continue
+                if data.get("is_speaking") is False:
+                    if hs.audio_fs != 16000:
+                        from ..audio.io import resample
+
+                        buf = resample(buf, hs.audio_fs, 16000)
+                    text = await loop.run_in_executor(
+                        None, self.decode_pcm, buf, hs, None
+                    )
+                    mode = ("2pass-offline" if hs.mode == "2pass"
+                            else hs.mode)
+                    await websocket.send(
+                        result_message(mode, hs.wav_name, text, True)
+                    )
+                    buf = np.zeros(0, dtype=np.float32)
+                    emitted_upto = 0.0
+                    hs.is_speaking = True  # allow another utterance
+        except Exception as e:
+            logger.warning("session ended: %s", e)
+
+    async def serve(self, host: str = "0.0.0.0", port: int = 10095):
+        import websockets
+
+        async with websockets.serve(
+            self.handle, host, port, subprotocols=["binary"], max_size=None
+        ):
+            logger.info("ASR server listening on %s:%d", host, port)
+            await asyncio.Future()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_dir", type=str, required=True)
+    ap.add_argument("--host", type=str, default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=10095)
+    ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--max_num_seqs", type=int, default=16)
+    ap.add_argument("--disable_engine", action="store_true")
+    args = ap.parse_args()
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+    )
+    server = ASRServer(
+        args.model_dir, dtype=args.dtype,
+        enable_engine=not args.disable_engine,
+        max_num_seqs=args.max_num_seqs,
+    )
+    asyncio.run(server.serve(args.host, args.port))
+
+
+if __name__ == "__main__":
+    main()

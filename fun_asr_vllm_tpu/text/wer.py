@@ -105,8 +105,20 @@ def _normalize_tokens(
     return out
 
 
-# Backtrace codes
+# Backtrace codes (shared with csrc/native.cpp align_tokens)
 _COR, _SUB, _DEL, _INS = 0, 1, 2, 3
+
+
+def _edit_align_native(ref: Sequence[str], hyp: Sequence[str]):
+    """Intern tokens to ids and align in C++; None when native unbuilt."""
+    try:
+        from ..utils.native import align_ops_native
+    except ImportError:
+        return None
+    ids: dict = {}
+    ref_ids = [ids.setdefault(t, len(ids)) for t in ref]
+    hyp_ids = [ids.setdefault(t, len(ids)) for t in hyp]
+    return align_ops_native(ref_ids, hyp_ids)
 
 
 def _edit_align(ref: Sequence[str], hyp: Sequence[str]) -> List[int]:
@@ -115,8 +127,14 @@ def _edit_align(ref: Sequence[str], hyp: Sequence[str]) -> List[int]:
     Tie-break preference mirrors the reference DP (del, then ins, then
     diagonal with strict '<' updates — reference compute_wer_line.py:124-146)
     so alignment displays match; the distance itself is tie-invariant.
+    Long pairs route to the C++ aligner (csrc/native.cpp, identical
+    semantics — the kaldialign replacement) when built.
     """
     n, m = len(ref), len(hyp)
+    if n * m > 4096 and n and m:
+        ops = _edit_align_native(ref, hyp)
+        if ops is not None:
+            return ops
     # dist rows kept as python ints (token lists are short: utterances)
     prev = list(range(m + 1))
     # backpointers, (n+1) x (m+1), stored flat

@@ -1,0 +1,142 @@
+"""Serving engine tests with a tiny fake model (SURVEY.md §4 implication (b)):
+scheduler / paged-KV / continuous batching without real weights.
+
+Ground truth: the engine-less `greedy_decode_simple` path (full recompute
+each step). The paged engine must produce identical token streams.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fun_asr_vllm_tpu.engine import LLM, SamplingParams
+from fun_asr_vllm_tpu.models.qwen3 import (
+    Qwen3Config,
+    greedy_decode_simple,
+    init_params,
+)
+
+TINY = dict(
+    vocab_size=96,
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=8,
+    intermediate_size=48,
+    eos_token_id=1,
+    pad_token_id=0,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Qwen3Config(dtype=jnp.float32, **TINY)
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    return params, cfg
+
+
+def make_llm(params, cfg, **kw):
+    kw.setdefault("max_num_seqs", 2)
+    kw.setdefault("max_model_len", 64)
+    kw.setdefault("block_size", 4)
+    return LLM(params=params, config=cfg, dtype="float32", use_pallas=False, **kw)
+
+
+def ref_decode(params, cfg, embeds, max_new):
+    return greedy_decode_simple(
+        params, cfg, jnp.asarray(embeds)[None], max_new_tokens=max_new
+    ).tolist()
+
+
+def rand_embeds(key, t, h, scale=0.3):
+    return np.asarray(jax.random.normal(jax.random.PRNGKey(key), (t, h))) * scale
+
+
+class TestEngine:
+    def test_single_request_matches_reference(self, setup):
+        params, cfg = setup
+        llm = make_llm(params, cfg)
+        embeds = rand_embeds(0, 9, cfg.hidden_size)
+        want = ref_decode(params, cfg, embeds, 8)
+        out = llm.generate(
+            [{"prompt_embeds": embeds}], SamplingParams(temperature=0.0, max_tokens=8)
+        )
+        assert out[0].outputs[0].token_ids == want
+
+    def test_batch_matches_reference(self, setup):
+        params, cfg = setup
+        llm = make_llm(params, cfg, max_num_seqs=3)
+        lens = [5, 11, 3, 8, 6]
+        embeds = [rand_embeds(i + 1, t, cfg.hidden_size) for i, t in enumerate(lens)]
+        outs = llm.generate(
+            [{"prompt_embeds": e} for e in embeds],
+            SamplingParams(temperature=0.0, max_tokens=6),
+        )
+        for e, o in zip(embeds, outs):
+            assert o.outputs[0].token_ids == ref_decode(params, cfg, e, 6), (
+                f"len={e.shape}"
+            )
+
+    def test_continuous_batching_more_requests_than_slots(self, setup):
+        params, cfg = setup
+        llm = make_llm(params, cfg, max_num_seqs=2)
+        embeds = [rand_embeds(i + 10, 4 + i, cfg.hidden_size) for i in range(6)]
+        outs = llm.generate(
+            [{"prompt_embeds": e} for e in embeds],
+            SamplingParams(temperature=0.0, max_tokens=5),
+        )
+        assert len(outs) == 6
+        for e, o in zip(embeds, outs):
+            assert o.outputs[0].token_ids == ref_decode(params, cfg, e, 5)
+
+    def test_max_tokens_respected(self, setup):
+        params, cfg = setup
+        llm = make_llm(params, cfg)
+        embeds = rand_embeds(3, 6, cfg.hidden_size)
+        outs = llm.generate(
+            [{"prompt_embeds": embeds}], SamplingParams(temperature=0.0, max_tokens=2)
+        )
+        assert len(outs[0].outputs[0].token_ids) <= 2
+
+    def test_block_reuse_across_calls(self, setup):
+        """Blocks must be freed and reusable — run many sequential calls on a
+        small pool."""
+        params, cfg = setup
+        llm = make_llm(params, cfg, max_num_seqs=1, num_blocks=20)
+        for i in range(4):
+            e = rand_embeds(20 + i, 7, cfg.hidden_size)
+            out = llm.generate(
+                [{"prompt_embeds": e}], SamplingParams(temperature=0.0, max_tokens=4)
+            )
+            assert out[0].outputs[0].token_ids == ref_decode(params, cfg, e, 4)
+        assert len(llm._free_blocks) == 19  # all returned
+
+    def test_cross_block_boundary(self, setup):
+        """Sequence longer than one block: decode must allocate new blocks."""
+        params, cfg = setup
+        llm = make_llm(params, cfg, block_size=4)
+        e = rand_embeds(30, 10, cfg.hidden_size)  # 10 prompt + 8 out > 4 blocks
+        out = llm.generate(
+            [{"prompt_embeds": e}], SamplingParams(temperature=0.0, max_tokens=8)
+        )
+        assert out[0].outputs[0].token_ids == ref_decode(params, cfg, e, 8)
+
+
+class TestSampling:
+    def test_topp_sampling_runs(self, setup):
+        params, cfg = setup
+        llm = make_llm(params, cfg)
+        e = rand_embeds(40, 5, cfg.hidden_size)
+        outs = llm.generate(
+            [{"prompt_embeds": e}],
+            SamplingParams(temperature=0.8, top_p=0.9, max_tokens=5),
+        )
+        assert len(outs[0].outputs[0].token_ids) <= 5
+
+    def test_reference_config_is_greedy(self):
+        # SamplingParams(top_p=0.001, max_tokens=500) — reference infer.py:384
+        sp = SamplingParams(top_p=0.001, max_tokens=500)
+        assert sp.is_greedy

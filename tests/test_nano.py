@@ -1,0 +1,97 @@
+"""End-to-end FunASRNano tests on a tiny fabricated model dir
+(the test.py-shaped smoke path, SURVEY.md §7 step 5)."""
+
+import numpy as np
+import pytest
+
+from fun_asr_vllm_tpu.audio.io import write_wav
+from fun_asr_vllm_tpu.engine import LLM, SamplingParams
+from fun_asr_vllm_tpu.models.nano import FunASRNano, make_test_model_dir
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nano_model")
+    return make_test_model_dir(str(d))
+
+
+@pytest.fixture(scope="module")
+def wav_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wavs")
+    t = np.arange(16000) / 16000
+    wav = (0.2 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    p = d / "a.wav"
+    write_wav(p, wav, 16000)
+    return str(p)
+
+
+class TestFromPretrained:
+    def test_roundtrip(self, model_dir):
+        m, kwargs = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+        assert kwargs["tokenizer"] is not None
+        assert kwargs["frontend"].fs == 16000
+        assert m.llm_cfg.hidden_size == 64
+        assert m.encoder_cfg.num_blocks == 2
+
+    def test_instruction_variants(self, model_dir):
+        m, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+        assert m.build_instruction() == "语音转写："
+        assert m.build_instruction(language="中文") == "语音转写成中文："
+        assert m.build_instruction(itn=False) == "语音转写，不进行文本规整："
+        hot = m.build_instruction(hotwords=["北京", "上海"])
+        assert "热词列表：[北京, 上海]" in hot
+
+
+class TestInference:
+    def test_engineless_inference(self, model_dir, wav_path):
+        m, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+        results, meta = m.inference(data_in=[wav_path], max_tokens=4)
+        assert len(results) == 1
+        r = results[0]
+        assert set(r) >= {"key", "text", "text_tn", "label"}
+        assert meta["batch_data_time"] == pytest.approx(1.0, rel=0.05)
+        assert "load_data" in meta and "extract_feat" in meta
+
+    def test_engine_inference_matches_engineless(self, model_dir, wav_path):
+        m, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+        ref, _ = m.inference(data_in=[wav_path], max_tokens=6)
+        m.vllm = LLM(
+            params=m.llm_params, config=m.llm_cfg, tokenizer=m.tokenizer,
+            dtype="float32", max_num_seqs=2, max_model_len=256, block_size=16,
+            use_pallas=False,
+        )
+        m.vllm_sampling_params = SamplingParams(top_p=0.001, max_tokens=6)
+        got, _ = m.inference(data_in=[wav_path], max_tokens=6)
+        assert got[0]["text"] == ref[0]["text"]
+
+    def test_batch_raises(self, model_dir, wav_path):
+        m, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+        with pytest.raises(NotImplementedError):
+            m.inference(data_in=[wav_path, wav_path])
+
+    def test_output_dir_writing(self, model_dir, wav_path, tmp_path):
+        m, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+        out = tmp_path / "out"
+        m.inference(
+            data_in=[wav_path], key=["utt1"], output_dir=str(out), max_tokens=3
+        )
+        text = (out / "1best_recog" / "text").read_text()
+        assert text.startswith("utt1\t")
+
+    def test_batch_embeds_pipeline(self, model_dir):
+        """The infer.py-shaped batch path: encode_batch + prompt embeds."""
+        m, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+        rng = np.random.default_rng(0)
+        wavs = [rng.normal(scale=0.05, size=n).astype(np.float32)
+                for n in (16000, 8000)]
+        audio_embeds, lens = m.encode_batch(wavs)
+        assert audio_embeds.shape[0] == 2
+        assert audio_embeds.shape[2] == m.llm_cfg.hidden_size
+        pre, suf = m.chatml_parts(m.build_instruction())
+        embeds = m.build_prompt_embeds(audio_embeds, lens, pre, suf)
+        assert len(embeds) == 2
+        assert embeds[0].shape[0] == len(pre) + int(lens[0]) + len(suf)
+        # token-length contract: T/8 of 10ms frames
+        from fun_asr_vllm_tpu.models.adaptor import downsampled_length
+
+        assert int(lens[0]) == downsampled_length(m.frontend.frame_count(16000))

@@ -1,0 +1,55 @@
+"""Pallas paged decode attention vs the XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fun_asr_vllm_tpu.engine.kv_cache import paged_attention_xla
+from fun_asr_vllm_tpu.ops.paged_attention import paged_attention_pallas
+
+
+def _setup(seed=0, s=3, nq=8, nkv=4, d=128, nb=16, bs=8, mb=4):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(s, nq, d)).astype(np.float32)
+    k_cache = rng.normal(size=(nb, bs, nkv, d)).astype(np.float32)
+    v_cache = rng.normal(size=(nb, bs, nkv, d)).astype(np.float32)
+    # distinct random block tables (block 0 reserved garbage)
+    block_tables = np.zeros((s, mb), dtype=np.int32)
+    avail = list(range(1, nb))
+    rng.shuffle(avail)
+    it = iter(avail)
+    for i in range(s):
+        for j in range(mb):
+            block_tables[i, j] = next(it)
+    seq_lens = np.array([5, bs * mb, bs + 3][:s], dtype=np.int32)
+    return map(jnp.asarray, (q, k_cache, v_cache, block_tables, seq_lens))
+
+
+class TestPagedAttention:
+    def test_matches_xla_reference(self):
+        q, kc, vc, bt, sl = _setup()
+        ref = paged_attention_xla(q, kc, vc, bt, sl)
+        got = paged_attention_pallas(q, kc, vc, bt, sl, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
+    def test_single_token_sequence(self):
+        q, kc, vc, bt, sl = _setup(seed=1, s=2, mb=2)
+        sl = jnp.asarray([1, 1], jnp.int32)
+        ref = paged_attention_xla(q, kc, vc, bt, sl)
+        got = paged_attention_pallas(q, kc, vc, bt, sl, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
+    def test_gqa_grouping(self):
+        # 16 q heads / 8 kv heads — the Qwen3-0.6B shape
+        q, kc, vc, bt, sl = _setup(seed=2, s=2, nq=16, nkv=8, bs=16, mb=3, nb=12)
+        ref = paged_attention_xla(q, kc, vc, bt, sl)
+        got = paged_attention_pallas(q, kc, vc, bt, sl, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
