@@ -81,10 +81,16 @@ class EnergyVAD:
             s = max(0, s - pad)
             e = min(total, e + pad)
             res.append((s * cfg.frame_ms, e * cfg.frame_ms))
-        # merge overlapping after padding
+        # merge overlapping after padding — but never past the max-length
+        # cap (forced cuts must survive the pad-merge)
         merged: List[Tuple[int, int]] = []
         for s, e in res:
-            if merged and s <= merged[-1][1]:
+            if (
+                merged
+                and s <= merged[-1][1]
+                and max(e, merged[-1][1]) - merged[-1][0]
+                <= cfg.max_single_segment_ms
+            ):
                 merged[-1] = (merged[-1][0], max(e, merged[-1][1]))
             else:
                 merged.append((s, e))

@@ -1,0 +1,112 @@
+"""Serving layer tests: protocol conformance + a real WebSocket round trip
+(server + unmodified client over localhost, SURVEY.md §4 implication (e))."""
+
+import asyncio
+import json
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from fun_asr_vllm_tpu.serving.protocol import Handshake, result_message
+
+
+class TestProtocol:
+    def test_handshake_roundtrip(self):
+        hs = Handshake(mode="2pass", hotwords="北京,上海", itn=False,
+                       vad_tail_sil=800)
+        parsed = Handshake.from_json(hs.to_json())
+        assert parsed.mode == "2pass"
+        assert parsed.hotwords == "北京,上海"
+        assert parsed.itn is False
+        assert parsed.vad_tail_sil == 800
+
+    def test_chunk_stride(self):
+        # 60 * chunk_size[1] / chunk_interval ms (reference
+        # ASR_client_api.py:135-137)
+        hs = Handshake(chunk_size=[5, 10, 5], chunk_interval=10)
+        assert hs.chunk_ms() == 60.0
+
+    def test_result_message(self):
+        msg = json.loads(result_message("offline", "a.wav", "你好", True))
+        assert msg == {"mode": "offline", "wav_name": "a.wav",
+                       "text": "你好", "is_final": True}
+
+
+@pytest.fixture(scope="module")
+def server_port(tmp_path_factory):
+    """Real ASRServer on a free port, tiny model, engine-less decode."""
+    from fun_asr_vllm_tpu.models.nano import make_test_model_dir
+    from fun_asr_vllm_tpu.serving.server import ASRServer
+
+    model_dir = make_test_model_dir(
+        str(tmp_path_factory.mktemp("srv_model"))
+    )
+    server = ASRServer(model_dir, dtype="float32", enable_engine=False,
+                       max_tokens=4)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(server.serve("127.0.0.1", port))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    # wait for the port to accept
+    for _ in range(100):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=0.2):
+                break
+        except OSError:
+            time.sleep(0.1)
+    else:
+        pytest.fail("server did not start")
+    yield port
+    loop.call_soon_threadsafe(loop.stop)
+
+
+@pytest.fixture(scope="module")
+def wav_path(tmp_path_factory):
+    from fun_asr_vllm_tpu.audio.io import write_wav
+
+    d = tmp_path_factory.mktemp("srv_wavs")
+    t = np.arange(16000) / 16000
+    p = d / "a.wav"
+    write_wav(p, (0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32), 16000)
+    return str(p)
+
+
+class TestRoundTrip:
+    def test_offline(self, server_port, wav_path):
+        from fun_asr_vllm_tpu.serving.client import ASR_Client
+
+        client = ASR_Client(host="127.0.0.1", port=server_port,
+                            mode="offline", itn=False)
+        text = asyncio.run(client.transcribe(wav_path))
+        assert isinstance(text, str)  # random weights → arbitrary text
+        assert client.final_text == text
+
+    def test_2pass_streams_partials(self, server_port, wav_path):
+        from fun_asr_vllm_tpu.serving.client import ASR_Client
+
+        client = ASR_Client(host="127.0.0.1", port=server_port,
+                            mode="2pass", itn=False)
+        final = asyncio.run(client.transcribe(wav_path))
+        assert isinstance(final, str)
+
+    def test_checker_against_live_server(self, server_port, wav_path):
+        from fun_asr_vllm_tpu.serving.checker import ASR_Checker, determine_lang
+
+        assert determine_lang("今天天气不错") == "zh"
+        checker = ASR_Checker(zh_host="127.0.0.1", zh_port=server_port,
+                              wer_threshold=0.3)
+        passed, wer, transcript = checker.check("今天天气不错", wav_path)
+        # random weights: transcript is garbage → must FAIL the gate
+        assert passed is False
+        assert wer >= 0.3
