@@ -51,6 +51,8 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="tiny model + 30 s audio (smoke)")
     ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--profile_dir", type=str, default=None,
+                    help="write a jax.profiler trace of the timed epoch")
     args = ap.parse_args()
 
     import jax
@@ -99,7 +101,8 @@ def main():
         max_model_len=1536,
     )
 
-    frontend = WavFrontend(dither=0.0)
+    # 4 s length buckets bound the number of compiled encoder shapes
+    frontend = WavFrontend(dither=0.0, bucket_seconds=4.0)
     utts = synth_utterances(args.seconds)
     audio_seconds = sum(len(u) for u in utts) / 16000.0
     print(f"# {len(utts)} utts, {audio_seconds:.1f} s audio", file=sys.stderr)
@@ -112,6 +115,8 @@ def main():
     suffix = rng.normal(scale=0.02, size=(5, llm_cfg.hidden_size)).astype(
         np.float32
     )
+    prefix_dev = jnp.asarray(prefix)
+    suffix_dev = jnp.asarray(suffix)
 
     def run_epoch(utt_list):
         hyp_count = 0
@@ -124,17 +129,11 @@ def main():
             audio, audio_lens = adaptor_mod.forward(
                 ad_params, ad_cfg, enc_out, enc_lens
             )
-            audio_np = np.asarray(audio, dtype=np.float32)
-            lens_np = np.asarray(audio_lens)
-            embeds = [
-                np.concatenate([prefix, audio_np[j, : int(lens_np[j])], suffix])
-                for j in range(len(batch))
-            ]
             mean_dur = np.mean([len(b) for b in batch]) / 16000.0
             max_toks = max(4, int(mean_dur * args.tokens_per_audio_sec))
             sp = SamplingParams(top_p=0.001, max_tokens=max_toks)
-            outs = llm.generate(
-                [{"prompt_embeds": e} for e in embeds], sp, use_tqdm=False
+            outs = llm.generate_from_audio(
+                audio, audio_lens, prefix_dev, suffix_dev, sp
             )
             for o in outs:
                 # reference normalizes every hyp inside the timed loop
@@ -146,13 +145,26 @@ def main():
                 hyp_count += 1
         return hyp_count
 
-    # warmup on a slice (compile buckets)
-    warm = utts[: args.batch_size]
-    run_epoch(warm)
+    # warmup: compile every (batch, bucket) shape the timed epoch will see
+    buckets = sorted({-(-len(u) // frontend.bucket_samples) for u in utts})
+    rngw = np.random.default_rng(2)
+    for nb in buckets:
+        n = nb * frontend.bucket_samples
+        warm = [rngw.normal(scale=0.1, size=n).astype(np.float32)
+                for _ in range(args.batch_size)]
+        run_epoch(warm)
+    tail = len(utts) % args.batch_size
+    if tail:
+        run_epoch(utts[-tail:])
+    print(f"# warmed {len(buckets)} buckets", file=sys.stderr)
 
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     t0 = time.time()
     n = run_epoch(utts)
     dt = time.time() - t0
+    if args.profile_dir:
+        jax.profiler.stop_trace()
 
     rtf = dt / audio_seconds
     rtfx = 1.0 / rtf if rtf > 0 else 0.0

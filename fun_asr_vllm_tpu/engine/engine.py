@@ -25,6 +25,7 @@ import dataclasses
 import logging
 import time
 from collections import deque
+from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Union
 
 import jax
@@ -33,7 +34,13 @@ import numpy as np
 
 from ..models import qwen3 as qwen3_mod
 from ..models.qwen3 import Qwen3Config
-from .kv_cache import CacheConfig, decode_step, init_cache, prefill_step
+from .kv_cache import (
+    CacheConfig,
+    decode_step,
+    decode_steps,
+    init_cache,
+    prefill_step,
+)
 from .sampling import SamplingParams, sample_tokens
 
 logger = logging.getLogger(__name__)
@@ -46,6 +53,44 @@ def _bucket_len(t: int) -> int:
         if t <= b:
             return b
     return ((t + 255) // 256) * 256
+
+
+@partial(jax.jit, static_argnames=("t_bucket",))
+def build_prompt_embeds_device(
+    prefix: jax.Array,      # [P, H]
+    suffix: jax.Array,      # [Q, H]
+    audio: jax.Array,       # [B, Ta, H]
+    audio_lens: jax.Array,  # [B]
+    t_bucket: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """[prefix ⧺ audio[:len] ⧺ suffix] per row, assembled in-graph →
+    ([B, t_bucket, H], total_lens [B]).
+
+    The reference materializes these on the host per utterance
+    (infer.py:462-466); building on device avoids shipping the audio
+    embeddings host→device→host through the TPU transport."""
+    b, ta, h = audio.shape
+    p, q = prefix.shape[0], suffix.shape[0]
+    idx = jnp.arange(t_bucket)[None, :]  # [1, TB]
+    lens = audio_lens[:, None]  # [B, 1]
+
+    prefix_g = jnp.broadcast_to(
+        prefix[jnp.clip(idx[0], 0, p - 1)][None], (b, t_bucket, h)
+    )
+    a_idx = jnp.clip(idx - p, 0, ta - 1)  # [B?, TB] broadcasting below
+    a_idx = jnp.broadcast_to(a_idx, (b, t_bucket))
+    audio_g = jnp.take_along_axis(audio, a_idx[:, :, None], axis=1)
+    s_idx = jnp.clip(idx - p - lens, 0, q - 1)  # [B, TB]
+    suffix_g = suffix[s_idx]  # [B, TB, H]
+
+    in_prefix = (idx < p)[:, :, None]
+    in_audio = ((idx >= p) & (idx < p + lens))[:, :, None]
+    in_suffix = ((idx >= p + lens) & (idx < p + lens + q))[:, :, None]
+    out = jnp.where(
+        in_prefix, prefix_g,
+        jnp.where(in_audio, audio_g, jnp.where(in_suffix, suffix_g, 0.0)),
+    )
+    return out, p + audio_lens + q
 
 
 @dataclasses.dataclass
@@ -123,8 +168,10 @@ class LLM:
         compilation_config: Any = None,
         mesh: Any = None,
         use_pallas: Optional[bool] = None,
+        decode_burst_size: int = 8,
         **_ignored,
     ) -> None:
+        self.decode_burst_size = max(1, decode_burst_size)
         jdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                   "float16": jnp.bfloat16}[dtype]
         if params is None:
@@ -201,46 +248,79 @@ class LLM:
             self._block_tables[s, :] = 0
             req.slot = -1
 
-    def _try_admit(self, req: _Request) -> bool:
-        try:
-            slot = self._slots.index(None)
-        except ValueError:
-            return False
-        bs = self.cache_cfg.block_size
-        need = -(-(req.prompt_len + 1) // bs)
-        if req.prompt_len + req.max_tokens > self.cache_cfg.max_model_len:
-            req.max_tokens = max(
-                1, self.cache_cfg.max_model_len - req.prompt_len
-            )
-        blocks = self._alloc_blocks(need)
-        if blocks is None:
-            return False
-        req.slot = slot
-        req.blocks = blocks
-        self._slots[slot] = req
+    def _take_admissible(self, waiting) -> List[_Request]:
+        """Pop every request that can get a slot + blocks right now."""
+        admitted: List[_Request] = []
+        while waiting:
+            req = waiting[0]
+            if req.done:
+                waiting.popleft()
+                continue
+            try:
+                slot = self._slots.index(None)
+            except ValueError:
+                break
+            bs = self.cache_cfg.block_size
+            if req.prompt_len + req.max_tokens > self.cache_cfg.max_model_len:
+                req.max_tokens = max(
+                    1, self.cache_cfg.max_model_len - req.prompt_len
+                )
+            blocks = self._alloc_blocks(-(-(req.prompt_len + 1) // bs))
+            if blocks is None:
+                break
+            req.slot = slot
+            req.blocks = blocks
+            self._slots[slot] = req
+            waiting.popleft()
+            admitted.append(req)
+        return admitted
 
-        # device prefill
-        t = req.prompt_len
-        tb = _bucket_len(t)
-        embeds = np.zeros((1, tb, self.cfg.hidden_size), dtype=np.float32)
-        embeds[0, :t] = req.embeds
-        table = np.zeros((self.cache_cfg.max_blocks_per_seq,), dtype=np.int32)
-        table[: len(blocks)] = blocks
-        logits, self.k_cache, self.v_cache = prefill_step(
-            self.params, self.cfg, self.k_cache, self.v_cache,
-            jnp.asarray(embeds), jnp.asarray(t, jnp.int32), jnp.asarray(table),
-        )
-        self.stats["prefill_tokens"] += t
-        first = self._sample(logits[None, :])[0]
-        req.t_first_token = time.perf_counter()
-
-        self._block_tables[slot, :] = 0
-        self._block_tables[slot, : len(blocks)] = blocks
-        self._positions[slot] = t  # position of the NEXT token
-        self._seq_lens[slot] = t + 1
-        self._last_tokens[slot] = first
-        self._active[slot] = True
-        self._handle_token(req, int(first))
+    def _admit(self, waiting) -> bool:
+        """Group-admit waiting requests: one batched prefill per (B, T)
+        bucket (the reference captures CUDA graphs for sizes 1..B,
+        infer_kaldidata.py:648-656 — here jit's cache keys on the padded
+        batch/length buckets)."""
+        admitted = self._take_admissible(waiting)
+        if not admitted:
+            return False
+        mbps = self.cache_cfg.max_blocks_per_seq
+        # group by prompt-length bucket
+        groups: Dict[int, List[_Request]] = {}
+        for req in admitted:
+            groups.setdefault(_bucket_len(req.prompt_len), []).append(req)
+        for tb, reqs in groups.items():
+            bb = 1
+            while bb < len(reqs):
+                bb *= 2
+            bb = min(bb, max(self.max_num_seqs, 1))
+            for i in range(0, len(reqs), bb):
+                chunk = reqs[i : i + bb]
+                embeds = np.zeros((bb, tb, self.cfg.hidden_size), np.float32)
+                lengths = np.ones((bb,), np.int32)  # dummy rows: len 1
+                tables = np.zeros((bb, mbps), np.int32)
+                for j, req in enumerate(chunk):
+                    embeds[j, : req.prompt_len] = req.embeds
+                    lengths[j] = req.prompt_len
+                    tables[j, : len(req.blocks)] = req.blocks
+                logits, self.k_cache, self.v_cache = prefill_step(
+                    self.params, self.cfg, self.k_cache, self.v_cache,
+                    jnp.asarray(embeds), jnp.asarray(lengths),
+                    jnp.asarray(tables),
+                )
+                firsts = self._sample(logits)
+                now = time.perf_counter()
+                for j, req in enumerate(chunk):
+                    t = req.prompt_len
+                    self.stats["prefill_tokens"] += t
+                    req.t_first_token = now
+                    slot = req.slot
+                    self._block_tables[slot, :] = 0
+                    self._block_tables[slot, : len(req.blocks)] = req.blocks
+                    self._positions[slot] = t  # position of the NEXT token
+                    self._seq_lens[slot] = t + 1
+                    self._last_tokens[slot] = firsts[j]
+                    self._active[slot] = True
+                    self._handle_token(req, int(firsts[j]))
         return True
 
     def _sample(self, logits: jax.Array) -> np.ndarray:
@@ -261,13 +341,16 @@ class LLM:
             req.done = True
             self._free(req)
 
-    def _grow_blocks_if_needed(self) -> None:
+    def _grow_blocks_if_needed(self, horizon: int = 1) -> None:
         bs = self.cache_cfg.block_size
+        mbps = self.cache_cfg.max_blocks_per_seq
         for slot, req in enumerate(self._slots):
             if req is None:
                 continue
-            # the next written position is self._positions[slot]
-            need = self._positions[slot] // bs + 1
+            # positions [pos, pos+horizon) will be written this burst
+            need = min(
+                (int(self._positions[slot]) + horizon - 1) // bs + 1, mbps
+            )
             while len(req.blocks) < need:
                 blocks = self._alloc_blocks(1)
                 if blocks is None:
@@ -277,6 +360,28 @@ class LLM:
                     )
                 req.blocks.extend(blocks)
                 self._block_tables[slot, len(req.blocks) - 1] = blocks[0]
+
+    def _decode_burst(self, k: int = 8) -> None:
+        """k fused greedy steps in one dispatch (kv_cache.decode_steps)."""
+        snapshot = list(self._slots)
+        tokens, self.k_cache, self.v_cache = decode_steps(
+            self.params, self.cfg, self.k_cache, self.v_cache,
+            jnp.asarray(self._last_tokens), jnp.asarray(self._positions),
+            jnp.asarray(self._block_tables), jnp.asarray(self._seq_lens),
+            jnp.asarray(self._active), num_steps=k,
+            use_pallas=self.use_pallas,
+        )
+        tokens = np.asarray(tokens)  # [k, S]
+        self.stats["steps"] += k
+        for step in range(k):
+            for slot, req in enumerate(snapshot):
+                if req is None or req.done:
+                    continue
+                self.stats["decode_tokens"] += 1
+                self._positions[slot] += 1
+                self._seq_lens[slot] += 1
+                self._last_tokens[slot] = tokens[step, slot]
+                self._handle_token(req, int(tokens[step, slot]))
 
     def _decode_once(self) -> None:
         logits, self.k_cache, self.v_cache = decode_step(
@@ -322,6 +427,87 @@ class LLM:
             reqs.append(req)
 
         waiting = deque(reqs)
+        return self._run(reqs, waiting, sp, use_tqdm)
+
+    def generate_from_audio(
+        self,
+        audio_embeds: jax.Array,   # [B, Ta, H] on device
+        audio_lens: jax.Array,     # [B]
+        prefix_embeds: jax.Array,  # [P, H]
+        suffix_embeds: jax.Array,  # [Q, H]
+        sampling_params: Optional[SamplingParams] = None,
+        use_tqdm: bool = False,
+    ) -> List[RequestOutput]:
+        """Device-resident fast path: prompt embeddings are assembled
+        in-graph from adaptor output + fixed ChatML prefix/suffix and fed
+        straight into prefill — the audio tokens never cross the host
+        boundary. Processes in waves of max_num_seqs."""
+        sp = sampling_params or SamplingParams()
+        self._cur_sampling = sp
+        lens_np = np.asarray(audio_lens, dtype=np.int64)
+        b = int(audio_embeds.shape[0])
+        p, q = prefix_embeds.shape[0], suffix_embeds.shape[0]
+        mbps = self.cache_cfg.max_blocks_per_seq
+        bs = self.cache_cfg.block_size
+        all_reqs: List[_Request] = []
+        for start in range(0, b, self.max_num_seqs):
+            stop = min(start + self.max_num_seqs, b)
+            n = stop - start
+            tb = _bucket_len(p + int(lens_np[start:stop].max()) + q)
+            embeds, total_lens = build_prompt_embeds_device(
+                prefix_embeds, suffix_embeds, audio_embeds[start:stop],
+                jnp.asarray(audio_lens[start:stop]), t_bucket=tb,
+            )
+            total_np = np.asarray(total_lens, dtype=np.int64)
+            reqs: List[_Request] = []
+            tables = np.zeros((n, mbps), np.int32)
+            lengths = np.asarray(total_np, np.int32)
+            for j in range(n):
+                req = _Request.__new__(_Request)
+                req.rid = self._next_rid
+                self._next_rid += 1
+                req.embeds = None
+                req.prompt_len = int(total_np[j])
+                req.max_tokens = min(
+                    sp.max_tokens,
+                    max(1, self.cache_cfg.max_model_len - req.prompt_len),
+                )
+                req.out_ids = []
+                req.done = False
+                req.t_enqueue = time.perf_counter()
+                req.t_first_token = 0.0
+                slot = self._slots.index(None)
+                blocks = self._alloc_blocks(-(-(req.prompt_len + 1) // bs))
+                if blocks is None:
+                    raise RuntimeError("KV cache out of blocks")
+                req.slot = slot
+                req.blocks = blocks
+                self._slots[slot] = req
+                tables[j, : len(blocks)] = blocks
+                reqs.append(req)
+            logits, self.k_cache, self.v_cache = prefill_step(
+                self.params, self.cfg, self.k_cache, self.v_cache,
+                embeds, jnp.asarray(lengths), jnp.asarray(tables),
+            )
+            firsts = self._sample(logits)
+            now = time.perf_counter()
+            for j, req in enumerate(reqs):
+                t = req.prompt_len
+                self.stats["prefill_tokens"] += t
+                req.t_first_token = now
+                slot = req.slot
+                self._block_tables[slot, :] = 0
+                self._block_tables[slot, : len(req.blocks)] = req.blocks
+                self._positions[slot] = t
+                self._seq_lens[slot] = t + 1
+                self._last_tokens[slot] = firsts[j]
+                self._active[slot] = True
+                self._handle_token(req, int(firsts[j]))
+            self._run(reqs, deque(), sp, use_tqdm=False)
+            all_reqs.extend(reqs)
+        return self._collect(all_reqs, sp)
+
+    def _run(self, reqs, waiting, sp, use_tqdm: bool):
         iterator = None
         if use_tqdm:
             try:
@@ -332,21 +518,24 @@ class LLM:
                 pass
         done_count = 0
         while done_count < len(reqs):
-            while waiting and not waiting[0].done and self._try_admit(waiting[0]):
-                waiting.popleft()
-            # drop requests finished at prefill (eos as first token)
-            while waiting and waiting[0].done:
-                waiting.popleft()
+            self._admit(waiting)
             if any(r is not None for r in self._slots):
-                self._grow_blocks_if_needed()
-                self._decode_once()
+                if sp.is_greedy:
+                    k = self.decode_burst_size
+                    self._grow_blocks_if_needed(horizon=k)
+                    self._decode_burst(k)
+                else:
+                    self._grow_blocks_if_needed()
+                    self._decode_once()
             new_done = sum(r.done for r in reqs)
             if iterator is not None and new_done > done_count:
                 iterator.update(new_done - done_count)
             done_count = new_done
         if iterator is not None:
             iterator.close()
+        return self._collect(reqs, sp)
 
+    def _collect(self, reqs, sp) -> List[RequestOutput]:
         outs = []
         for req in reqs:
             text = ""

@@ -101,12 +101,7 @@ def _scatter_token_kv(
     return cache_l.at[block_ids, offsets].set(new)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "use_pallas"),
-    donate_argnames=("k_cache", "v_cache"),
-)
-def decode_step(
+def _decode_core(
     params: Dict,
     cfg: Qwen3Config,
     k_cache: jax.Array,
@@ -125,12 +120,13 @@ def decode_step(
     """
     s = token_ids.shape[0]
     bs = k_cache.shape[2]
+    mb = block_tables.shape[1]
     x = qwen3.embed_tokens(params, token_ids).astype(cfg.dtype)  # [S, H]
 
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)  # [S, D/2]
     cos, sin = cos[:, None, :], sin[:, None, :]
 
-    in_block = positions // bs
+    in_block = jnp.minimum(positions // bs, mb - 1)
     write_blocks = jnp.where(
         active,
         jnp.take_along_axis(block_tables, in_block[:, None], axis=1)[:, 0],
@@ -172,6 +168,58 @@ def decode_step(
     return logits, k_cache, v_cache
 
 
+decode_step = partial(
+    jax.jit,
+    static_argnames=("cfg", "use_pallas"),
+    donate_argnames=("k_cache", "v_cache"),
+)(_decode_core)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "num_steps", "use_pallas"),
+    donate_argnames=("k_cache", "v_cache"),
+)
+def decode_steps(
+    params: Dict,
+    cfg: Qwen3Config,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    token_ids: jax.Array,      # [S]
+    positions: jax.Array,      # [S]
+    block_tables: jax.Array,   # [S, MB]
+    seq_lens: jax.Array,       # [S]
+    active: jax.Array,         # [S] bool
+    num_steps: int = 8,
+    use_pallas: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """`num_steps` fused greedy decode steps in ONE dispatch →
+    (tokens [num_steps, S], caches).
+
+    Sampling is argmax in-graph (the reference's effective setting,
+    top_p=0.001). Fusing K steps amortizes host→device dispatch latency —
+    on this TPU's RPC transport a single step costs ~40 ms of round-trip
+    alone. Callers must pre-allocate blocks covering positions+num_steps;
+    finished sequences keep decoding garbage inside a burst and the host
+    truncates at EOS."""
+    mb = block_tables.shape[1]
+
+    def step(carry, _):
+        toks, pos, lens, kc, vc = carry
+        logits, kc, vc = _decode_core(
+            params, cfg, kc, vc, toks, pos, block_tables, lens, active,
+            use_pallas,
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, pos + 1, lens + 1, kc, vc), nxt
+
+    (_, _, _, k_cache, v_cache), tokens = jax.lax.scan(
+        step, (token_ids, positions, seq_lens, k_cache, v_cache), None,
+        length=num_steps,
+    )
+    return tokens, k_cache, v_cache
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg",),
@@ -182,33 +230,45 @@ def prefill_step(
     cfg: Qwen3Config,
     k_cache: jax.Array,
     v_cache: jax.Array,
-    inputs_embeds: jax.Array,  # [1, T_bucket, H]
-    length: jax.Array,          # [] valid prompt length
-    block_table: jax.Array,     # [MB]
+    inputs_embeds: jax.Array,  # [B, T_bucket, H]
+    lengths: jax.Array,         # [B] valid prompt lengths
+    block_tables: jax.Array,    # [B, MB]
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Prefill one sequence of prompt embeddings → (last-token logits [V],
-    caches). Padding positions are masked out of attention and their KV is
-    routed to garbage block 0."""
-    _, t, _ = inputs_embeds.shape
+    """Batched prefill of prompt embeddings → (last-token logits [B, V],
+    caches). One compiled program per (B, T) bucket replaces the
+    sequence-at-a-time CUDA-graph prefills; padding positions are masked
+    out of attention and their KV routes to garbage block 0."""
+    b, t, _ = inputs_embeds.shape
     bs = k_cache.shape[2]
-    pos = jnp.arange(t)[None, :]
+    pos = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     hidden, kvs = qwen3.forward_hidden(
         params, cfg, inputs_embeds.astype(cfg.dtype), pos,
-        attn_lengths=length[None], return_kv=True,
+        attn_lengths=lengths, return_kv=True,
     )
-    k_new, v_new = kvs  # [L, 1, T, Nkv, D]
-    k_new = k_new[:, 0]
-    v_new = v_new[:, 0]
+    k_new, v_new = kvs  # [L, B, T, Nkv, D]
 
-    tok_pos = jnp.arange(t)
-    valid = tok_pos < length
-    blocks = jnp.where(valid, jnp.take(block_table, tok_pos // bs), 0)
-    offsets = tok_pos % bs
-    k_cache = k_cache.at[:, blocks, offsets].set(k_new.astype(k_cache.dtype))
-    v_cache = v_cache.at[:, blocks, offsets].set(v_new.astype(v_cache.dtype))
+    tok_pos = jnp.arange(t)[None, :]  # [1, T]
+    valid = tok_pos < lengths[:, None]  # [B, T]
+    blocks = jnp.where(
+        valid,
+        jnp.take_along_axis(block_tables, tok_pos // bs, axis=1),
+        0,
+    )  # [B, T]
+    offsets = jnp.broadcast_to(tok_pos % bs, (b, t))
+    flat_blocks = blocks.reshape(-1)
+    flat_offsets = offsets.reshape(-1)
+    l = k_new.shape[0]
+    k_flat = k_new.reshape(l, b * t, *k_new.shape[3:])
+    v_flat = v_new.reshape(l, b * t, *v_new.shape[3:])
+    k_cache = k_cache.at[:, flat_blocks, flat_offsets].set(
+        k_flat.astype(k_cache.dtype)
+    )
+    v_cache = v_cache.at[:, flat_blocks, flat_offsets].set(
+        v_flat.astype(v_cache.dtype)
+    )
 
     last_hidden = jnp.take_along_axis(
-        hidden, (length - 1)[None, None, None].astype(jnp.int32), axis=1
-    )[0, 0]
+        hidden, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
     logits = qwen3.lm_logits(params, cfg, last_hidden)
     return logits, k_cache, v_cache

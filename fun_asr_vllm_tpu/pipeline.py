@@ -58,6 +58,10 @@ class BatchPipeline:
         # precompute prefix/suffix embeddings once (reference infer.py:394-404)
         self._prefix = np.asarray(m.embed_ids(self.prefix_ids))
         self._suffix = np.asarray(m.embed_ids(self.suffix_ids))
+        import jax.numpy as jnp
+
+        self._prefix_dev = jnp.asarray(self._prefix)
+        self._suffix_dev = jnp.asarray(self._suffix)
         self.timings: Dict[str, float] = {"fbank": 0.0, "encode": 0.0,
                                           "generate": 0.0}
 
@@ -68,23 +72,25 @@ class BatchPipeline:
         t1 = time.perf_counter()
         enc_out, enc_lens = m.audio_encoder(speech, speech_lengths)
         audio, audio_lens = m.audio_adaptor(enc_out, enc_lens)
-        audio_np = np.asarray(audio, dtype=np.float32)
-        lens_np = np.asarray(audio_lens)
         t2 = time.perf_counter()
-        embeds = [
-            np.concatenate(
-                [self._prefix, audio_np[i, : int(lens_np[i])], self._suffix]
-            )
-            for i in range(len(wavs))
-        ]
         if m.vllm is not None:
-            outs = m.vllm.generate(
-                [{"prompt_embeds": e} for e in embeds],
+            # device-resident fast path: audio embeddings never leave HBM
+            outs = m.vllm.generate_from_audio(
+                audio, audio_lens,
+                self._prefix_dev, self._suffix_dev,
                 m.vllm_sampling_params or self.sampling,
-                use_tqdm=False,
             )
             texts = [o.outputs[0].text for o in outs]
         else:
+            audio_np = np.asarray(audio, dtype=np.float32)
+            lens_np = np.asarray(audio_lens)
+            embeds = [
+                np.concatenate(
+                    [self._prefix, audio_np[i, : int(lens_np[i])],
+                     self._suffix]
+                )
+                for i in range(len(wavs))
+            ]
             from .models import qwen3 as qwen3_mod
             import jax.numpy as jnp
 

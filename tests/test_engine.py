@@ -125,6 +125,40 @@ class TestEngine:
         assert out[0].outputs[0].token_ids == ref_decode(params, cfg, e, 8)
 
 
+class TestDeviceFastPath:
+    def test_generate_from_audio_matches_generate(self, setup):
+        """The in-graph prompt assembly must produce the same tokens as the
+        host-side [prefix ⧺ audio ⧺ suffix] concatenation path."""
+        import jax.numpy as jnp
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        rng = np.random.default_rng(5)
+        prefix = rng.normal(scale=0.3, size=(3, h)).astype(np.float32)
+        suffix = rng.normal(scale=0.3, size=(2, h)).astype(np.float32)
+        audio = rng.normal(scale=0.3, size=(3, 7, h)).astype(np.float32)
+        lens = np.asarray([7, 4, 6], np.int32)
+        sp = SamplingParams(temperature=0.0, max_tokens=5)
+
+        llm1 = make_llm(params, cfg, max_num_seqs=2)
+        host_embeds = [
+            np.concatenate([prefix, audio[i, : lens[i]], suffix])
+            for i in range(3)
+        ]
+        want = [
+            o.outputs[0].token_ids
+            for o in llm1.generate([{"prompt_embeds": e} for e in host_embeds], sp)
+        ]
+
+        llm2 = make_llm(params, cfg, max_num_seqs=2)
+        outs = llm2.generate_from_audio(
+            jnp.asarray(audio), jnp.asarray(lens),
+            jnp.asarray(prefix), jnp.asarray(suffix), sp,
+        )
+        got = [o.outputs[0].token_ids for o in outs]
+        assert got == want
+
+
 class TestSampling:
     def test_topp_sampling_runs(self, setup):
         params, cfg = setup
