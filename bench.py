@@ -79,11 +79,12 @@ def main():
         )
     else:
         # flagship: SenseVoice-small-family encoder + Qwen3-0.6B
+        on_tpu = jax.devices()[0].platform != "cpu"
         enc_cfg = encoder_mod.SANMEncoderConfig(
             output_size=512, attention_heads=4, linear_units=2048,
-            num_blocks=50, dtype=jdtype,
+            num_blocks=50, use_flash=on_tpu, dtype=jdtype,
         )
-        llm_cfg = qwen3_mod.Qwen3Config(dtype=jdtype)  # 0.6B defaults
+        llm_cfg = qwen3_mod.Qwen3Config(use_flash=on_tpu, dtype=jdtype)
     ad_cfg = adaptor_mod.NanoAdaptorConfig(
         encoder_dim=enc_cfg.output_size, llm_dim=llm_cfg.hidden_size,
         ffn_dim=2048 if not args.quick else 256, dtype=jdtype,

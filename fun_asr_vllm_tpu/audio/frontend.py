@@ -137,10 +137,11 @@ class WavFrontend:
         t = self.frame_count(n_samples)
         return int(math.ceil(t / self.lfr_n)) if t else 0
 
-    def extract(
+    def batchify(
         self, wavs: Sequence[np.ndarray]
-    ) -> Tuple[jax.Array, jax.Array]:
-        """List of mono float32 [-1,1] arrays → ([B, T, D], lengths [B])."""
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Pad to a bucketed length and scale to int16 range →
+        ([B, N_pad] float32, frame_counts [B])."""
         wavs = [np.asarray(w, dtype=np.float32).reshape(-1) for w in wavs]
         lens = [len(w) for w in wavs]
         max_len = max(lens)
@@ -153,6 +154,15 @@ class WavFrontend:
         for i, w in enumerate(wavs):
             batch[i, : len(w)] = w
         batch *= _INT16_SCALE
+        frame_counts = np.array([self.frame_count(n) for n in lens],
+                                dtype=np.int32)
+        return batch, frame_counts
+
+    def extract(
+        self, wavs: Sequence[np.ndarray]
+    ) -> Tuple[jax.Array, jax.Array]:
+        """List of mono float32 [-1,1] arrays → ([B, T, D], lengths [B])."""
+        batch, feat_lens = self.batchify(wavs)
 
         feats = fbank_jax(
             jnp.asarray(batch),
@@ -162,7 +172,6 @@ class WavFrontend:
             window_type=self.window,
             fs=self.fs,
         )
-        feat_lens = np.array([self.frame_count(n) for n in lens], dtype=np.int32)
 
         if self.lfr_m != 1 or self.lfr_n != 1:
             feats = _lfr_jax(feats, self.lfr_m, self.lfr_n)

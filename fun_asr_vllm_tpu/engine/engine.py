@@ -507,6 +507,95 @@ class LLM:
             all_reqs.extend(reqs)
         return self._collect(all_reqs, sp)
 
+    def generate_fused(
+        self,
+        speech: np.ndarray,        # [B, N_pad] float32, int16 scale
+        wav_frames: np.ndarray,    # [B] fbank frame counts
+        enc_params, enc_cfg, ad_params, ad_cfg,
+        frontend,                   # WavFrontend (fbank static config)
+        prefix_embeds: jax.Array,  # [P, H]
+        suffix_embeds: jax.Array,  # [Q, H]
+        sampling_params: Optional[SamplingParams] = None,
+    ) -> List[RequestOutput]:
+        """Whole-batch fast path: ONE dispatch runs fbank → encoder →
+        adaptor → prompt assembly → prefill (engine/fused.py), then fused
+        decode bursts. Prompt lengths come from the deterministic frame
+        math so block allocation happens before the dispatch."""
+        from ..models.adaptor import downsampled_length
+        from .fused import fused_encode_prefill
+
+        sp = sampling_params or SamplingParams()
+        self._cur_sampling = sp
+        p, q = prefix_embeds.shape[0], suffix_embeds.shape[0]
+        bs = self.cache_cfg.block_size
+        mbps = self.cache_cfg.max_blocks_per_seq
+        b = speech.shape[0]
+        all_reqs: List[_Request] = []
+        for start in range(0, b, self.max_num_seqs):
+            stop = min(start + self.max_num_seqs, b)
+            n = stop - start
+            frames = wav_frames[start:stop]
+            prompt_lens = np.array(
+                [p + downsampled_length(int(f)) + q for f in frames], np.int64
+            )
+            tb = _bucket_len(int(prompt_lens.max()))
+            reqs: List[_Request] = []
+            tables = np.zeros((n, mbps), np.int32)
+            for j in range(n):
+                req = _Request.__new__(_Request)
+                req.rid = self._next_rid
+                self._next_rid += 1
+                req.embeds = None
+                req.prompt_len = int(prompt_lens[j])
+                req.max_tokens = min(
+                    sp.max_tokens,
+                    max(1, self.cache_cfg.max_model_len - req.prompt_len),
+                )
+                req.out_ids = []
+                req.done = False
+                req.t_enqueue = time.perf_counter()
+                req.t_first_token = 0.0
+                slot = self._slots.index(None)
+                blocks = self._alloc_blocks(-(-(req.prompt_len + 1) // bs))
+                if blocks is None:
+                    raise RuntimeError("KV cache out of blocks")
+                req.slot = slot
+                req.blocks = blocks
+                self._slots[slot] = req
+                tables[j, : len(blocks)] = blocks
+                reqs.append(req)
+            logits, self.k_cache, self.v_cache = fused_encode_prefill(
+                enc_params, ad_params, self.params,
+                enc_cfg, ad_cfg, self.cfg,
+                self.k_cache, self.v_cache,
+                jnp.asarray(speech[start:stop]), jnp.asarray(frames),
+                prefix_embeds, suffix_embeds,
+                jnp.asarray(prompt_lens.astype(np.int32)), jnp.asarray(tables),
+                t_bucket=tb,
+                frame_length=frontend._frame_len_samp,
+                frame_shift=frontend._frame_shift_samp,
+                n_mels=frontend.n_mels,
+                window_type=frontend.window,
+                fs=frontend.fs,
+            )
+            firsts = self._sample(logits)
+            now = time.perf_counter()
+            for j, req in enumerate(reqs):
+                t = req.prompt_len
+                self.stats["prefill_tokens"] += t
+                req.t_first_token = now
+                slot = req.slot
+                self._block_tables[slot, :] = 0
+                self._block_tables[slot, : len(req.blocks)] = req.blocks
+                self._positions[slot] = t
+                self._seq_lens[slot] = t + 1
+                self._last_tokens[slot] = firsts[j]
+                self._active[slot] = True
+                self._handle_token(req, int(firsts[j]))
+            self._run(reqs, deque(), sp, use_tqdm=False)
+            all_reqs.extend(reqs)
+        return self._collect(all_reqs, sp)
+
     def _run(self, reqs, waiting, sp, use_tqdm: bool):
         iterator = None
         if use_tqdm:
@@ -521,7 +610,15 @@ class LLM:
             self._admit(waiting)
             if any(r is not None for r in self._slots):
                 if sp.is_greedy:
+                    # adapt K to the largest remaining budget so short tails
+                    # don't burn full bursts (compiles one program per K)
+                    remaining = max(
+                        (r.max_tokens - len(r.out_ids))
+                        for r in self._slots if r is not None
+                    )
                     k = self.decode_burst_size
+                    while k // 2 >= remaining and k > 1:
+                        k //= 2
                     self._grow_blocks_if_needed(horizon=k)
                     self._decode_burst(k)
                 else:

@@ -1,0 +1,75 @@
+"""Single-dispatch audio→prefill program.
+
+Per benchmark batch the naive pipeline pays five device round trips
+(fbank, encoder, adaptor, prompt assembly, prefill) — on this TPU's RPC
+transport each costs ~40 ms of latency alone. This module compiles the
+whole chain into ONE jitted program per (batch, audio-bucket) shape:
+
+    waveform [B, N] ──fbank──► [B, T, 80] ──SAN-M──► [B, T, E]
+      ──adaptor──► [B, T/8, H] ──[prefix ⧺ audio ⧺ suffix]──►
+      [B, TB, H] ──Qwen3 prefill──► first-token ids + paged-KV writes
+
+All prompt lengths are host-computable in advance (frame math is
+deterministic: frames = 1+(N-400)//160, tokens = downsample(frames),
+reference model.py:391-396), so block allocation happens before the
+dispatch and the program is fully static.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..audio.frontend import fbank_jax
+from ..models import adaptor as adaptor_mod
+from ..models import encoder as encoder_mod
+from ..models.qwen3 import Qwen3Config
+from .engine import build_prompt_embeds_device
+from .kv_cache import _prefill_core
+
+
+@partial(
+    jax.jit,
+    static_argnames=("enc_cfg", "ad_cfg", "llm_cfg", "t_bucket", "frame_length",
+                     "frame_shift", "n_mels", "window_type", "fs"),
+    donate_argnames=("k_cache", "v_cache"),
+)
+def fused_encode_prefill(
+    enc_params: Dict,
+    ad_params: Dict,
+    llm_params: Dict,
+    enc_cfg: encoder_mod.SANMEncoderConfig,
+    ad_cfg: adaptor_mod.NanoAdaptorConfig,
+    llm_cfg: Qwen3Config,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    speech: jax.Array,       # [B, N] float32, int16 scale
+    wav_frames: jax.Array,   # [B] valid fbank frame counts
+    prefix: jax.Array,       # [P, H]
+    suffix: jax.Array,       # [Q, H]
+    prompt_lengths: jax.Array,  # [B] total prompt lengths (host-computed)
+    block_tables: jax.Array,    # [B, MB]
+    t_bucket: int,
+    frame_length: int = 400,
+    frame_shift: int = 160,
+    n_mels: int = 80,
+    window_type: str = "hamming",
+    fs: int = 16000,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """→ (first-token logits [B, V], k_cache, v_cache)."""
+    feats = fbank_jax(
+        speech, frame_length=frame_length, frame_shift=frame_shift,
+        n_mels=n_mels, window_type=window_type, fs=fs,
+    )
+    enc_out, enc_lens = encoder_mod.encode(enc_params, enc_cfg, feats, wav_frames)
+    audio, audio_lens = adaptor_mod.forward(ad_params, ad_cfg, enc_out, enc_lens)
+    embeds, _total = build_prompt_embeds_device(
+        prefix, suffix, audio, audio_lens, t_bucket=t_bucket
+    )
+    return _prefill_core(
+        llm_params, llm_cfg, k_cache, v_cache, embeds, prompt_lengths,
+        block_tables,
+    )

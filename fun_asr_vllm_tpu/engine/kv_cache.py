@@ -220,12 +220,7 @@ def decode_steps(
     return tokens, k_cache, v_cache
 
 
-@partial(
-    jax.jit,
-    static_argnames=("cfg",),
-    donate_argnames=("k_cache", "v_cache"),
-)
-def prefill_step(
+def _prefill_core(
     params: Dict,
     cfg: Qwen3Config,
     k_cache: jax.Array,
@@ -272,3 +267,10 @@ def prefill_step(
     )[:, 0]
     logits = qwen3.lm_logits(params, cfg, last_hidden)
     return logits, k_cache, v_cache
+
+
+prefill_step = partial(
+    jax.jit,
+    static_argnames=("cfg",),
+    donate_argnames=("k_cache", "v_cache"),
+)(_prefill_core)

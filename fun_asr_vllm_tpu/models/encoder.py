@@ -44,6 +44,7 @@ class SANMEncoderConfig:
     kernel_size: int = 11  # FSMN memory kernel
     sanm_shift: int = 0
     dropout_rate: float = 0.1  # unused at inference; kept for config parity
+    use_flash: bool = False  # Pallas flash attention (TPU, lane-aligned dims)
     dtype: Any = jnp.bfloat16
 
     @classmethod
@@ -56,6 +57,7 @@ class SANMEncoderConfig:
             num_blocks=conf.get("num_blocks", 50),
             kernel_size=conf.get("kernel_size", 11),
             sanm_shift=conf.get("sanm_shift", 0),
+            use_flash=conf.get("use_flash", False),
             dtype=dtype,
         )
 
@@ -118,7 +120,13 @@ def _sanm_attention(
     q = q.reshape(b, t, h, d // h)
     k = k.reshape(b, t, h, d // h)
     v = v.reshape(b, t, h, d // h)
-    att = full_attention(q, k, v, kv_lengths=lengths).reshape(b, t, d)
+    if cfg.use_flash:
+        from ..ops.flash_attention import flash_attention
+
+        att = flash_attention(q, k, v, lengths, causal=False)
+    else:
+        att = full_attention(q, k, v, kv_lengths=lengths)
+    att = att.reshape(b, t, d)
     return (att + mem) @ lp["w_out"] + lp["b_out"]
 
 

@@ -44,6 +44,7 @@ class Qwen3Config:
     rope_theta: float = 1_000_000.0
     tie_word_embeddings: bool = True
     max_position_embeddings: int = 40960
+    use_flash: bool = False  # Pallas flash attention for prefill (TPU)
     dtype: Any = jnp.bfloat16
 
     # tokens the reference decodes with (ChatML; reference infer.py:395-396)
@@ -194,9 +195,15 @@ def forward_hidden(
     def body(x, lp):
         h = rms_norm(x, lp["input_ln"], cfg.rms_norm_eps)
         q, k, v = _layer_qkv(lp, cfg, h, cos, sin)
-        attn = gqa_attention(
-            q, k, v, causal=True, q_positions=positions, kv_lengths=attn_lengths
-        )
+        if cfg.use_flash and attn_lengths is not None:
+            from ..ops.flash_attention import flash_attention
+
+            attn = flash_attention(q, k, v, attn_lengths, causal=True)
+        else:
+            attn = gqa_attention(
+                q, k, v, causal=True, q_positions=positions,
+                kv_lengths=attn_lengths,
+            )
         b, t, _, _ = attn.shape
         x = x + attn.reshape(b, t, -1) @ lp["wo"]
         h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)

@@ -58,8 +58,11 @@ def gqa_attention(
     k = repeat_kv(k, n_rep)
     v = repeat_kv(v, n_rep)
 
+    # operands stay in their (bf16) dtype — the MXU accumulates in f32 via
+    # preferred_element_type, which is the flash-attention numerics contract;
+    # upcasting operands to f32 would quarter MXU throughput.
     logits = jnp.einsum(
-        "btnd,bsnd->bnts", q.astype(jnp.float32) * scale, k.astype(jnp.float32),
+        "btnd,bsnd->bnts", (q * scale).astype(q.dtype), k,
         preferred_element_type=jnp.float32,
     )
     mask = None
@@ -81,9 +84,9 @@ def gqa_attention(
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
 
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1)  # f32
     out = jnp.einsum(
-        "bnts,bsnd->btnd", probs, v.astype(jnp.float32),
+        "bnts,bsnd->btnd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
     )
     return out.astype(q.dtype)

@@ -1,0 +1,179 @@
+"""Pallas TPU flash attention (prefill / encoder).
+
+The XLA attention path materializes the [B, N, T, T] score tensor in HBM
+(653 MB at the benchmark's batch-16 / T≈1600 encoder shapes). This kernel
+streams K/V blocks through VMEM with online softmax — the standard
+flash-attention tiling — supporting:
+
+- causal or full attention (LLM prefill vs SAN-M encoder),
+- per-batch KV length masking (ragged batches),
+- GQA without materializing repeated KV: the BlockSpec index_map points
+  each query head at its KV group (head h reads kv row h // n_rep).
+
+Layouts: q [B, T, Nq, D], k/v [B, S, Nkv, D] — same contract as
+`ops.attention.gqa_attention`, which remains the XLA reference
+(tests compare the two in interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(
+    kv_lens_ref,   # [B] int32 (scalar prefetch)
+    q_ref,         # [1, BQ, D]
+    k_ref,         # [1, BK, D]
+    v_ref,         # [1, BK, D]
+    out_ref,       # [1, BQ, D]
+    acc_ref,       # [BQ, D] f32
+    m_ref,         # [BQ, 128] f32
+    l_ref,         # [BQ, 128] f32
+    *,
+    block_q: int,
+    block_k: int,
+    num_q_heads: int,
+    causal: bool,
+    scale: float,
+):
+    bn = pl.program_id(0)
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+    nk = pl.num_programs(2)
+    b = bn // num_q_heads
+    kv_len = kv_lens_ref[b]
+
+    @pl.when(kj == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q_start = qi * block_q
+    k_start = kj * block_k
+    # skip fully-masked blocks: beyond kv_len, or strictly future (causal)
+    in_range = k_start < kv_len
+    if causal:
+        in_range = jnp.logical_and(in_range, k_start <= q_start + block_q - 1)
+
+    @pl.when(in_range)
+    def _process():
+        q = q_ref[0].astype(jnp.float32) * scale  # [BQ, D]
+        k = k_ref[0].astype(jnp.float32)  # [BK, D]
+        v = v_ref[0].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK]
+        kpos = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = kpos < kv_len
+        if causal:
+            qpos = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            mask = jnp.logical_and(mask, kpos <= qpos)
+        scores = jnp.where(mask, scores, _NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(scores - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(kj == nk - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0] = (acc_ref[:] / safe_l).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "block_q", "block_k", "interpret"),
+)
+def flash_attention(
+    q: jax.Array,  # [B, T, Nq, D]
+    k: jax.Array,  # [B, S, Nkv, D]
+    v: jax.Array,
+    kv_lengths: jax.Array = None,  # [B]
+    *,
+    causal: bool = False,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    b, t, nq, d = q.shape
+    s, nkv = k.shape[1], k.shape[2]
+    n_rep = nq // nkv
+    if kv_lengths is None:
+        kv_lengths = jnp.full((b,), s, jnp.int32)
+    block_q = min(block_q, t)
+    block_k = min(block_k, s)
+    # pad T/S to block multiples
+    t_pad = -(-t // block_q) * block_q
+    s_pad = -(-s // block_k) * block_k
+    qh = jnp.moveaxis(q, 2, 1).reshape(b * nq, t, d)
+    kh = jnp.moveaxis(k, 2, 1).reshape(b * nkv, s, d)
+    vh = jnp.moveaxis(v, 2, 1).reshape(b * nkv, s, d)
+    if t_pad != t:
+        qh = jnp.pad(qh, ((0, 0), (0, t_pad - t), (0, 0)))
+    if s_pad != s:
+        kh = jnp.pad(kh, ((0, 0), (0, s_pad - s), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, s_pad - s), (0, 0)))
+
+    def kv_index(bn, qi, kj, lens):
+        # query row bn = b*Nq + h reads kv row b*Nkv + h // n_rep
+        bb = bn // nq
+        h = bn % nq
+        return (bb * nkv + h // n_rep, kj, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * nq, t_pad // block_q, s_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bn, qi, kj, lens: (bn, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), kv_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda bn, qi, kj, lens: (bn, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _flash_kernel, block_q=block_q, block_k=block_k, num_q_heads=nq,
+        causal=causal, scale=d ** -0.5,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * nq, t_pad, d), q.dtype),
+        interpret=interpret,
+    )(kv_lengths.astype(jnp.int32), qh, kh, vh)
+    out = out[:, :t].reshape(b, nq, t, d)
+    return jnp.moveaxis(out, 1, 2)

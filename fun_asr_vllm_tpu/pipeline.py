@@ -67,6 +67,29 @@ class BatchPipeline:
 
     def transcribe_batch(self, wavs: Sequence[np.ndarray]) -> List[str]:
         m = self.model
+        fe = m.frontend
+        can_fuse = (
+            m.vllm is not None and fe.lfr_m == 1 and fe.lfr_n == 1
+            and fe.cmvn is None
+        )
+        if can_fuse:
+            # single-dispatch path: fbank→encoder→adaptor→prompt→prefill
+            t0 = time.perf_counter()
+            batch, frame_counts = fe.batchify(list(wavs))
+            t1 = t2 = time.perf_counter()
+            outs = m.vllm.generate_fused(
+                batch, frame_counts,
+                m.encoder_params, m.encoder_cfg,
+                m.adaptor_params, m.adaptor_cfg, fe,
+                self._prefix_dev, self._suffix_dev,
+                m.vllm_sampling_params or self.sampling,
+            )
+            texts = [o.outputs[0].text for o in outs]
+            t3 = time.perf_counter()
+            self.timings["fbank"] += t1 - t0
+            self.timings["encode"] += t2 - t1
+            self.timings["generate"] += t3 - t2
+            return texts
         t0 = time.perf_counter()
         speech, speech_lengths = m.frontend.extract(list(wavs))
         t1 = time.perf_counter()

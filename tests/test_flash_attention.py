@@ -1,0 +1,65 @@
+"""Pallas flash attention vs the XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fun_asr_vllm_tpu.ops.attention import gqa_attention
+from fun_asr_vllm_tpu.ops.flash_attention import flash_attention
+
+
+def _mk(seed, b=2, t=160, nq=4, nkv=4, d=64):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(b, t, nq, d)).astype(np.float32)
+    k = rng.normal(size=(b, t, nkv, d)).astype(np.float32)
+    v = rng.normal(size=(b, t, nkv, d)).astype(np.float32)
+    return map(jnp.asarray, (q, k, v))
+
+
+class TestFlashAttention:
+    def test_full_attention_matches(self):
+        q, k, v = _mk(0)
+        lens = jnp.asarray([160, 100], jnp.int32)
+        ref = gqa_attention(q, k, v, causal=False, kv_lengths=lens)
+        got = flash_attention(q, k, v, lens, causal=False, block_q=64,
+                              block_k=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_causal_matches(self):
+        q, k, v = _mk(1, t=128)
+        lens = jnp.asarray([128, 77], jnp.int32)
+        ref = gqa_attention(q, k, v, causal=True, kv_lengths=lens)
+        got = flash_attention(q, k, v, lens, causal=True, block_q=64,
+                              block_k=64, interpret=True)
+        # compare only valid rows (masked tail rows differ harmlessly)
+        for b in range(2):
+            n = int(lens[b])
+            np.testing.assert_allclose(
+                np.asarray(got)[b, :n], np.asarray(ref)[b, :n],
+                atol=2e-5, rtol=1e-4,
+            )
+
+    def test_gqa_grouping(self):
+        q, k, v = _mk(2, t=64, nq=8, nkv=2, d=128)
+        lens = jnp.asarray([64, 50], jnp.int32)
+        ref = gqa_attention(q, k, v, causal=True, kv_lengths=lens)
+        got = flash_attention(q, k, v, lens, causal=True, block_q=32,
+                              block_k=32, interpret=True)
+        for b in range(2):
+            n = int(lens[b])
+            np.testing.assert_allclose(
+                np.asarray(got)[b, :n], np.asarray(ref)[b, :n],
+                atol=2e-5, rtol=1e-4,
+            )
+
+    def test_unaligned_lengths_padded(self):
+        q, k, v = _mk(3, t=100)  # not a block multiple
+        lens = jnp.asarray([100, 33], jnp.int32)
+        ref = gqa_attention(q, k, v, causal=False, kv_lengths=lens)
+        got = flash_attention(q, k, v, lens, causal=False, block_q=64,
+                              block_k=64, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)

@@ -1,0 +1,99 @@
+"""Training-step tests (the reference `forward` loss path, model.py:132-248):
+loss decreases under adamw, audio-span splice semantics, stats dict."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fun_asr_vllm_tpu.models import adaptor as adaptor_mod
+from fun_asr_vllm_tpu.models import encoder as encoder_mod
+from fun_asr_vllm_tpu.models import qwen3 as qwen3_mod
+from fun_asr_vllm_tpu.parallel.train import (
+    NanoConfigs,
+    make_optimizer,
+    make_synthetic_batch,
+    make_train_step,
+    nano_loss,
+    splice_audio_embeds,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    enc_cfg = encoder_mod.SANMEncoderConfig(
+        input_size=80, output_size=32, attention_heads=4, linear_units=64,
+        num_blocks=2, dtype=jnp.float32,
+    )
+    ad_cfg = adaptor_mod.NanoAdaptorConfig(
+        encoder_dim=32, llm_dim=32, ffn_dim=64, dtype=jnp.float32
+    )
+    llm_cfg = qwen3_mod.Qwen3Config(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        intermediate_size=64, dtype=jnp.float32,
+    )
+    cfgs = NanoConfigs(enc_cfg, ad_cfg, llm_cfg)
+    key = jax.random.PRNGKey(0)
+    params = {
+        "audio_encoder": encoder_mod.init_params(enc_cfg, key),
+        "audio_adaptor": adaptor_mod.init_params(ad_cfg, key),
+        "llm": qwen3_mod.init_params(llm_cfg, key),
+    }
+    return cfgs, params
+
+
+class TestSplice:
+    def test_audio_replaces_span(self):
+        b, l, h, ta = 2, 10, 4, 6
+        tok = jnp.zeros((b, l, h))
+        audio = jnp.ones((b, ta, h))
+        lens = jnp.asarray([3, 6])
+        beg = jnp.asarray([2, 0])
+        out = np.asarray(splice_audio_embeds(tok, audio, lens, beg))
+        # row 0: positions 2..4 are audio
+        assert (out[0, 2:5] == 1).all()
+        assert (out[0, :2] == 0).all() and (out[0, 5:] == 0).all()
+        # row 1: positions 0..5 are audio
+        assert (out[1, :6] == 1).all() and (out[1, 6:] == 0).all()
+
+
+class TestLoss:
+    def test_loss_and_stats(self, setup):
+        cfgs, params = setup
+        batch = {k: jnp.asarray(v) for k, v in
+                 make_synthetic_batch(cfgs, 2, 32, 24).items()}
+        loss, stats = nano_loss(params, cfgs, batch)
+        assert np.isfinite(float(loss))
+        assert 0.0 <= float(stats["acc"]) <= 1.0
+        assert float(stats["batch_tokens"]) > 0
+        # random init → loss near ln(vocab)
+        assert abs(float(loss) - np.log(cfgs.llm.vocab_size)) < 1.5
+
+    def test_loss_decreases(self, setup):
+        cfgs, params = setup
+        opt = make_optimizer(lr=5e-3)
+        # the train step donates its inputs — copy so the module-scoped
+        # fixture's buffers survive for later tests
+        params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        opt_state = opt.init(params)
+        step = make_train_step(cfgs, opt)
+        batch = {k: jnp.asarray(v) for k, v in
+                 make_synthetic_batch(cfgs, 2, 32, 24).items()}
+        losses = []
+        for _ in range(8):
+            params, opt_state, stats = step(params, opt_state, batch)
+            losses.append(float(stats["loss"]))
+        assert losses[-1] < losses[0] - 0.3, losses
+
+    def test_label_masking(self, setup):
+        """-100-masked positions must not contribute: fully-masked labels →
+        zero batch tokens handled without nan."""
+        cfgs, params = setup
+        batch = make_synthetic_batch(cfgs, 2, 32, 24)
+        batch["labels"] = np.full_like(batch["labels"], -100)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        loss, stats = nano_loss(params, cfgs, batch)
+        assert float(stats["batch_tokens"]) == 0.0
+        assert np.isfinite(float(loss)) and float(loss) == 0.0
