@@ -158,6 +158,7 @@ def main():
     if tail:
         run_epoch(utts[-tail:])
     print(f"# warmed {len(buckets)} buckets", file=sys.stderr)
+    llm.reset_stats()
 
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)

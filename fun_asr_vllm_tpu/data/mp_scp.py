@@ -38,6 +38,8 @@ def process_scp(
     use_processes: bool = False,
 ) -> None:
     """Apply `fn` to every scp line, write sorted merged output."""
+    if not os.path.exists(in_path):
+        raise SystemExit(f"error: input file not found: {in_path}")
     lines = read_scp(in_path)
     shards = split_scp(lines, max(1, num_workers))
     parts = [f"{out_path}.part{i}" for i in range(len(shards))]

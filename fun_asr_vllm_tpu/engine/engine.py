@@ -231,6 +231,10 @@ class LLM:
         self._next_rid = 0
         self.stats = {"prefill_tokens": 0, "decode_tokens": 0, "steps": 0}
 
+    def reset_stats(self) -> None:
+        for k in self.stats:
+            self.stats[k] = 0
+
     # ---------------- scheduling internals ----------------
 
     def _alloc_blocks(self, n: int) -> Optional[List[int]]:
@@ -610,15 +614,10 @@ class LLM:
             self._admit(waiting)
             if any(r is not None for r in self._slots):
                 if sp.is_greedy:
-                    # adapt K to the largest remaining budget so short tails
-                    # don't burn full bursts (compiles one program per K)
-                    remaining = max(
-                        (r.max_tokens - len(r.out_ids))
-                        for r in self._slots if r is not None
-                    )
+                    # fixed K: every distinct burst size compiles another
+                    # full decode program (expensive on this transport);
+                    # overshoot past EOS/max wastes ≤ K-1 cheap steps
                     k = self.decode_burst_size
-                    while k // 2 >= remaining and k > 1:
-                        k //= 2
                     self._grow_blocks_if_needed(horizon=k)
                     self._decode_burst(k)
                 else:

@@ -266,6 +266,17 @@ class FunASRNano:
         enc_cfg = encoder_mod.SANMEncoderConfig.from_conf(
             cfg.audio_encoder_conf, input_size=cfg.input_size, dtype=jdtype
         )
+        # auto-enable the Pallas flash kernels on TPU for lane-aligned dims
+        # unless the config pins them off
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        if (
+            on_tpu
+            and "use_flash" not in cfg.audio_encoder_conf
+            and enc_cfg.output_size % (enc_cfg.attention_heads * 128) == 0
+        ):
+            import dataclasses as _dc
+
+            enc_cfg = _dc.replace(enc_cfg, use_flash=True)
         ad_cfg = adaptor_mod.NanoAdaptorConfig.from_conf(
             cfg.audio_adaptor_conf, dtype=jdtype
         )
@@ -306,6 +317,11 @@ class FunASRNano:
                 dtype=jdtype,
             )
             ad_params = adaptor_mod.init_params(ad_cfg, jax.random.PRNGKey(2))
+
+        if on_tpu and llm_cfg.head_dim % 128 == 0 and not llm_cfg.use_flash:
+            import dataclasses as _dc
+
+            llm_cfg = _dc.replace(llm_cfg, use_flash=True)
 
         m = FunASRNano(
             encoder_params=enc_params, encoder_cfg=enc_cfg,

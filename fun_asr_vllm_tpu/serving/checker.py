@@ -47,3 +47,25 @@ class ASR_Checker:
             "asr_check lang=%s wer=%.3f passed=%s", lang, wer, passed
         )
         return passed, wer, transcript
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description="WER-gated ASR QA check")
+    ap.add_argument("--text", required=True)
+    ap.add_argument("--audio", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=10095)
+    ap.add_argument("--wer_threshold", type=float, default=0.3)
+    args = ap.parse_args()
+    logging.basicConfig(level=logging.INFO)
+    checker = ASR_Checker(zh_host=args.host, zh_port=args.port,
+                          wer_threshold=args.wer_threshold)
+    passed, wer, transcript = checker.check(args.text, args.audio)
+    print(f"passed={passed} wer={wer:.3f} transcript={transcript}")
+    raise SystemExit(0 if passed else 1)
+
+
+if __name__ == "__main__":
+    main()
