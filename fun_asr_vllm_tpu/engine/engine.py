@@ -433,6 +433,55 @@ class LLM:
         waiting = deque(reqs)
         return self._run(reqs, waiting, sp, use_tqdm)
 
+    def _admit_direct(self, prompt_lens: np.ndarray, sp: SamplingParams):
+        """Allocate slots/blocks for a wave of known prompt lengths →
+        (reqs, block tables [n, MB]). Shared by the device fast paths."""
+        bs = self.cache_cfg.block_size
+        mbps = self.cache_cfg.max_blocks_per_seq
+        reqs: List[_Request] = []
+        tables = np.zeros((len(prompt_lens), mbps), np.int32)
+        for j, plen in enumerate(prompt_lens):
+            req = _Request.__new__(_Request)
+            req.rid = self._next_rid
+            self._next_rid += 1
+            req.embeds = None
+            req.prompt_len = int(plen)
+            req.max_tokens = min(
+                sp.max_tokens,
+                max(1, self.cache_cfg.max_model_len - req.prompt_len),
+            )
+            req.out_ids = []
+            req.done = False
+            req.t_enqueue = time.perf_counter()
+            req.t_first_token = 0.0
+            slot = self._slots.index(None)
+            blocks = self._alloc_blocks(-(-(req.prompt_len + 1) // bs))
+            if blocks is None:
+                raise RuntimeError("KV cache out of blocks")
+            req.slot = slot
+            req.blocks = blocks
+            self._slots[slot] = req
+            tables[j, : len(blocks)] = blocks
+            reqs.append(req)
+        return reqs, tables
+
+    def _post_prefill(self, reqs: List[_Request], logits: jax.Array) -> None:
+        """Sample first tokens and arm the decode slots after a prefill."""
+        firsts = self._sample(logits)
+        now = time.perf_counter()
+        for j, req in enumerate(reqs):
+            t = req.prompt_len
+            self.stats["prefill_tokens"] += t
+            req.t_first_token = now
+            slot = req.slot
+            self._block_tables[slot, :] = 0
+            self._block_tables[slot, : len(req.blocks)] = req.blocks
+            self._positions[slot] = t
+            self._seq_lens[slot] = t + 1
+            self._last_tokens[slot] = firsts[j]
+            self._active[slot] = True
+            self._handle_token(req, int(firsts[j]))
+
     def generate_from_audio(
         self,
         audio_embeds: jax.Array,   # [B, Ta, H] on device
@@ -451,62 +500,22 @@ class LLM:
         lens_np = np.asarray(audio_lens, dtype=np.int64)
         b = int(audio_embeds.shape[0])
         p, q = prefix_embeds.shape[0], suffix_embeds.shape[0]
-        mbps = self.cache_cfg.max_blocks_per_seq
-        bs = self.cache_cfg.block_size
         all_reqs: List[_Request] = []
         for start in range(0, b, self.max_num_seqs):
             stop = min(start + self.max_num_seqs, b)
-            n = stop - start
             tb = _bucket_len(p + int(lens_np[start:stop].max()) + q)
             embeds, total_lens = build_prompt_embeds_device(
                 prefix_embeds, suffix_embeds, audio_embeds[start:stop],
                 jnp.asarray(audio_lens[start:stop]), t_bucket=tb,
             )
             total_np = np.asarray(total_lens, dtype=np.int64)
-            reqs: List[_Request] = []
-            tables = np.zeros((n, mbps), np.int32)
-            lengths = np.asarray(total_np, np.int32)
-            for j in range(n):
-                req = _Request.__new__(_Request)
-                req.rid = self._next_rid
-                self._next_rid += 1
-                req.embeds = None
-                req.prompt_len = int(total_np[j])
-                req.max_tokens = min(
-                    sp.max_tokens,
-                    max(1, self.cache_cfg.max_model_len - req.prompt_len),
-                )
-                req.out_ids = []
-                req.done = False
-                req.t_enqueue = time.perf_counter()
-                req.t_first_token = 0.0
-                slot = self._slots.index(None)
-                blocks = self._alloc_blocks(-(-(req.prompt_len + 1) // bs))
-                if blocks is None:
-                    raise RuntimeError("KV cache out of blocks")
-                req.slot = slot
-                req.blocks = blocks
-                self._slots[slot] = req
-                tables[j, : len(blocks)] = blocks
-                reqs.append(req)
+            reqs, tables = self._admit_direct(total_np, sp)
             logits, self.k_cache, self.v_cache = prefill_step(
                 self.params, self.cfg, self.k_cache, self.v_cache,
-                embeds, jnp.asarray(lengths), jnp.asarray(tables),
+                embeds, jnp.asarray(total_np.astype(np.int32)),
+                jnp.asarray(tables),
             )
-            firsts = self._sample(logits)
-            now = time.perf_counter()
-            for j, req in enumerate(reqs):
-                t = req.prompt_len
-                self.stats["prefill_tokens"] += t
-                req.t_first_token = now
-                slot = req.slot
-                self._block_tables[slot, :] = 0
-                self._block_tables[slot, : len(req.blocks)] = req.blocks
-                self._positions[slot] = t
-                self._seq_lens[slot] = t + 1
-                self._last_tokens[slot] = firsts[j]
-                self._active[slot] = True
-                self._handle_token(req, int(firsts[j]))
+            self._post_prefill(reqs, logits)
             self._run(reqs, deque(), sp, use_tqdm=False)
             all_reqs.extend(reqs)
         return self._collect(all_reqs, sp)
@@ -531,43 +540,16 @@ class LLM:
         sp = sampling_params or SamplingParams()
         self._cur_sampling = sp
         p, q = prefix_embeds.shape[0], suffix_embeds.shape[0]
-        bs = self.cache_cfg.block_size
-        mbps = self.cache_cfg.max_blocks_per_seq
         b = speech.shape[0]
         all_reqs: List[_Request] = []
         for start in range(0, b, self.max_num_seqs):
             stop = min(start + self.max_num_seqs, b)
-            n = stop - start
             frames = wav_frames[start:stop]
             prompt_lens = np.array(
                 [p + downsampled_length(int(f)) + q for f in frames], np.int64
             )
             tb = _bucket_len(int(prompt_lens.max()))
-            reqs: List[_Request] = []
-            tables = np.zeros((n, mbps), np.int32)
-            for j in range(n):
-                req = _Request.__new__(_Request)
-                req.rid = self._next_rid
-                self._next_rid += 1
-                req.embeds = None
-                req.prompt_len = int(prompt_lens[j])
-                req.max_tokens = min(
-                    sp.max_tokens,
-                    max(1, self.cache_cfg.max_model_len - req.prompt_len),
-                )
-                req.out_ids = []
-                req.done = False
-                req.t_enqueue = time.perf_counter()
-                req.t_first_token = 0.0
-                slot = self._slots.index(None)
-                blocks = self._alloc_blocks(-(-(req.prompt_len + 1) // bs))
-                if blocks is None:
-                    raise RuntimeError("KV cache out of blocks")
-                req.slot = slot
-                req.blocks = blocks
-                self._slots[slot] = req
-                tables[j, : len(blocks)] = blocks
-                reqs.append(req)
+            reqs, tables = self._admit_direct(prompt_lens, sp)
             logits, self.k_cache, self.v_cache = fused_encode_prefill(
                 enc_params, ad_params, self.params,
                 enc_cfg, ad_cfg, self.cfg,
@@ -582,20 +564,7 @@ class LLM:
                 window_type=frontend.window,
                 fs=frontend.fs,
             )
-            firsts = self._sample(logits)
-            now = time.perf_counter()
-            for j, req in enumerate(reqs):
-                t = req.prompt_len
-                self.stats["prefill_tokens"] += t
-                req.t_first_token = now
-                slot = req.slot
-                self._block_tables[slot, :] = 0
-                self._block_tables[slot, : len(req.blocks)] = req.blocks
-                self._positions[slot] = t
-                self._seq_lens[slot] = t + 1
-                self._last_tokens[slot] = firsts[j]
-                self._active[slot] = True
-                self._handle_token(req, int(firsts[j]))
+            self._post_prefill(reqs, logits)
             self._run(reqs, deque(), sp, use_tqdm=False)
             all_reqs.extend(reqs)
         return self._collect(all_reqs, sp)
