@@ -53,9 +53,18 @@ def main():
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax.profiler trace of the timed epoch")
+    ap.add_argument("--no_prefetch", action="store_true")
+    ap.add_argument("--int16_upload", action="store_true",
+                    help="measured SLOWER on this transport (int16 takes a "
+                         "conversion path); default f32")
     args = ap.parse_args()
 
     import jax
+
+    # persistent compilation cache: repeat bench runs (and the driver's)
+    # skip the multi-minute flagship compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from fun_asr_vllm_tpu.audio.frontend import WavFrontend
@@ -100,6 +109,9 @@ def main():
         params=llm_params, config=llm_cfg, tokenizer=None,
         dtype=args.dtype, max_num_seqs=args.max_num_seqs,
         max_model_len=1536,
+        # one burst covers a typical zh transcript → one decode dispatch
+        # per batch on this high-RTT transport
+        decode_burst_size=16,
     )
 
     # 4 s length buckets bound the number of compiled encoder shapes
@@ -120,21 +132,34 @@ def main():
     suffix_dev = jnp.asarray(suffix)
 
     def run_epoch(utt_list):
+        """The reference hot loop (infer.py:441-501): per batch — feature
+        prep, encode+prefill (one fused dispatch), decode, normalize. The
+        NEXT batch's waveform upload is issued asynchronously while the
+        current batch computes (the torch-DataLoader-prefetch analogue)."""
         hyp_count = 0
+        batches = []
         for i in range(0, len(utt_list), args.batch_size):
             batch = utt_list[i : i + args.batch_size]
-            speech, speech_lengths = frontend.extract(batch)
-            enc_out, enc_lens = encoder_mod.encode(
-                enc_params, enc_cfg, speech, speech_lengths
-            )
-            audio, audio_lens = adaptor_mod.forward(
-                ad_params, ad_cfg, enc_out, enc_lens
+            pcm, frames = (
+                frontend.batchify_int16(batch) if args.int16_upload
+                else frontend.batchify(batch)
             )
             mean_dur = np.mean([len(b) for b in batch]) / 16000.0
+            batches.append((pcm, frames, mean_dur))
+        dev = batches[0][0] if args.no_prefetch else jax.device_put(
+            batches[0][0]
+        )
+        for i, (pcm, frames, mean_dur) in enumerate(batches):
+            cur = dev
+            if args.no_prefetch:
+                dev = batches[i + 1][0] if i + 1 < len(batches) else None
+            elif i + 1 < len(batches):
+                dev = jax.device_put(batches[i + 1][0])  # async prefetch
             max_toks = max(4, int(mean_dur * args.tokens_per_audio_sec))
             sp = SamplingParams(top_p=0.001, max_tokens=max_toks)
-            outs = llm.generate_from_audio(
-                audio, audio_lens, prefix_dev, suffix_dev, sp
+            outs = llm.generate_fused(
+                cur, frames, enc_params, enc_cfg, ad_params, ad_cfg,
+                frontend, prefix_dev, suffix_dev, sp,
             )
             for o in outs:
                 # reference normalizes every hyp inside the timed loop

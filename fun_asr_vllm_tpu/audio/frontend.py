@@ -158,6 +158,16 @@ class WavFrontend:
                                 dtype=np.int32)
         return batch, frame_counts
 
+    def batchify_int16(
+        self, wavs: Sequence[np.ndarray]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Like `batchify` but int16 samples — halves the host→device
+        transfer; the fused program casts to f32 in-graph."""
+        batch, frame_counts = self.batchify(wavs)
+        return (
+            np.clip(batch, -32768, 32767).astype(np.int16), frame_counts
+        )
+
     def extract(
         self, wavs: Sequence[np.ndarray]
     ) -> Tuple[jax.Array, jax.Array]:

@@ -306,12 +306,13 @@ class LLM:
                     embeds[j, : req.prompt_len] = req.embeds
                     lengths[j] = req.prompt_len
                     tables[j, : len(req.blocks)] = req.blocks
-                logits, self.k_cache, self.v_cache = prefill_step(
+                (logits, first_ids), self.k_cache, self.v_cache = prefill_step(
                     self.params, self.cfg, self.k_cache, self.v_cache,
                     jnp.asarray(embeds), jnp.asarray(lengths),
                     jnp.asarray(tables),
                 )
-                firsts = self._sample(logits)
+                firsts = (np.asarray(first_ids) if self._cur_sampling.is_greedy
+                          else self._sample(logits))
                 now = time.perf_counter()
                 for j, req in enumerate(chunk):
                     t = req.prompt_len
@@ -465,9 +466,12 @@ class LLM:
             reqs.append(req)
         return reqs, tables
 
-    def _post_prefill(self, reqs: List[_Request], logits: jax.Array) -> None:
+    def _post_prefill(self, reqs: List[_Request], logits: jax.Array,
+                      first_ids=None) -> None:
         """Sample first tokens and arm the decode slots after a prefill."""
-        firsts = self._sample(logits)
+        firsts = (np.asarray(first_ids)
+                  if first_ids is not None and self._cur_sampling.is_greedy
+                  else self._sample(logits))
         now = time.perf_counter()
         for j, req in enumerate(reqs):
             t = req.prompt_len
@@ -510,12 +514,12 @@ class LLM:
             )
             total_np = np.asarray(total_lens, dtype=np.int64)
             reqs, tables = self._admit_direct(total_np, sp)
-            logits, self.k_cache, self.v_cache = prefill_step(
+            (logits, first_ids), self.k_cache, self.v_cache = prefill_step(
                 self.params, self.cfg, self.k_cache, self.v_cache,
                 embeds, jnp.asarray(total_np.astype(np.int32)),
                 jnp.asarray(tables),
             )
-            self._post_prefill(reqs, logits)
+            self._post_prefill(reqs, logits, first_ids)
             self._run(reqs, deque(), sp, use_tqdm=False)
             all_reqs.extend(reqs)
         return self._collect(all_reqs, sp)
@@ -550,7 +554,7 @@ class LLM:
             )
             tb = _bucket_len(int(prompt_lens.max()))
             reqs, tables = self._admit_direct(prompt_lens, sp)
-            logits, self.k_cache, self.v_cache = fused_encode_prefill(
+            (logits, first_ids), self.k_cache, self.v_cache = fused_encode_prefill(
                 enc_params, ad_params, self.params,
                 enc_cfg, ad_cfg, self.cfg,
                 self.k_cache, self.v_cache,
@@ -564,7 +568,7 @@ class LLM:
                 window_type=frontend.window,
                 fs=frontend.fs,
             )
-            self._post_prefill(reqs, logits)
+            self._post_prefill(reqs, logits, first_ids)
             self._run(reqs, deque(), sp, use_tqdm=False)
             all_reqs.extend(reqs)
         return self._collect(all_reqs, sp)

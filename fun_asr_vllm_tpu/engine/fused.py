@@ -59,10 +59,14 @@ def fused_encode_prefill(
     window_type: str = "hamming",
     fs: int = 16000,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """→ (first-token logits [B, V], k_cache, v_cache)."""
+    """→ ((logits [B, V], greedy first ids [B]), k_cache, v_cache).
+
+    `speech` may be int16 (preferred — halves the upload) or float32 at
+    int16 scale; cast happens in-graph."""
     feats = fbank_jax(
-        speech, frame_length=frame_length, frame_shift=frame_shift,
-        n_mels=n_mels, window_type=window_type, fs=fs,
+        speech.astype(jnp.float32), frame_length=frame_length,
+        frame_shift=frame_shift, n_mels=n_mels, window_type=window_type,
+        fs=fs,
     )
     enc_out, enc_lens = encoder_mod.encode(enc_params, enc_cfg, feats, wav_frames)
     audio, audio_lens = adaptor_mod.forward(ad_params, ad_cfg, enc_out, enc_lens)

@@ -266,7 +266,10 @@ def _prefill_core(
         hidden, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
     logits = qwen3.lm_logits(params, cfg, last_hidden)
-    return logits, k_cache, v_cache
+    # greedy first tokens computed in-graph (saves a dispatch round trip;
+    # non-greedy callers sample from the returned logits instead)
+    first_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return (logits, first_ids), k_cache, v_cache
 
 
 prefill_step = partial(
