@@ -434,9 +434,12 @@ class LLM:
         waiting = deque(reqs)
         return self._run(reqs, waiting, sp, use_tqdm)
 
-    def _admit_direct(self, prompt_lens: np.ndarray, sp: SamplingParams):
+    def _admit_direct(self, prompt_lens: np.ndarray, sp: SamplingParams,
+                      extra: int = 0):
         """Allocate slots/blocks for a wave of known prompt lengths →
-        (reqs, block tables [n, MB]). Shared by the device fast paths."""
+        (reqs, block tables [n, MB]). `extra` pre-allocates decode
+        positions (single-shot programs write K steps ahead). Shared by
+        the device fast paths."""
         bs = self.cache_cfg.block_size
         mbps = self.cache_cfg.max_blocks_per_seq
         reqs: List[_Request] = []
@@ -456,7 +459,9 @@ class LLM:
             req.t_enqueue = time.perf_counter()
             req.t_first_token = 0.0
             slot = self._slots.index(None)
-            blocks = self._alloc_blocks(-(-(req.prompt_len + 1) // bs))
+            need = min(-(-(req.prompt_len + 1 + extra) // bs),
+                       self.cache_cfg.max_blocks_per_seq)
+            blocks = self._alloc_blocks(need)
             if blocks is None:
                 raise RuntimeError("KV cache out of blocks")
             req.slot = slot
@@ -541,11 +546,21 @@ class LLM:
         from ..models.adaptor import downsampled_length
         from .fused import fused_encode_prefill
 
+        from .fused import fused_encode_prefill_decode
+
         sp = sampling_params or SamplingParams()
         self._cur_sampling = sp
         p, q = prefix_embeds.shape[0], suffix_embeds.shape[0]
         b = speech.shape[0]
+        k = self.decode_burst_size
+        single_shot = sp.is_greedy
         all_reqs: List[_Request] = []
+        fe_kw = dict(
+            frame_length=frontend._frame_len_samp,
+            frame_shift=frontend._frame_shift_samp,
+            n_mels=frontend.n_mels, window_type=frontend.window,
+            fs=frontend.fs,
+        )
         for start in range(0, b, self.max_num_seqs):
             stop = min(start + self.max_num_seqs, b)
             frames = wav_frames[start:stop]
@@ -553,22 +568,59 @@ class LLM:
                 [p + downsampled_length(int(f)) + q for f in frames], np.int64
             )
             tb = _bucket_len(int(prompt_lens.max()))
-            reqs, tables = self._admit_direct(prompt_lens, sp)
-            (logits, first_ids), self.k_cache, self.v_cache = fused_encode_prefill(
-                enc_params, ad_params, self.params,
-                enc_cfg, ad_cfg, self.cfg,
-                self.k_cache, self.v_cache,
-                jnp.asarray(speech[start:stop]), jnp.asarray(frames),
-                prefix_embeds, suffix_embeds,
-                jnp.asarray(prompt_lens.astype(np.int32)), jnp.asarray(tables),
-                t_bucket=tb,
-                frame_length=frontend._frame_len_samp,
-                frame_shift=frontend._frame_shift_samp,
-                n_mels=frontend.n_mels,
-                window_type=frontend.window,
-                fs=frontend.fs,
+            reqs, tables = self._admit_direct(
+                prompt_lens, sp, extra=k if single_shot else 0
             )
-            self._post_prefill(reqs, logits, first_ids)
+            if single_shot:
+                # ONE dispatch: encode + prefill + K greedy decode steps
+                tokens, self.k_cache, self.v_cache = fused_encode_prefill_decode(
+                    enc_params, ad_params, self.params,
+                    enc_cfg, ad_cfg, self.cfg,
+                    self.k_cache, self.v_cache,
+                    jnp.asarray(speech[start:stop]), jnp.asarray(frames),
+                    prefix_embeds, suffix_embeds,
+                    jnp.asarray(prompt_lens.astype(np.int32)),
+                    jnp.asarray(tables),
+                    t_bucket=tb, num_steps=k, use_pallas=self.use_pallas,
+                    **fe_kw,
+                )
+                tokens = np.asarray(tokens)  # [K+1, B]
+                now = time.perf_counter()
+                self.stats["steps"] += k
+                for j, req in enumerate(reqs):
+                    slot = req.slot
+                    self.stats["prefill_tokens"] += req.prompt_len
+                    req.t_first_token = now
+                    self._block_tables[slot, :] = 0
+                    self._block_tables[slot, : len(req.blocks)] = req.blocks
+                    self._positions[slot] = req.prompt_len
+                    self._seq_lens[slot] = req.prompt_len + 1
+                    self._active[slot] = True
+                for step in range(k + 1):
+                    for j, req in enumerate(reqs):
+                        if req.done:
+                            continue
+                        slot = req.slot
+                        if step > 0:
+                            self.stats["decode_tokens"] += 1
+                            self._positions[slot] += 1
+                            self._seq_lens[slot] += 1
+                        self._last_tokens[slot] = tokens[step, j]
+                        self._handle_token(req, int(tokens[step, j]))
+            else:
+                (logits, first_ids), self.k_cache, self.v_cache = (
+                    fused_encode_prefill(
+                        enc_params, ad_params, self.params,
+                        enc_cfg, ad_cfg, self.cfg,
+                        self.k_cache, self.v_cache,
+                        jnp.asarray(speech[start:stop]), jnp.asarray(frames),
+                        prefix_embeds, suffix_embeds,
+                        jnp.asarray(prompt_lens.astype(np.int32)),
+                        jnp.asarray(tables),
+                        t_bucket=tb, **fe_kw,
+                    )
+                )
+                self._post_prefill(reqs, logits, first_ids)
             self._run(reqs, deque(), sp, use_tqdm=False)
             all_reqs.extend(reqs)
         return self._collect(all_reqs, sp)

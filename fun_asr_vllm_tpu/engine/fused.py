@@ -28,7 +28,7 @@ from ..models import adaptor as adaptor_mod
 from ..models import encoder as encoder_mod
 from ..models.qwen3 import Qwen3Config
 from .engine import build_prompt_embeds_device
-from .kv_cache import _prefill_core
+from .kv_cache import _decode_core, _prefill_core
 
 
 @partial(
@@ -61,8 +61,90 @@ def fused_encode_prefill(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """→ ((logits [B, V], greedy first ids [B]), k_cache, v_cache).
 
-    `speech` may be int16 (preferred — halves the upload) or float32 at
-    int16 scale; cast happens in-graph."""
+    `speech` may be int16 or float32 at int16 scale; cast happens
+    in-graph."""
+    return _fused_prefill(
+        enc_params, ad_params, llm_params, enc_cfg, ad_cfg, llm_cfg,
+        k_cache, v_cache, speech, wav_frames, prefix, suffix,
+        prompt_lengths, block_tables, t_bucket, frame_length, frame_shift,
+        n_mels, window_type, fs,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("enc_cfg", "ad_cfg", "llm_cfg", "t_bucket", "num_steps",
+                     "frame_length", "frame_shift", "n_mels", "window_type",
+                     "fs", "use_pallas"),
+    donate_argnames=("k_cache", "v_cache"),
+)
+def fused_encode_prefill_decode(
+    enc_params: Dict,
+    ad_params: Dict,
+    llm_params: Dict,
+    enc_cfg: encoder_mod.SANMEncoderConfig,
+    ad_cfg: adaptor_mod.NanoAdaptorConfig,
+    llm_cfg: Qwen3Config,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    speech: jax.Array,          # [B, N]
+    wav_frames: jax.Array,      # [B]
+    prefix: jax.Array,          # [P, H]
+    suffix: jax.Array,          # [Q, H]
+    prompt_lengths: jax.Array,  # [B]
+    block_tables: jax.Array,    # [B, MB]
+    t_bucket: int,
+    num_steps: int = 16,
+    frame_length: int = 400,
+    frame_shift: int = 160,
+    n_mels: int = 80,
+    window_type: str = "hamming",
+    fs: int = 16000,
+    use_pallas: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """The whole batch in ONE dispatch: fbank → encoder → adaptor → prompt
+    assembly → prefill → `num_steps` greedy decode steps.
+
+    → (tokens [num_steps+1, B] int32, k_cache, v_cache). Block tables must
+    cover prompt + num_steps + 1 positions. The host truncates each row at
+    EOS / its max_tokens; sequences needing more than num_steps tokens
+    continue with regular decode bursts."""
+    (_logits, first_ids), k_cache, v_cache = _fused_prefill(
+        enc_params, ad_params, llm_params, enc_cfg, ad_cfg, llm_cfg,
+        k_cache, v_cache, speech, wav_frames, prefix, suffix,
+        prompt_lengths, block_tables, t_bucket, frame_length, frame_shift,
+        n_mels, window_type, fs,
+    )
+
+    active = jnp.ones((speech.shape[0],), bool)
+
+    def step(carry, i):
+        toks, kc, vc = carry
+        # step i writes the KV of the token sampled at step i-1 (or the
+        # prefill's first token) at position prompt_len + i
+        pos = prompt_lengths + i
+        lens = prompt_lengths + 1 + i  # kv length incl. it
+        logits, kc, vc = _decode_core(
+            llm_params, llm_cfg, kc, vc, toks, pos, block_tables, lens,
+            active, use_pallas,
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, kc, vc), nxt
+
+    (_, k_cache, v_cache), steps_tokens = jax.lax.scan(
+        step, (first_ids, k_cache, v_cache),
+        jnp.arange(num_steps, dtype=jnp.int32),
+    )
+    tokens = jnp.concatenate([first_ids[None], steps_tokens], axis=0)
+    return tokens, k_cache, v_cache
+
+
+def _fused_prefill(
+    enc_params, ad_params, llm_params, enc_cfg, ad_cfg, llm_cfg,
+    k_cache, v_cache, speech, wav_frames, prefix, suffix,
+    prompt_lengths, block_tables, t_bucket, frame_length, frame_shift,
+    n_mels, window_type, fs,
+):
     feats = fbank_jax(
         speech.astype(jnp.float32), frame_length=frame_length,
         frame_shift=frame_shift, n_mels=n_mels, window_type=window_type,
@@ -73,7 +155,8 @@ def fused_encode_prefill(
     embeds, _total = build_prompt_embeds_device(
         prefix, suffix, audio, audio_lens, t_bucket=t_bucket
     )
-    return _prefill_core(
+    (_logits, first_ids), k_cache, v_cache = _prefill_core(
         llm_params, llm_cfg, k_cache, v_cache, embeds, prompt_lengths,
         block_tables,
     )
+    return (_logits, first_ids), k_cache, v_cache

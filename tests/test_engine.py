@@ -159,6 +159,55 @@ class TestDeviceFastPath:
         assert got == want
 
 
+class TestSingleShot:
+    def test_generate_fused_matches_generate(self, setup):
+        """The one-dispatch encode+prefill+decode program must produce the
+        same token streams as the host-side path, including sequences that
+        need more tokens than one burst."""
+        import jax.numpy as jnp
+
+        from fun_asr_vllm_tpu.audio.frontend import WavFrontend
+        from fun_asr_vllm_tpu.models import adaptor as adaptor_mod
+        from fun_asr_vllm_tpu.models import encoder as encoder_mod
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        enc_cfg = encoder_mod.SANMEncoderConfig(
+            input_size=80, output_size=32, attention_heads=4,
+            linear_units=64, num_blocks=2, dtype=jnp.float32,
+        )
+        ad_cfg = adaptor_mod.NanoAdaptorConfig(
+            encoder_dim=32, llm_dim=h, ffn_dim=64, dtype=jnp.float32
+        )
+        key = jax.random.PRNGKey(3)
+        enc_params = encoder_mod.init_params(enc_cfg, key)
+        ad_params = adaptor_mod.init_params(ad_cfg, key)
+        fe = WavFrontend(dither=0.0)
+        rng = np.random.default_rng(0)
+        wavs = [rng.normal(scale=0.05, size=n).astype(np.float32)
+                for n in (16000, 9000, 12000)]
+        pcm, frames = fe.batchify(wavs)
+        prefix = jnp.asarray(rng.normal(scale=0.3, size=(3, h)),
+                             jnp.float32)
+        suffix = jnp.asarray(rng.normal(scale=0.3, size=(2, h)),
+                             jnp.float32)
+
+        def run(burst, max_tokens):
+            llm = make_llm(params, cfg, max_num_seqs=2,
+                           decode_burst_size=burst)
+            outs = llm.generate_fused(
+                pcm, frames, enc_params, enc_cfg, ad_params, ad_cfg, fe,
+                prefix, suffix,
+                SamplingParams(temperature=0.0, max_tokens=max_tokens),
+            )
+            return [o.outputs[0].token_ids for o in outs]
+
+        # small burst forces continuation bursts after the single shot
+        want = run(burst=8, max_tokens=6)
+        got = run(burst=2, max_tokens=6)
+        assert got == want
+
+
 class TestSampling:
     def test_topp_sampling_runs(self, setup):
         params, cfg = setup
