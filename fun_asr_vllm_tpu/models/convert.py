@@ -14,7 +14,7 @@ safetensors checkpoints load without torch.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Iterable, Mapping
+from typing import Any, Dict, Iterable, Mapping, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -124,11 +124,72 @@ def qwen3_from_state_dict(
     return params
 
 
-def qwen3_from_pretrained(model_dir: str, dtype=jnp.bfloat16):
+def qwen3_from_pretrained(model_dir: str, dtype=jnp.bfloat16,
+                          lora_dir: str = None):
     cfg = Qwen3Config.from_pretrained(model_dir, dtype=dtype)
     sd = load_state_dict(model_dir)
+    if lora_dir:
+        lora_sd, scaling = load_lora_dir(lora_dir)
+        sd = merge_lora(sd, lora_sd, scaling=scaling)
     return qwen3_from_state_dict(sd, cfg), cfg
 
 
 def subdict(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def merge_lora(
+    sd: Dict[str, np.ndarray],
+    lora_sd: Mapping[str, np.ndarray],
+    scaling: Optional[float] = None,
+    alpha: Optional[float] = None,
+) -> Dict[str, np.ndarray]:
+    """Merge PEFT LoRA weights into a base state_dict (inference-time
+    equivalent of the reference's `PeftModel.from_pretrained`,
+    reference model.py:91-98): W ← W + scaling · B @ A.
+
+    PEFT names adapters
+    ``base_model.model.<module>.lora_A.weight`` / ``...lora_B.weight``
+    (optionally with a ``.default`` adapter segment); `scaling` defaults to
+    alpha / r inferred from the A matrix rank when `alpha` is given,
+    else 1.0."""
+    merged = dict(sd)
+    a_mats: Dict[str, np.ndarray] = {}
+    b_mats: Dict[str, np.ndarray] = {}
+    for key, val in lora_sd.items():
+        k = key.replace("base_model.model.", "").replace(".default", "")
+        if ".lora_A." in k:
+            a_mats[k.split(".lora_A.")[0]] = _to_np(val)
+        elif ".lora_B." in k:
+            b_mats[k.split(".lora_B.")[0]] = _to_np(val)
+    for module, a in a_mats.items():
+        b = b_mats.get(module)
+        if b is None:
+            continue
+        base_key = module + ".weight"
+        if base_key not in merged:
+            logging_key = module
+            raise KeyError(f"LoRA target {logging_key!r} not in base weights")
+        r = a.shape[0]
+        s = scaling if scaling is not None else (
+            (alpha / r) if alpha is not None else 1.0
+        )
+        merged[base_key] = (
+            merged[base_key].astype(np.float32) + s * (b @ a)
+        ).astype(merged[base_key].dtype)
+    return merged
+
+
+def load_lora_dir(lora_dir: str) -> Tuple[Dict[str, np.ndarray], Optional[float]]:
+    """Load a PEFT adapter dir → (state_dict, scaling from its config)."""
+    import json
+
+    sd = load_state_dict(lora_dir)
+    scaling = None
+    cfg_path = os.path.join(lora_dir, "adapter_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            c = json.load(f)
+        if c.get("r"):
+            scaling = c.get("lora_alpha", c["r"]) / c["r"]
+    return sd, scaling

@@ -298,7 +298,15 @@ class FunASRNano:
             if llm_dir and os.path.exists(os.path.join(llm_dir, "config.json")):
                 from .convert import qwen3_from_pretrained
 
-                llm_params, llm_cfg = qwen3_from_pretrained(llm_dir, dtype=jdtype)
+                # optional LoRA merged at load (reference model.py:83-102)
+                lora_conf = cfg.llm_conf.get("lora_conf") or {}
+                lora_dir = (
+                    lora_conf.get("init_param_path")
+                    if cfg.llm_conf.get("use_lora") else None
+                )
+                llm_params, llm_cfg = qwen3_from_pretrained(
+                    llm_dir, dtype=jdtype, lora_dir=lora_dir
+                )
             else:
                 logger.warning(
                     "no llm weights found in %s — random-initializing", model
