@@ -139,13 +139,17 @@ def _decode_core(
     else:
         attn_impl = paged_attention_xla
 
+    nq, nkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+
     def body(carry, scanned):
         xc, kc, vc = carry
         lp, lid = scanned
         h = rms_norm(xc, lp["input_ln"], cfg.rms_norm_eps)
-        q = (h @ lp["wq"]).reshape(s, cfg.num_attention_heads, cfg.head_dim)
-        k = (h @ lp["wk"]).reshape(s, cfg.num_key_value_heads, cfg.head_dim)
-        v = (h @ lp["wv"]).reshape(s, cfg.num_key_value_heads, cfg.head_dim)
+        qkv = h @ qwen3.layer_wqkv(lp)  # fused [H, (Nq+2Nkv)D]
+        q = qkv[:, : nq * d].reshape(s, nq, d)
+        k = qkv[:, nq * d : (nq + nkv) * d].reshape(s, nkv, d)
+        v = qkv[:, (nq + nkv) * d :].reshape(s, nkv, d)
         q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
         q = apply_rope(q, cos, sin)

@@ -86,29 +86,24 @@ def qwen3_from_state_dict(
     def cast(x):
         return x.astype(cfg.dtype)
 
+    wq = _stack(sd, p + "model.layers.{}.self_attn.q_proj.weight", L, True)
+    wk = _stack(sd, p + "model.layers.{}.self_attn.k_proj.weight", L, True)
+    wv = _stack(sd, p + "model.layers.{}.self_attn.v_proj.weight", L, True)
+    w_gate = _stack(sd, p + "model.layers.{}.mlp.gate_proj.weight", L, True)
+    w_up = _stack(sd, p + "model.layers.{}.mlp.up_proj.weight", L, True)
     layers = {
         "input_ln": f32(_stack(sd, p + "model.layers.{}.input_layernorm.weight", L)),
         "post_ln": f32(
             _stack(sd, p + "model.layers.{}.post_attention_layernorm.weight", L)
         ),
-        "wq": cast(
-            _stack(sd, p + "model.layers.{}.self_attn.q_proj.weight", L, True)
-        ),
-        "wk": cast(
-            _stack(sd, p + "model.layers.{}.self_attn.k_proj.weight", L, True)
-        ),
-        "wv": cast(
-            _stack(sd, p + "model.layers.{}.self_attn.v_proj.weight", L, True)
-        ),
+        # fused projections (models/qwen3.py layout): [H, (Nq+2Nkv)D], [H, 2I]
+        "wqkv": cast(jnp.concatenate([wq, wk, wv], axis=-1)),
         "wo": cast(
             _stack(sd, p + "model.layers.{}.self_attn.o_proj.weight", L, True)
         ),
         "q_norm": f32(_stack(sd, p + "model.layers.{}.self_attn.q_norm.weight", L)),
         "k_norm": f32(_stack(sd, p + "model.layers.{}.self_attn.k_norm.weight", L)),
-        "w_gate": cast(
-            _stack(sd, p + "model.layers.{}.mlp.gate_proj.weight", L, True)
-        ),
-        "w_up": cast(_stack(sd, p + "model.layers.{}.mlp.up_proj.weight", L, True)),
+        "w_gateup": cast(jnp.concatenate([w_gate, w_up], axis=-1)),
         "w_down": cast(
             _stack(sd, p + "model.layers.{}.mlp.down_proj.weight", L, True)
         ),

@@ -393,14 +393,16 @@ def _infer_llm_cfg_from_tree(llm_params: Dict, dtype) -> Qwen3Config:
     """Derive a Qwen3Config from parameter shapes (our combined checkpoint
     carries no separate HF config.json)."""
     lyr = llm_params["layers"]
-    L, H, QD = lyr["wq"].shape
+    L, H, QKVD = lyr["wqkv"].shape
     D = lyr["q_norm"].shape[-1]
     V = llm_params["embed"].shape[0]
+    nq = lyr["wo"].shape[1] // D
+    nkv = (QKVD // D - nq) // 2
     return Qwen3Config(
         vocab_size=V, hidden_size=H, num_hidden_layers=L,
-        num_attention_heads=QD // D,
-        num_key_value_heads=lyr["wk"].shape[-1] // D,
-        head_dim=D, intermediate_size=lyr["w_gate"].shape[-1],
+        num_attention_heads=nq,
+        num_key_value_heads=nkv,
+        head_dim=D, intermediate_size=lyr["w_gateup"].shape[-1] // 2,
         tie_word_embeddings="lm_head" not in llm_params,
         eos_token_id=1 if V < 1000 else 151645,
         pad_token_id=0 if V < 1000 else 151643,

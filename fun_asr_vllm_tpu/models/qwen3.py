@@ -129,14 +129,13 @@ def init_params(cfg: Qwen3Config, key: jax.Array) -> Dict:
         "layers": {
             "input_ln": jnp.ones((L, H), jnp.float32),
             "post_ln": jnp.ones((L, H), jnp.float32),
-            "wq": w(ks[1], (L, H, Nq * D)),
-            "wk": w(ks[2], (L, H, Nkv * D)),
-            "wv": w(ks[3], (L, H, Nkv * D)),
+            # q/k/v fused into one projection (and gate/up below): decode at
+            # small batch is launch-bound — fewer, larger matmuls
+            "wqkv": w(ks[1], (L, H, (Nq + 2 * Nkv) * D)),
             "wo": w(ks[4], (L, Nq * D, H)),
             "q_norm": jnp.ones((L, D), jnp.float32),
             "k_norm": jnp.ones((L, D), jnp.float32),
-            "w_gate": w(ks[5], (L, H, I)),
-            "w_up": w(ks[6], (L, H, I)),
+            "w_gateup": w(ks[5], (L, H, 2 * I)),
             "w_down": w(ks[7], (L, I, H)),
         },
     }
@@ -151,15 +150,22 @@ def embed_tokens(params: Dict, input_ids: jax.Array) -> jax.Array:
     return jnp.take(params["embed"], input_ids, axis=0)
 
 
+def layer_wqkv(lp: Dict) -> jax.Array:
+    """The fused qkv projection weight [H, (Nq+2Nkv)·D]."""
+    return lp["wqkv"]
+
+
 def _layer_qkv(
     lp: Dict, cfg: Qwen3Config, x: jax.Array, cos: jax.Array, sin: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """x [B,T,H] → q [B,T,Nq,D], k/v [B,T,Nkv,D] with q/k-norm + RoPE."""
     b, t, _ = x.shape
     D = cfg.head_dim
-    q = (x @ lp["wq"]).reshape(b, t, cfg.num_attention_heads, D)
-    k = (x @ lp["wk"]).reshape(b, t, cfg.num_key_value_heads, D)
-    v = (x @ lp["wv"]).reshape(b, t, cfg.num_key_value_heads, D)
+    nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    qkv = x @ lp["wqkv"]  # one fused matmul
+    q = qkv[..., : nq * D].reshape(b, t, nq, D)
+    k = qkv[..., nq * D : (nq + nkv) * D].reshape(b, t, nkv, D)
+    v = qkv[..., (nq + nkv) * D :].reshape(b, t, nkv, D)
     q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
     k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
@@ -168,9 +174,9 @@ def _layer_qkv(
 
 
 def _layer_mlp(lp: Dict, x: jax.Array) -> jax.Array:
-    gate = x @ lp["w_gate"]
-    up = x @ lp["w_up"]
-    return (jax.nn.silu(gate) * up) @ lp["w_down"]
+    gateup = x @ lp["w_gateup"]  # one fused matmul
+    i = gateup.shape[-1] // 2
+    return (jax.nn.silu(gateup[..., :i]) * gateup[..., i:]) @ lp["w_down"]
 
 
 AttnFn = Callable[[int, jax.Array, jax.Array, jax.Array], jax.Array]

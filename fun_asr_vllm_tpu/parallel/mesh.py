@@ -39,14 +39,11 @@ def qwen3_param_sharding(mesh: Mesh) -> Dict:
         "layers": {
             "input_ln": P(None, None),
             "post_ln": P(None, None),
-            "wq": P(None, None, "tp"),
-            "wk": P(None, None, "tp"),
-            "wv": P(None, None, "tp"),
+            "wqkv": P(None, None, "tp"),
             "wo": P(None, "tp", None),
             "q_norm": P(None, None),
             "k_norm": P(None, None),
-            "w_gate": P(None, None, "tp"),
-            "w_up": P(None, None, "tp"),
+            "w_gateup": P(None, None, "tp"),
             "w_down": P(None, "tp", None),
         },
     }
