@@ -108,9 +108,9 @@ def main():
     llm = LLM(
         params=llm_params, config=llm_cfg, tokenizer=None,
         dtype=args.dtype, max_num_seqs=args.max_num_seqs,
-        # size the paged cache to the workload: every decode step pays a
-        # full-cache copy inside the K-step scan (XLA ping-pongs the carry),
-        # so capacity is latency — 640 covers 15 s prompts + transcripts
+        # the two-segment burst removed the per-step cache-copy penalty;
+        # 640 still measures slightly better on this transport (smaller
+        # page gathers) and covers the benchmark workload
         max_model_len=640,
         # one burst covers a typical zh transcript → one decode dispatch
         # per batch on this high-RTT transport

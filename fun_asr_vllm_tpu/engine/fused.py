@@ -28,7 +28,7 @@ from ..models import adaptor as adaptor_mod
 from ..models import encoder as encoder_mod
 from ..models.qwen3 import Qwen3Config
 from .engine import build_prompt_embeds_device
-from .kv_cache import _decode_core, _prefill_core
+from .kv_cache import _burst_core, _prefill_core
 
 
 @partial(
@@ -117,23 +117,10 @@ def fused_encode_prefill_decode(
     )
 
     active = jnp.ones((speech.shape[0],), bool)
-
-    def step(carry, i):
-        toks, kc, vc = carry
-        # step i writes the KV of the token sampled at step i-1 (or the
-        # prefill's first token) at position prompt_len + i
-        pos = prompt_lengths + i
-        lens = prompt_lengths + 1 + i  # kv length incl. it
-        logits, kc, vc = _decode_core(
-            llm_params, llm_cfg, kc, vc, toks, pos, block_tables, lens,
-            active, use_pallas,
-        )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (nxt, kc, vc), nxt
-
-    (_, k_cache, v_cache), steps_tokens = jax.lax.scan(
-        step, (first_ids, k_cache, v_cache),
-        jnp.arange(num_steps, dtype=jnp.int32),
+    steps_tokens, k_cache, v_cache = _burst_core(
+        llm_params, llm_cfg, k_cache, v_cache,
+        first_ids, prompt_lengths, block_tables, prompt_lengths + 1,
+        active, num_steps=num_steps, use_pallas=use_pallas,
     )
     tokens = jnp.concatenate([first_ids[None], steps_tokens], axis=0)
     return tokens, k_cache, v_cache

@@ -289,7 +289,9 @@ class FunASRNano:
             tree = load_params(ckpt)
             enc_params = cast_tree(tree["audio_encoder"], jdtype)
             ad_params = cast_tree(tree["audio_adaptor"], jdtype)
-            llm_params = cast_tree(tree["llm"], jdtype)
+            llm_params = cast_tree(
+                _migrate_llm_layout(tree["llm"]), jdtype
+            )
             if llm_dir and os.path.exists(os.path.join(llm_dir, "config.json")):
                 llm_cfg = Qwen3Config.from_pretrained(llm_dir, dtype=jdtype)
             else:
@@ -387,6 +389,24 @@ class FunASRNano:
                 "llm": self.llm_params,
             },
         )
+
+
+def _migrate_llm_layout(llm_tree: Dict) -> Dict:
+    """Upgrade combined checkpoints saved with the pre-fusion layout
+    (separate wq/wk/wv and w_gate/w_up) to the fused wqkv/w_gateup layout."""
+    layers = llm_tree.get("layers", {})
+    if "wqkv" in layers or "wq" not in layers:
+        return llm_tree
+    layers = dict(layers)
+    layers["wqkv"] = jnp.concatenate(
+        [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], axis=-1
+    )
+    layers["w_gateup"] = jnp.concatenate(
+        [layers.pop("w_gate"), layers.pop("w_up")], axis=-1
+    )
+    out = dict(llm_tree)
+    out["layers"] = layers
+    return out
 
 
 def _infer_llm_cfg_from_tree(llm_params: Dict, dtype) -> Qwen3Config:
