@@ -366,13 +366,29 @@ class LLM:
                 req.blocks.extend(blocks)
                 self._block_tables[slot, len(req.blocks) - 1] = blocks[0]
 
+    def _burst_table_width(self, k: int) -> int:
+        """Block-table width covering every live sequence + the burst,
+        snapped to 8-block buckets so jit caches a handful of widths.
+        The decode gather reads the full table width per step, so shrinking
+        it to the live maximum cuts HBM traffic on short sequences."""
+        mbps = self.cache_cfg.max_blocks_per_seq
+        bs = self.cache_cfg.block_size
+        live = max(
+            (int(self._seq_lens[r.slot]) for r in self._slots if r is not None),
+            default=1,
+        )
+        need = -(-(live + k + 1) // bs)
+        return min(mbps, -(-need // 8) * 8)
+
     def _decode_burst(self, k: int = 8) -> None:
         """k fused greedy steps in one dispatch (kv_cache.decode_steps)."""
         snapshot = list(self._slots)
+        mbu = self._burst_table_width(k)
         tokens, self.k_cache, self.v_cache = decode_steps(
             self.params, self.cfg, self.k_cache, self.v_cache,
             jnp.asarray(self._last_tokens), jnp.asarray(self._positions),
-            jnp.asarray(self._block_tables), jnp.asarray(self._seq_lens),
+            jnp.asarray(self._block_tables[:, :mbu]),
+            jnp.asarray(self._seq_lens),
             jnp.asarray(self._active), num_steps=k,
             use_pallas=self.use_pallas,
         )
@@ -572,7 +588,13 @@ class LLM:
                 prompt_lens, sp, extra=k if single_shot else 0
             )
             if single_shot:
-                # ONE dispatch: encode + prefill + K greedy decode steps
+                # ONE dispatch: encode + prefill + K greedy decode steps;
+                # the block table is sliced to the live width (the decode
+                # gather reads the full table per step)
+                bs_blk = self.cache_cfg.block_size
+                need = -(-(int(prompt_lens.max()) + k + 1) // bs_blk)
+                mbu = min(self.cache_cfg.max_blocks_per_seq,
+                          -(-need // 8) * 8)
                 tokens, self.k_cache, self.v_cache = fused_encode_prefill_decode(
                     enc_params, ad_params, self.params,
                     enc_cfg, ad_cfg, self.cfg,
@@ -580,7 +602,7 @@ class LLM:
                     jnp.asarray(speech[start:stop]), jnp.asarray(frames),
                     prefix_embeds, suffix_embeds,
                     jnp.asarray(prompt_lens.astype(np.int32)),
-                    jnp.asarray(tables),
+                    jnp.asarray(tables[:, :mbu]),
                     t_bucket=tb, num_steps=k, use_pallas=self.use_pallas,
                     **fe_kw,
                 )
