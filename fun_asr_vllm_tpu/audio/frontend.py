@@ -123,8 +123,18 @@ class WavFrontend:
         self.dither = dither
         self.bucket_samples = max(int(bucket_seconds * fs), 1)
         self.cmvn = load_cmvn(cmvn_file) if cmvn_file else None
+        self._cmvn_dev = None
         self._frame_len_samp = int(fs * frame_length / 1000)
         self._frame_shift_samp = int(fs * frame_shift / 1000)
+
+    def cmvn_dev(self):
+        """CMVN (add, scale) as device arrays, uploaded once, or None."""
+        if self.cmvn is None:
+            return None
+        if self._cmvn_dev is None:
+            add, scale = self.cmvn
+            self._cmvn_dev = (jnp.asarray(add), jnp.asarray(scale))
+        return self._cmvn_dev
 
     @property
     def output_size(self) -> int:

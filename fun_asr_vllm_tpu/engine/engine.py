@@ -575,11 +575,18 @@ class LLM:
             frame_length=frontend._frame_len_samp,
             frame_shift=frontend._frame_shift_samp,
             n_mels=frontend.n_mels, window_type=frontend.window,
-            fs=frontend.fs,
+            fs=frontend.fs, lfr_m=frontend.lfr_m, lfr_n=frontend.lfr_n,
+            cmvn=frontend.cmvn_dev(),
         )
+        # LFR stacking shortens the feature sequence (frontend.extract
+        # semantics): the encoder sees ceil(frames / lfr_n) frames
+        lfr_n = frontend.lfr_n
         for start in range(0, b, self.max_num_seqs):
             stop = min(start + self.max_num_seqs, b)
-            frames = wav_frames[start:stop]
+            frames = np.asarray(
+                [-(-int(f) // lfr_n) for f in wav_frames[start:stop]],
+                np.int32,
+            )
             prompt_lens = np.array(
                 [p + downsampled_length(int(f)) + q for f in frames], np.int64
             )

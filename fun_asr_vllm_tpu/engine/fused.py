@@ -23,7 +23,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..audio.frontend import fbank_jax
+from ..audio.frontend import _lfr_jax, fbank_jax
 from ..models import adaptor as adaptor_mod
 from ..models import encoder as encoder_mod
 from ..models.qwen3 import Qwen3Config
@@ -34,7 +34,8 @@ from .kv_cache import _burst_core, _prefill_core
 @partial(
     jax.jit,
     static_argnames=("enc_cfg", "ad_cfg", "llm_cfg", "t_bucket", "frame_length",
-                     "frame_shift", "n_mels", "window_type", "fs"),
+                     "frame_shift", "n_mels", "window_type", "fs",
+                     "lfr_m", "lfr_n"),
     donate_argnames=("k_cache", "v_cache"),
 )
 def fused_encode_prefill(
@@ -47,7 +48,7 @@ def fused_encode_prefill(
     k_cache: jax.Array,
     v_cache: jax.Array,
     speech: jax.Array,       # [B, N] float32, int16 scale
-    wav_frames: jax.Array,   # [B] valid fbank frame counts
+    wav_frames: jax.Array,   # [B] valid feature frame counts (post-LFR)
     prefix: jax.Array,       # [P, H]
     suffix: jax.Array,       # [Q, H]
     prompt_lengths: jax.Array,  # [B] total prompt lengths (host-computed)
@@ -58,6 +59,9 @@ def fused_encode_prefill(
     n_mels: int = 80,
     window_type: str = "hamming",
     fs: int = 16000,
+    lfr_m: int = 1,
+    lfr_n: int = 1,
+    cmvn=None,               # optional (add [D], scale [D]) device arrays
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """→ ((logits [B, V], greedy first ids [B]), k_cache, v_cache).
 
@@ -67,7 +71,7 @@ def fused_encode_prefill(
         enc_params, ad_params, llm_params, enc_cfg, ad_cfg, llm_cfg,
         k_cache, v_cache, speech, wav_frames, prefix, suffix,
         prompt_lengths, block_tables, t_bucket, frame_length, frame_shift,
-        n_mels, window_type, fs,
+        n_mels, window_type, fs, lfr_m, lfr_n, cmvn,
     )
 
 
@@ -75,7 +79,7 @@ def fused_encode_prefill(
     jax.jit,
     static_argnames=("enc_cfg", "ad_cfg", "llm_cfg", "t_bucket", "num_steps",
                      "frame_length", "frame_shift", "n_mels", "window_type",
-                     "fs", "use_pallas"),
+                     "fs", "use_pallas", "lfr_m", "lfr_n"),
     donate_argnames=("k_cache", "v_cache"),
 )
 def fused_encode_prefill_decode(
@@ -101,6 +105,9 @@ def fused_encode_prefill_decode(
     window_type: str = "hamming",
     fs: int = 16000,
     use_pallas: bool = False,
+    lfr_m: int = 1,
+    lfr_n: int = 1,
+    cmvn=None,               # optional (add [D], scale [D]) device arrays
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """The whole batch in ONE dispatch: fbank → encoder → adaptor → prompt
     assembly → prefill → `num_steps` greedy decode steps.
@@ -113,7 +120,7 @@ def fused_encode_prefill_decode(
         enc_params, ad_params, llm_params, enc_cfg, ad_cfg, llm_cfg,
         k_cache, v_cache, speech, wav_frames, prefix, suffix,
         prompt_lengths, block_tables, t_bucket, frame_length, frame_shift,
-        n_mels, window_type, fs,
+        n_mels, window_type, fs, lfr_m, lfr_n, cmvn,
     )
 
     active = jnp.ones((speech.shape[0],), bool)
@@ -130,13 +137,21 @@ def _fused_prefill(
     enc_params, ad_params, llm_params, enc_cfg, ad_cfg, llm_cfg,
     k_cache, v_cache, speech, wav_frames, prefix, suffix,
     prompt_lengths, block_tables, t_bucket, frame_length, frame_shift,
-    n_mels, window_type, fs,
+    n_mels, window_type, fs, lfr_m=1, lfr_n=1, cmvn=None,
 ):
     feats = fbank_jax(
         speech.astype(jnp.float32), frame_length=frame_length,
         frame_shift=frame_shift, n_mels=n_mels, window_type=window_type,
         fs=fs,
     )
+    # the real Fun-ASR-Nano frontend applies LFR stacking + CMVN (funasr
+    # WavFrontend semantics, reference model.py:372-377) — both are cheap
+    # in-graph ops XLA fuses into the surrounding program
+    if lfr_m != 1 or lfr_n != 1:
+        feats = _lfr_jax(feats, lfr_m, lfr_n)
+    if cmvn is not None:
+        add, scale = cmvn
+        feats = (feats + add) * scale
     enc_out, enc_lens = encoder_mod.encode(enc_params, enc_cfg, feats, wav_frames)
     audio, audio_lens = adaptor_mod.forward(ad_params, ad_cfg, enc_out, enc_lens)
     embeds, _total = build_prompt_embeds_device(

@@ -68,10 +68,9 @@ class BatchPipeline:
     def transcribe_batch(self, wavs: Sequence[np.ndarray]) -> List[str]:
         m = self.model
         fe = m.frontend
-        can_fuse = (
-            m.vllm is not None and fe.lfr_m == 1 and fe.lfr_n == 1
-            and fe.cmvn is None
-        )
+        # LFR + CMVN run in-graph inside the fused program, so the fast
+        # path handles every frontend config
+        can_fuse = m.vllm is not None
         if can_fuse:
             # single-dispatch path: fbank→encoder→adaptor→prompt→prefill
             t0 = time.perf_counter()

@@ -207,6 +207,66 @@ class TestSingleShot:
         got = run(burst=2, max_tokens=6)
         assert got == want
 
+    def test_generate_fused_with_lfr_cmvn(self, setup):
+        """The fused program must apply LFR + CMVN in-graph, matching the
+        multi-dispatch frontend.extract → encoder → adaptor path under the
+        real Fun-ASR-Nano frontend config (lfr_m=7, lfr_n=6, am.mvn)."""
+        import jax.numpy as jnp
+
+        from fun_asr_vllm_tpu.audio.frontend import WavFrontend
+        from fun_asr_vllm_tpu.models import adaptor as adaptor_mod
+        from fun_asr_vllm_tpu.models import encoder as encoder_mod
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        lfr_m, lfr_n = 7, 6
+        enc_cfg = encoder_mod.SANMEncoderConfig(
+            input_size=80 * lfr_m, output_size=32, attention_heads=4,
+            linear_units=64, num_blocks=2, dtype=jnp.float32,
+        )
+        ad_cfg = adaptor_mod.NanoAdaptorConfig(
+            encoder_dim=32, llm_dim=h, ffn_dim=64, dtype=jnp.float32
+        )
+        key = jax.random.PRNGKey(3)
+        enc_params = encoder_mod.init_params(enc_cfg, key)
+        ad_params = adaptor_mod.init_params(ad_cfg, key)
+        fe = WavFrontend(dither=0.0, lfr_m=lfr_m, lfr_n=lfr_n)
+        rng = np.random.default_rng(0)
+        fe.cmvn = (
+            rng.normal(scale=0.5, size=(80 * lfr_m,)).astype(np.float32),
+            (1.0 + rng.uniform(size=(80 * lfr_m,))).astype(np.float32),
+        )
+        wavs = [rng.normal(scale=0.05, size=n).astype(np.float32)
+                for n in (16000, 9000, 12000)]
+        prefix = jnp.asarray(rng.normal(scale=0.3, size=(3, h)), jnp.float32)
+        suffix = jnp.asarray(rng.normal(scale=0.3, size=(2, h)), jnp.float32)
+        sp = SamplingParams(temperature=0.0, max_tokens=6)
+
+        # reference path: multi-dispatch extract → encode → adapt → generate
+        speech, speech_lens = fe.extract(wavs)
+        enc_out, enc_lens = encoder_mod.encode(
+            enc_params, enc_cfg, speech, speech_lens
+        )
+        audio, audio_lens = adaptor_mod.forward(
+            ad_params, ad_cfg, enc_out, enc_lens
+        )
+        llm1 = make_llm(params, cfg, max_num_seqs=2)
+        want = [
+            o.outputs[0].token_ids
+            for o in llm1.generate_from_audio(
+                audio, audio_lens, prefix, suffix, sp
+            )
+        ]
+
+        llm2 = make_llm(params, cfg, max_num_seqs=2)
+        pcm, frames = fe.batchify(wavs)
+        outs = llm2.generate_fused(
+            pcm, frames, enc_params, enc_cfg, ad_params, ad_cfg, fe,
+            prefix, suffix, sp,
+        )
+        got = [o.outputs[0].token_ids for o in outs]
+        assert got == want
+
 
 class TestSampling:
     def test_topp_sampling_runs(self, setup):
