@@ -9,5 +9,8 @@ top-p sampling, and a vLLM-call-shaped `LLM.generate` front
 
 from .sampling import SamplingParams
 from .engine import LLM, CompletionOutput, RequestOutput
+from .async_engine import AsyncLLM
 
-__all__ = ["LLM", "SamplingParams", "CompletionOutput", "RequestOutput"]
+__all__ = [
+    "LLM", "AsyncLLM", "SamplingParams", "CompletionOutput", "RequestOutput",
+]

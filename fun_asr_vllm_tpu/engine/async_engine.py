@@ -1,0 +1,139 @@
+"""Async admission front for the continuous-batching engine.
+
+The reference serves concurrent streams by handing every request to vLLM's
+engine loop, which batches whatever is in flight (SURVEY.md §2.3
+intra-engine concurrency row). This is the TPU analogue: callers from any
+thread `submit()` prompt embeddings and get a Future; one stepper thread
+owns the engine, admitting newly arrived requests into free decode slots
+between bursts, so requests that overlap in time share decode steps —
+N concurrent streams see ~1× latency instead of N×.
+
+Greedy-only (the reference's `top_p=0.001` setting is greedy); sampling
+requests should use the synchronous `LLM.generate` instead.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import deque
+from concurrent.futures import Future
+from typing import List, Optional
+
+from .engine import LLM, _Request, _as_numpy_2d
+from .sampling import SamplingParams
+
+
+class AsyncLLM:
+    """Thread-safe async front over an `LLM` engine.
+
+    The engine instance is owned exclusively by the internal stepper
+    thread after construction — do not call `llm.generate*` concurrently.
+    """
+
+    def __init__(self, llm: LLM, default_sampling: Optional[SamplingParams] = None):
+        self.llm = llm
+        self._default_sampling = default_sampling or SamplingParams(
+            top_p=0.001, max_tokens=500
+        )
+        self._waiting: deque = deque()          # thread-safe append/popleft
+        self._inflight: List[_Request] = []     # every unresolved request
+        self._futures = {}                      # rid -> Future, guarded by _cv
+        self._cv = threading.Condition()
+        self._shutdown = False
+        # observability: number of live slots at each decode burst — tests
+        # assert concurrent sessions actually share bursts
+        self.wave_sizes: List[int] = []
+        self._thread = threading.Thread(
+            target=self._loop, name="asr-engine-stepper", daemon=True
+        )
+        self._thread.start()
+
+    def submit(
+        self,
+        prompt_embeds,
+        sampling_params: Optional[SamplingParams] = None,
+    ) -> Future:
+        """Enqueue one request → Future resolving to the output token ids."""
+        sp = sampling_params or self._default_sampling
+        if not sp.is_greedy:
+            raise ValueError("AsyncLLM is greedy-only; use LLM.generate")
+        llm = self.llm
+        stop_ids = llm.eos_ids | set(sp.stop_token_ids or ())
+        with self._cv:
+            if self._shutdown:
+                raise RuntimeError("AsyncLLM is shut down")
+            req = _Request(
+                llm._next_rid, _as_numpy_2d(prompt_embeds), sp.max_tokens,
+                stop_ids=stop_ids,
+            )
+            llm._next_rid += 1
+            fut: Future = Future()
+            self._futures[req.rid] = fut
+            self._inflight.append(req)
+            self._waiting.append(req)
+            self._cv.notify()
+        return fut
+
+    def decode_text(self, prompt_embeds, sampling_params=None) -> str:
+        """Blocking convenience: submit + wait + detokenize."""
+        req = self.submit(prompt_embeds, sampling_params).result()
+        sp = sampling_params or self._default_sampling
+        return self.llm.tokenizer.decode(
+            req.out_ids, skip_special_tokens=sp.skip_special_tokens
+        )
+
+    def shutdown(self) -> None:
+        with self._cv:
+            self._shutdown = True
+            self._cv.notify()
+        self._thread.join(timeout=10)
+
+    # ------------------------------------------------------------- stepper
+
+    def _loop(self) -> None:
+        llm = self.llm
+        llm._cur_sampling = self._default_sampling
+        while True:
+            with self._cv:
+                while (not self._waiting and not self._inflight
+                       and not self._shutdown):
+                    self._cv.wait()
+                if self._shutdown and not self._waiting and not self._inflight:
+                    return
+            try:
+                self._step()
+            except Exception as e:  # fail every in-flight future, keep serving
+                with self._cv:
+                    futs = list(self._futures.values())
+                    self._futures.clear()
+                    self._waiting.clear()
+                    self._inflight.clear()
+                for r in list(llm._slots):
+                    if r is not None:
+                        llm._free(r)
+                for f in futs:
+                    if not f.done():
+                        f.set_exception(e)
+
+    def _step(self) -> None:
+        llm = self.llm
+        if self._waiting:
+            llm._admit(self._waiting)
+        live = [r for r in llm._slots if r is not None]
+        if live:
+            k = llm.decode_burst_size
+            llm._grow_blocks_if_needed(horizon=k)
+            self.wave_sizes.append(len(live))
+            llm._decode_burst(k)
+        self._resolve_done()
+
+    def _resolve_done(self) -> None:
+        with self._cv:
+            still, done = [], []
+            for req in self._inflight:
+                (done if req.done else still).append(req)
+            self._inflight = still
+            futs = [(self._futures.pop(r.rid, None), r) for r in done]
+        for fut, req in futs:
+            if fut is not None and not fut.done():
+                fut.set_result(req)

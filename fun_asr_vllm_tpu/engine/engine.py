@@ -112,10 +112,11 @@ class RequestOutput:
 class _Request:
     __slots__ = (
         "rid", "embeds", "prompt_len", "max_tokens", "out_ids", "slot",
-        "blocks", "done", "t_enqueue", "t_first_token",
+        "blocks", "done", "t_enqueue", "t_first_token", "stop_ids",
     )
 
-    def __init__(self, rid: int, embeds: np.ndarray, max_tokens: int):
+    def __init__(self, rid: int, embeds: np.ndarray, max_tokens: int,
+                 stop_ids=None):
         self.rid = rid
         self.embeds = embeds
         self.prompt_len = embeds.shape[0]
@@ -126,6 +127,7 @@ class _Request:
         self.done = False
         self.t_enqueue = time.perf_counter()
         self.t_first_token = 0.0
+        self.stop_ids = stop_ids  # per-request override (async admission)
 
 
 def _as_numpy_2d(x: Any) -> np.ndarray:
@@ -265,6 +267,17 @@ class LLM:
             except ValueError:
                 break
             bs = self.cache_cfg.block_size
+            limit = self.cache_cfg.max_model_len - 1
+            if req.prompt_len > limit:
+                # keep len(req.blocks) ≤ max_blocks_per_seq so the block
+                # table row can always hold the sequence (same clamp as
+                # _admit_direct); leave room for ≥1 generated token
+                logger.warning(
+                    "prompt length %d exceeds max_model_len %d — truncating",
+                    req.prompt_len, self.cache_cfg.max_model_len,
+                )
+                req.embeds = req.embeds[:limit]
+                req.prompt_len = limit
             if req.prompt_len + req.max_tokens > self.cache_cfg.max_model_len:
                 req.max_tokens = max(
                     1, self.cache_cfg.max_model_len - req.prompt_len
@@ -338,7 +351,12 @@ class LLM:
         )
 
     def _handle_token(self, req: _Request, token: int) -> None:
-        stop_ids = self.eos_ids | set(self._cur_sampling.stop_token_ids or ())
+        if req.stop_ids is not None:
+            stop_ids = req.stop_ids
+        else:
+            stop_ids = self.eos_ids | set(
+                self._cur_sampling.stop_token_ids or ()
+            )
         stopped = token in stop_ids
         if not stopped:
             req.out_ids.append(token)
@@ -474,6 +492,7 @@ class LLM:
             req.done = False
             req.t_enqueue = time.perf_counter()
             req.t_first_token = 0.0
+            req.stop_ids = None
             slot = self._slots.index(None)
             need = min(-(-(req.prompt_len + 1 + extra) // bs),
                        self.cache_cfg.max_blocks_per_seq)

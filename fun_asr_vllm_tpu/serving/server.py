@@ -12,10 +12,11 @@ unchanged"). Modes:
 - 2pass: online partials (mode "2pass-online") + an offline-quality final
   (mode "2pass-offline").
 
-Concurrent streams share one FunASRNano + engine; decodes are serialized
-through a thread executor (the engine's continuous batching absorbs
-multi-utterance load via the batch front, engine-level async admission is
-tracked for a later round).
+Concurrent streams share one FunASRNano + engine through the async
+admission front (engine/async_engine.py): each session's decode is
+submitted into the continuous-batching stepper, so overlapping requests
+share decode bursts instead of serializing — N concurrent streams see
+~1× latency, matching vLLM's behavior in the reference stack.
 
 Run: python -m fun_asr_vllm_tpu.serving.server --model_dir <dir> --port 10095
 """
@@ -50,8 +51,9 @@ class ASRServer:
         from ..models.nano import FunASRNano
 
         self.model, _ = FunASRNano.from_pretrained(model=model_dir, dtype=dtype)
+        self.async_llm = None
         if enable_engine:
-            from ..engine import LLM, SamplingParams
+            from ..engine import AsyncLLM, LLM, SamplingParams
 
             m = self.model
             m.vllm = LLM(
@@ -61,7 +63,8 @@ class ASRServer:
             m.vllm_sampling_params = SamplingParams(
                 top_p=0.001, max_tokens=max_tokens
             )
-        self._decode_lock = threading.Lock()
+            self.async_llm = AsyncLLM(m.vllm, m.vllm_sampling_params)
+        self._decode_lock = threading.Lock()  # engine-less fallback only
         self.partial_interval_s = partial_interval_s
         self.max_tokens = max_tokens
 
@@ -76,34 +79,34 @@ class ASRServer:
             return ""
         m = self.model
         hotwords = [h for h in (hs.hotwords or "").split(",") if h.strip()]
-        with self._decode_lock:
-            instruction = m.build_instruction(hotwords=hotwords, itn=hs.itn)
-            prefix_ids, suffix_ids = m.chatml_parts(instruction)
-            speech, speech_lengths = m.frontend.extract([pcm])
-            enc_out, enc_lens = m.audio_encoder(speech, speech_lengths)
-            audio, audio_lens = m.audio_adaptor(enc_out, enc_lens)
-            embeds = m.build_prompt_embeds(
-                audio, audio_lens, prefix_ids, suffix_ids
-            )[0]
-            if m.vllm is not None:
-                sp = m.vllm_sampling_params
-                if max_tokens is not None:
-                    from ..engine import SamplingParams
+        # feature prep is pure jitted compute — safe from any session thread
+        instruction = m.build_instruction(hotwords=hotwords, itn=hs.itn)
+        prefix_ids, suffix_ids = m.chatml_parts(instruction)
+        speech, speech_lengths = m.frontend.extract([pcm])
+        enc_out, enc_lens = m.audio_encoder(speech, speech_lengths)
+        audio, audio_lens = m.audio_adaptor(enc_out, enc_lens)
+        embeds = m.build_prompt_embeds(
+            audio, audio_lens, prefix_ids, suffix_ids
+        )[0]
+        if self.async_llm is not None:
+            sp = m.vllm_sampling_params
+            if max_tokens is not None:
+                from ..engine import SamplingParams
 
-                    sp = SamplingParams(top_p=0.001, max_tokens=max_tokens)
-                outs = m.vllm.generate({"prompt_embeds": embeds}, sp,
-                                       use_tqdm=False)
-                text = outs[0].outputs[0].text
-            else:
-                import jax.numpy as jnp
+                sp = SamplingParams(top_p=0.001, max_tokens=max_tokens)
+            # concurrent sessions batch inside the engine stepper
+            text = self.async_llm.decode_text(embeds, sp)
+        else:
+            import jax.numpy as jnp
 
-                from ..models import qwen3 as qwen3_mod
+            from ..models import qwen3 as qwen3_mod
 
+            with self._decode_lock:
                 ids = qwen3_mod.greedy_decode_simple(
                     m.llm_params, m.llm_cfg, jnp.asarray(embeds)[None],
                     max_new_tokens=max_tokens or 64,
                 )
-                text = m.tokenizer.decode(ids.tolist(), skip_special_tokens=True)
+            text = m.tokenizer.decode(ids.tolist(), skip_special_tokens=True)
         from ..text.normalize import clean_response
 
         text = clean_response(text).strip()
@@ -131,8 +134,16 @@ class ASRServer:
                         dur = len(buf) / hs.audio_fs
                         if dur - emitted_upto >= self.partial_interval_s:
                             emitted_upto = dur
+                            part = buf
+                            if hs.audio_fs != 16000:
+                                # partials must see 16 kHz too, same as the
+                                # final path — an 8 kHz stream would decode
+                                # garbage otherwise
+                                from ..audio.io import resample
+
+                                part = resample(buf, hs.audio_fs, 16000)
                             text = await loop.run_in_executor(
-                                None, self.decode_pcm, buf, hs, 64
+                                None, self.decode_pcm, part, hs, 64
                             )
                             mode = ("2pass-online" if hs.mode == "2pass"
                                     else "online")

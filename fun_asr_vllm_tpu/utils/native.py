@@ -37,14 +37,27 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when any csrc source is newer than the built .so."""
+    so_mtime = os.path.getmtime(_SO)
+    for name in os.listdir(_CSRC):
+        if name.endswith((".cpp", ".h", ".hpp")) or name == "Makefile":
+            if os.path.getmtime(os.path.join(_CSRC, name)) > so_mtime:
+                return True
+    return False
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) and not _build():
-            return None
+        # rebuild when missing or older than the sources — a stale binary
+        # could silently diverge from the python DP it must mirror
+        if (not os.path.exists(_SO) or _stale()) and not _build():
+            if not os.path.exists(_SO):
+                return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError as e:

@@ -268,6 +268,41 @@ class TestSingleShot:
         assert got == want
 
 
+class TestAsyncEngine:
+    def test_async_submit_matches_reference_and_overlaps(self, setup):
+        """Requests submitted to the async front must (a) produce the same
+        tokens as the recompute reference and (b) share decode bursts when
+        they overlap in time — the whole point of async admission."""
+        from fun_asr_vllm_tpu.engine import AsyncLLM
+
+        params, cfg = setup
+        llm = make_llm(params, cfg, max_num_seqs=3, decode_burst_size=2)
+        async_llm = AsyncLLM(llm, SamplingParams(temperature=0.0, max_tokens=6))
+        embeds = [rand_embeds(50 + i, 5 + i, cfg.hidden_size) for i in range(3)]
+        futs = [async_llm.submit(e) for e in embeds]
+        reqs = [f.result(timeout=120) for f in futs]
+        for e, req in zip(embeds, reqs):
+            assert req.out_ids == ref_decode(params, cfg, e, 6)
+        # with burst=2 and 6 max tokens, later submissions must join while
+        # the first is still decoding
+        assert max(async_llm.wave_sizes) >= 2, async_llm.wave_sizes
+        async_llm.shutdown()
+
+    def test_async_sequential_submissions(self, setup):
+        """Requests arriving after the engine went idle still complete."""
+        from fun_asr_vllm_tpu.engine import AsyncLLM
+
+        params, cfg = setup
+        llm = make_llm(params, cfg, max_num_seqs=2)
+        async_llm = AsyncLLM(llm, SamplingParams(temperature=0.0, max_tokens=4))
+        for i in range(3):
+            e = rand_embeds(60 + i, 6, cfg.hidden_size)
+            req = async_llm.submit(e).result(timeout=120)
+            assert req.out_ids == ref_decode(params, cfg, e, 4)
+        async_llm.shutdown()
+        assert len(llm._free_blocks) == llm.cache_cfg.num_blocks - 1
+
+
 class TestSampling:
     def test_topp_sampling_runs(self, setup):
         params, cfg = setup

@@ -82,6 +82,65 @@ def wav_path(tmp_path_factory):
     return str(p)
 
 
+@pytest.fixture(scope="module")
+def engine_server(tmp_path_factory):
+    """ASRServer with the continuous-batching engine + async admission."""
+    from fun_asr_vllm_tpu.models.nano import make_test_model_dir
+    from fun_asr_vllm_tpu.serving.server import ASRServer
+
+    model_dir = make_test_model_dir(
+        str(tmp_path_factory.mktemp("srv_model_eng"))
+    )
+    server = ASRServer(model_dir, dtype="float32", enable_engine=True,
+                       max_num_seqs=4, max_tokens=48)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(server.serve("127.0.0.1", port))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    for _ in range(100):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=0.2):
+                break
+        except OSError:
+            time.sleep(0.1)
+    else:
+        pytest.fail("server did not start")
+    yield server, port
+    loop.call_soon_threadsafe(loop.stop)
+
+
+class TestConcurrentSessions:
+    def test_two_sessions_share_decode_bursts(self, engine_server, wav_path):
+        """Two concurrent websocket sessions must overlap inside the engine
+        (shared decode bursts), not serialize behind a lock."""
+        from fun_asr_vllm_tpu.serving.client import ASR_Client
+
+        server, port = engine_server
+
+        async def both():
+            c1 = ASR_Client(host="127.0.0.1", port=port, mode="offline",
+                            itn=False)
+            c2 = ASR_Client(host="127.0.0.1", port=port, mode="offline",
+                            itn=False)
+            return await asyncio.gather(
+                c1.transcribe(wav_path), c2.transcribe(wav_path)
+            )
+
+        t1, t2 = asyncio.run(both())
+        assert isinstance(t1, str) and isinstance(t2, str)
+        assert max(server.async_llm.wave_sizes) >= 2, (
+            server.async_llm.wave_sizes
+        )
+
+
 class TestRoundTrip:
     def test_offline(self, server_port, wav_path):
         from fun_asr_vllm_tpu.serving.client import ASR_Client
