@@ -133,6 +133,156 @@ def subdict(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
 
 
+# --------------------- funasr encoder/adaptor key space ---------------------
+#
+# The reference loads the audio encoder + adaptor from the funasr/ModelScope
+# checkpoint (reference model.py:40-67, 112-124). funasr's SANM family
+# (funasr/models/sanm + sense_voice) names parameters:
+#
+#   encoders0.0.self_attn.linear_q_k_v.{weight,bias}   Linear [3D, in]
+#   encoders0.0.self_attn.fsmn_block.weight            Conv1d [D, 1, K]
+#   encoders0.0.self_attn.linear_out.{weight,bias}     Linear [D, D]
+#   encoders0.0.norm1.{weight,bias}  encoders0.0.norm2.{weight,bias}
+#   encoders0.0.feed_forward.w_1.{weight,bias}         Linear [I, D]
+#   encoders0.0.feed_forward.w_2.{weight,bias}         Linear [D, I]
+#   encoders.{i}.…  (num_blocks-1 homogeneous layers)
+#   after_norm.{weight,bias}
+#   tp_encoders.{i}.… + tp_norm.{weight,bias}          (SenseVoiceEncoderSmall)
+#
+# torch Linear stores [out, in] → transpose to our [in, out]; Conv1d
+# depthwise [D, 1, K] → our [K, D].
+
+
+def _enc_layer_from_funasr(
+    sd: Mapping[str, np.ndarray], prefix: str, dtype
+) -> Dict[str, jnp.ndarray]:
+    def g(name):
+        return sd[prefix + name]
+
+    def cast(x):
+        return jnp.asarray(x).astype(dtype)
+
+    def f32(x):
+        return jnp.asarray(x, jnp.float32)
+
+    return {
+        "ln1_scale": f32(g("norm1.weight")),
+        "ln1_bias": f32(g("norm1.bias")),
+        "w_qkv": cast(g("self_attn.linear_q_k_v.weight").T),
+        "b_qkv": cast(g("self_attn.linear_q_k_v.bias")),
+        "fsmn_kernel": cast(
+            np.squeeze(g("self_attn.fsmn_block.weight"), axis=1).T
+        ),
+        "w_out": cast(g("self_attn.linear_out.weight").T),
+        "b_out": cast(g("self_attn.linear_out.bias")),
+        "ln2_scale": f32(g("norm2.weight")),
+        "ln2_bias": f32(g("norm2.bias")),
+        "w_ff1": cast(g("feed_forward.w_1.weight").T),
+        "b_ff1": cast(g("feed_forward.w_1.bias")),
+        "w_ff2": cast(g("feed_forward.w_2.weight").T),
+        "b_ff2": cast(g("feed_forward.w_2.bias")),
+    }
+
+
+def _stack_trees(trees) -> Dict[str, jnp.ndarray]:
+    return {
+        k: jnp.stack([t[k] for t in trees]) for k in trees[0]
+    }
+
+
+def encoder_from_funasr_sd(
+    sd: Mapping[str, np.ndarray], enc_cfg, prefix: str = ""
+) -> Dict:
+    """funasr SANM/SenseVoice encoder state_dict → models/encoder.py tree.
+
+    `enc_cfg` is a SANMEncoderConfig; num_blocks/tp_blocks must match the
+    checkpoint (a KeyError with the missing key is raised otherwise)."""
+    dtype = enc_cfg.dtype
+    p = prefix
+    params = {
+        "layer0": _enc_layer_from_funasr(sd, p + "encoders0.0.", dtype),
+        "layers": _stack_trees([
+            _enc_layer_from_funasr(sd, p + f"encoders.{i}.", dtype)
+            for i in range(enc_cfg.num_blocks - 1)
+        ]),
+        "after_norm_scale": jnp.asarray(sd[p + "after_norm.weight"], jnp.float32),
+        "after_norm_bias": jnp.asarray(sd[p + "after_norm.bias"], jnp.float32),
+    }
+    if enc_cfg.tp_blocks > 0:
+        params["tp_layers"] = _stack_trees([
+            _enc_layer_from_funasr(sd, p + f"tp_encoders.{i}.", dtype)
+            for i in range(enc_cfg.tp_blocks)
+        ])
+        params["tp_norm_scale"] = jnp.asarray(sd[p + "tp_norm.weight"], jnp.float32)
+        params["tp_norm_bias"] = jnp.asarray(sd[p + "tp_norm.bias"], jnp.float32)
+    return params
+
+
+# plausible funasr namings per adaptor field — the Fun-ASR-Nano adaptor
+# class is not vendored in the reference repo, so the converter is
+# alias-table-driven; extend the lists when the real checkpoint lands
+_ADAPTOR_ALIASES = {
+    "conv1": ("conv1d1", "conv1", "conv.0", "downsample.0", "cnn.0"),
+    "conv2": ("conv1d2", "conv2", "conv.2", "downsample.2", "cnn.2"),
+    "linear1": ("linear1", "w_1", "mlp.0", "fc1", "linear.0"),
+    "linear2": ("linear2", "w_2", "mlp.2", "fc2", "linear.2"),
+}
+
+
+def adaptor_from_funasr_sd(
+    sd: Mapping[str, np.ndarray], ad_cfg, prefix: str = ""
+) -> Dict:
+    """funasr adaptor state_dict → models/adaptor.py tree (two strided
+    Conv1d + two Linear, reference token math model.py:391-396)."""
+    dtype = ad_cfg.dtype
+
+    def find(field):
+        for alias in _ADAPTOR_ALIASES[field]:
+            k = prefix + alias + ".weight"
+            if k in sd:
+                return sd[k], sd.get(prefix + alias + ".bias")
+        avail = sorted(k for k in sd if k.startswith(prefix))
+        raise KeyError(
+            f"adaptor field {field!r}: none of {_ADAPTOR_ALIASES[field]} "
+            f"found under prefix {prefix!r}; available: {avail[:20]}"
+        )
+
+    def cast(x):
+        return jnp.asarray(x).astype(dtype)
+
+    params = {}
+    if ad_cfg.use_low_frame_rate:
+        for field, (wk, bk) in (("conv1", ("conv1_w", "conv1_b")),
+                                ("conv2", ("conv2_w", "conv2_b"))):
+            w, b = find(field)
+            # torch Conv1d [O, I, K] → lax (W, I, O)
+            params[wk] = cast(np.transpose(w, (2, 1, 0)))
+            params[bk] = cast(b if b is not None
+                              else np.zeros(w.shape[0], np.float32))
+    for field, (wk, bk) in (("linear1", ("w1", "b1")),
+                            ("linear2", ("w2", "b2"))):
+        w, b = find(field)
+        params[wk] = cast(w.T)
+        params[bk] = cast(b if b is not None
+                          else np.zeros(w.shape[0], np.float32))
+    return params
+
+
+def nano_from_funasr(
+    model_dir: str, enc_cfg, ad_cfg, llm_cfg, dtype=jnp.bfloat16
+) -> Tuple[Dict, Dict, Dict]:
+    """Combined funasr FunASRNano model.pt → (enc, adaptor, llm) trees.
+
+    The ModelScope checkpoint stores everything under `audio_encoder.*`,
+    `audio_adaptor.*`, `llm.*` (HF naming below `llm.`,
+    reference model.py:25-130 attribute names)."""
+    sd = load_state_dict(model_dir)
+    enc = encoder_from_funasr_sd(sd, enc_cfg, prefix="audio_encoder.")
+    ad = adaptor_from_funasr_sd(sd, ad_cfg, prefix="audio_adaptor.")
+    llm = qwen3_from_state_dict(sd, llm_cfg, prefix="llm.")
+    return enc, ad, llm
+
+
 def merge_lora(
     sd: Dict[str, np.ndarray],
     lora_sd: Mapping[str, np.ndarray],

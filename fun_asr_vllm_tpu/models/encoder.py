@@ -10,11 +10,24 @@ family, faithfully reproduced but laid out TPU-first:
   positions, then projected to `output_size` by the first layer;
 - each layer: LN → SAN-M attention → residual, LN → ReLU FFN → residual.
   SAN-M attention = standard MHSA plus an FSMN memory branch: a depthwise
-  1-D convolution over the value projections, added to the attention
-  output (the funasr MultiHeadedAttentionSANM contract);
+  1-D convolution over the value projections with a residual, added to
+  the attention output AFTER linear_out — funasr
+  MultiHeadedAttentionSANM.forward returns `linear_out(att) + fsmn_memory`
+  and applies `sanm_shift` as extra left padding on the conv
+  (left = (k-1)//2 + shift, right = k-1-left);
+- optional `tp_blocks` trailing stage after after_norm (+ tp_norm), the
+  SenseVoiceEncoderSmall layout;
 - all layers after the first are homogeneous and run as one `lax.scan`
   (one compiled body instead of N unrolled layers);
 - masking by sequence length everywhere; bf16 matmuls, f32 norms/softmax.
+
+Layer-math audit vs funasr (funasr/models/sanm/{encoder,attention}.py
+semantics, checkpoint key space handled in models/convert.py):
+  encoders0.0 = EncoderLayerSANM(in=input_size, out=output_size): when
+  in_size != size there is NO attention residual (here: layer0,
+  residual_attn=False); encoders.* keep the residual. normalize_before
+  =True: x = x + attn(norm1(x)); x = x + ffn(norm2(x)). Scores scaled by
+  d_k**-0.5; value heads and the fsmn branch share the same v projection.
 
 Returns (encoder_out [B, T, D], encoder_out_lens [B]) matching the
 `audio_encoder(speech, speech_lengths)` call surface
@@ -41,6 +54,7 @@ class SANMEncoderConfig:
     attention_heads: int = 4
     linear_units: int = 2048
     num_blocks: int = 50
+    tp_blocks: int = 0  # trailing tp stage (SenseVoiceEncoderSmall layout)
     kernel_size: int = 11  # FSMN memory kernel
     sanm_shift: int = 0
     dropout_rate: float = 0.1  # unused at inference; kept for config parity
@@ -55,6 +69,7 @@ class SANMEncoderConfig:
             attention_heads=conf.get("attention_heads", 4),
             linear_units=conf.get("linear_units", 2048),
             num_blocks=conf.get("num_blocks", 50),
+            tp_blocks=conf.get("tp_blocks", 0),
             kernel_size=conf.get("kernel_size", 11),
             sanm_shift=conf.get("sanm_shift", 0),
             use_flash=conf.get("use_flash", False),
@@ -87,17 +102,22 @@ def _fsmn_memory(
     v: jax.Array,  # [B, T, D] value projections (head-merged)
     kernel: jax.Array,  # [K, D] depthwise weights
     mask: jax.Array,  # [B, T, 1]
+    shift: int = 0,
 ) -> jax.Array:
-    """FSMN block: depthwise 1-D conv over time, SAME padding, no bias —
-    the memory branch of SAN-M attention."""
+    """FSMN block: depthwise 1-D conv over time with a residual, no bias —
+    the memory branch of SAN-M attention. `shift` adds left padding
+    (funasr MultiHeadedAttentionSANM: left = (k-1)//2 + sanm_shift,
+    right = k-1-left), making the kernel look further into the past."""
     k = kernel.shape[0]
+    left = (k - 1) // 2 + shift
+    right = k - 1 - left
     v = v * mask
     # depthwise conv via feature-group conv: [B, T, D] → NWC conv
     out = jax.lax.conv_general_dilated(
         v.astype(jnp.float32),
         kernel.astype(jnp.float32)[:, None, :],  # [K, 1, D] (W, I/g, O)
         window_strides=(1,),
-        padding=[((k - 1) // 2, k - 1 - (k - 1) // 2)],
+        padding=[(left, right)],
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=v.shape[-1],
     )
@@ -116,7 +136,7 @@ def _sanm_attention(
     h = cfg.attention_heads
     qkv = x @ lp["w_qkv"] + lp["b_qkv"]  # [B, T, 3D]
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    mem = _fsmn_memory(v, lp["fsmn_kernel"], mask)
+    mem = _fsmn_memory(v, lp["fsmn_kernel"], mask, cfg.sanm_shift)
     q = q.reshape(b, t, h, d // h)
     k = k.reshape(b, t, h, d // h)
     v = v.reshape(b, t, h, d // h)
@@ -127,7 +147,9 @@ def _sanm_attention(
     else:
         att = full_attention(q, k, v, kv_lengths=lengths)
     att = att.reshape(b, t, d)
-    return (att + mem) @ lp["w_out"] + lp["b_out"]
+    # funasr contract: fsmn memory joins AFTER the output projection
+    # (MultiHeadedAttentionSANM.forward: att_outs + fsmn_memory)
+    return att @ lp["w_out"] + lp["b_out"] + mem
 
 
 def _ffn(lp: Dict, x: jax.Array) -> jax.Array:
@@ -180,13 +202,18 @@ def init_params(cfg: SANMEncoderConfig, key: jax.Array) -> Dict:
             "b_ff2": jnp.zeros(shp((d,)), cfg.dtype),
         }
 
-    k0, k1 = jax.random.split(key)
-    return {
+    k0, k1, k2 = jax.random.split(key, 3)
+    params = {
         "layer0": layer(k0, cfg.input_size),
         "layers": layer(k1, d, stacked=n_rest),
         "after_norm_scale": jnp.ones((d,), jnp.float32),
         "after_norm_bias": jnp.zeros((d,), jnp.float32),
     }
+    if cfg.tp_blocks > 0:
+        params["tp_layers"] = layer(k2, d, stacked=cfg.tp_blocks)
+        params["tp_norm_scale"] = jnp.ones((d,), jnp.float32)
+        params["tp_norm_bias"] = jnp.zeros((d,), jnp.float32)
+    return params
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -218,4 +245,8 @@ def encode(
 
     x, _ = jax.lax.scan(body, x, params["layers"])
     x = layer_norm(x, params["after_norm_scale"], params["after_norm_bias"])
+    if cfg.tp_blocks > 0:
+        # SenseVoiceEncoderSmall trailing stage: tp_encoders then tp_norm
+        x, _ = jax.lax.scan(body, x, params["tp_layers"])
+        x = layer_norm(x, params["tp_norm_scale"], params["tp_norm_bias"])
     return x * mask, speech_lengths

@@ -285,6 +285,39 @@ class FunASRNano:
 
         ckpt = os.path.join(model, "model.safetensors")
         llm_dir = cfg.llm_conf.get("init_param_path")
+        funasr_ckpt = next(
+            (os.path.join(model, f) for f in ("model.pt", "pytorch_model.bin")
+             if os.path.exists(os.path.join(model, f))),
+            None,
+        )
+        if not os.path.exists(ckpt) and funasr_ckpt:
+            # the funasr/ModelScope combined checkpoint: audio_encoder.* /
+            # audio_adaptor.* / llm.* key spaces (reference model.py:25-130)
+            from .convert import nano_from_funasr
+
+            if llm_dir and os.path.exists(os.path.join(llm_dir, "config.json")):
+                llm_cfg = Qwen3Config.from_pretrained(llm_dir, dtype=jdtype)
+            else:
+                llm_cfg = Qwen3Config.from_hf_dict(cfg.llm_conf, dtype=jdtype)
+            enc_params, ad_params, llm_params = nano_from_funasr(
+                model, enc_cfg, ad_cfg, llm_cfg, dtype=jdtype
+            )
+            if on_tpu and llm_cfg.head_dim % 128 == 0 and not llm_cfg.use_flash:
+                import dataclasses as _dc
+
+                llm_cfg = _dc.replace(llm_cfg, use_flash=True)
+            m = FunASRNano(
+                encoder_params=enc_params, encoder_cfg=enc_cfg,
+                adaptor_params=ad_params, adaptor_cfg=ad_cfg,
+                llm_params=llm_params, llm_cfg=llm_cfg,
+                frontend=frontend, tokenizer=tokenizer, model_dir=model,
+            )
+            out_kwargs = dict(kwargs)
+            out_kwargs.update(
+                tokenizer=tokenizer, frontend=frontend, model_path=model,
+                device=device or "tpu",
+            )
+            return m, out_kwargs
         if os.path.exists(ckpt):
             tree = load_params(ckpt)
             enc_params = cast_tree(tree["audio_encoder"], jdtype)
