@@ -6,12 +6,18 @@ adaptor → engine generate → per-language TN → ITN/TN dual outputs →
 per-shard dirs merged sorted (reference merge_results,
 infer_kaldidata.py:1013-1062).
 
-Data parallelism: the reference spawns one process per GPU
-(infer_kaldidata.py:1064-1143). On TPU a single continuous-batching engine
-saturates the chip, so `--multiprocess` here shards the scp and runs the
-shards through the same engine sequentially, writing the identical
-`process_{i}/` file tree (multi-host DP over a jax.distributed mesh uses
-the same shard/merge protocol).
+Data parallelism, two modes:
+- `--multiprocess`: shard the scp and run shards through one engine
+  sequentially on this host (a single continuous-batching engine
+  saturates one chip), writing the identical `process_{i}/` file tree.
+- `--distributed`: true multi-host DP — one process per host/slice via
+  `jax.distributed.initialize`; each process decodes
+  shard[jax.process_index()], then process 0 merges after a cross-host
+  barrier. The TPU analogue of the reference's process-per-GPU spawn
+  (infer_kaldidata.py:1064-1143) with the same shard/merge file protocol.
+`--tp N` additionally shards the decoder + KV cache over an N-way
+tensor-parallel mesh axis within each process (vLLM
+tensor_parallel_size, reference infer_kaldidata.py:657).
 """
 
 from __future__ import annotations
@@ -36,6 +42,16 @@ def get_args():
     p.add_argument("--multiprocess", action="store_true")
     p.add_argument("--gpu_list", type=str, default="0",
                    help="kept for CLI parity; shard count on TPU")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host DP via jax.distributed (one process "
+                        "per host; pass --coordinator/--num_processes/"
+                        "--process_id or set the JAX cluster env)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="coordinator address host:port for --distributed")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways over the local device mesh")
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--max_tokens", type=int, default=500)
     p.add_argument("--disable_engine", action="store_true")
@@ -115,14 +131,46 @@ def main():
     scp = read_scp(args.wav_scp)
     texts = read_scp_dict(args.text) if args.text else None
 
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
+    mesh = None
+    if args.tp > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(tp=args.tp)
+
     pipe = BatchPipeline(
         args.model_dir, dtype=args.dtype,
         enable_engine=not args.disable_engine,
         max_num_seqs=args.batch_size, itn=args.itn, language=args.language,
-        max_tokens=args.max_tokens,
+        max_tokens=args.max_tokens, mesh=mesh,
     )
 
-    if args.multiprocess:
+    if args.distributed:
+        import jax
+        from jax.experimental import multihost_utils
+
+        n, pid = jax.process_count(), jax.process_index()
+        shards = split_scp(scp, n)
+        d = os.path.join(args.output_dir, f"process_{pid}")
+        run_shard(pipe, shards[pid], texts, d, args.batch_size, args.itn)
+        # every host must finish its shard before process 0 merges
+        multihost_utils.sync_global_devices("infer_kaldidata_shards_done")
+        if pid == 0:
+            merge_results(
+                [os.path.join(args.output_dir, f"process_{i}")
+                 for i in range(n)],
+                args.output_dir,
+                filenames=("text", "text_itn", "text_tn", "hypos.txt"),
+            )
+    elif args.multiprocess:
         n_shards = max(1, len(args.gpu_list.split(",")))
         shards = split_scp(scp, n_shards)
         part_dirs = []

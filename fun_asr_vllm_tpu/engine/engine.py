@@ -201,6 +201,29 @@ class LLM:
             max_blocks_per_seq=mb, dtype=jdtype,
         )
         self.k_cache, self.v_cache = init_cache(config, self.cache_cfg)
+        self._dp = 1
+        if mesh is not None:
+            # tensor parallelism: Megatron shardings on the decoder params,
+            # KV heads over `tp` so paged attention stays shard-local
+            # (vLLM's tensor_parallel_size analogue, reference
+            # infer_kaldidata.py:657); prefill batches are additionally
+            # data-parallel over `dp` (see _dp_shard)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import qwen3_param_sharding, shard_params
+
+            if config.num_key_value_heads % mesh.shape["tp"] != 0:
+                raise ValueError(
+                    f"num_key_value_heads {config.num_key_value_heads} not "
+                    f"divisible by tp {mesh.shape['tp']}"
+                )
+            self.params = shard_params(
+                mesh, self.params, qwen3_param_sharding(mesh)
+            )
+            kv_sharding = NamedSharding(mesh, P(None, None, None, "tp", None))
+            self.k_cache = jax.device_put(self.k_cache, kv_sharding)
+            self.v_cache = jax.device_put(self.v_cache, kv_sharding)
+            self._dp = mesh.shape["dp"]
 
         if use_pallas is None:
             # Pallas decode kernel needs lane-aligned tiles: head_dim
@@ -238,6 +261,18 @@ class LLM:
             self.stats[k] = 0
 
     # ---------------- scheduling internals ----------------
+
+    def _dp_shard(self, arr) -> jax.Array:
+        """Place a [B, ...] batch input over the mesh dp axis (replicated
+        when there is no mesh or B doesn't divide)."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        arr = np.asarray(arr) if not isinstance(arr, jax.Array) else arr
+        spec = (P("dp", *([None] * (arr.ndim - 1)))
+                if self._dp > 1 and arr.shape[0] % self._dp == 0 else P())
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
     def _alloc_blocks(self, n: int) -> Optional[List[int]]:
         if len(self._free_blocks) < n:
@@ -321,7 +356,7 @@ class LLM:
                     tables[j, : len(req.blocks)] = req.blocks
                 (logits, first_ids), self.k_cache, self.v_cache = prefill_step(
                     self.params, self.cfg, self.k_cache, self.v_cache,
-                    jnp.asarray(embeds), jnp.asarray(lengths),
+                    self._dp_shard(embeds), jnp.asarray(lengths),
                     jnp.asarray(tables),
                 )
                 firsts = (np.asarray(first_ids) if self._cur_sampling.is_greedy
@@ -625,7 +660,7 @@ class LLM:
                     enc_params, ad_params, self.params,
                     enc_cfg, ad_cfg, self.cfg,
                     self.k_cache, self.v_cache,
-                    jnp.asarray(speech[start:stop]), jnp.asarray(frames),
+                    self._dp_shard(speech[start:stop]), jnp.asarray(frames),
                     prefix_embeds, suffix_embeds,
                     jnp.asarray(prompt_lens.astype(np.int32)),
                     jnp.asarray(tables[:, :mbu]),
@@ -661,7 +696,7 @@ class LLM:
                         enc_params, ad_params, self.params,
                         enc_cfg, ad_cfg, self.cfg,
                         self.k_cache, self.v_cache,
-                        jnp.asarray(speech[start:stop]), jnp.asarray(frames),
+                        self._dp_shard(speech[start:stop]), jnp.asarray(frames),
                         prefix_embeds, suffix_embeds,
                         jnp.asarray(prompt_lens.astype(np.int32)),
                         jnp.asarray(tables),

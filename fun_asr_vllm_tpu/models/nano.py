@@ -103,6 +103,28 @@ class FunASRNano:
             self.llm_params, jnp.asarray(list(ids), jnp.int32)
         ).astype(jnp.float32)
 
+    def shard_for_mesh(self, mesh) -> None:
+        """Place all param trees on a (dp, tp) mesh with Megatron
+        shardings (parallel/mesh.py); jitted forwards then run
+        tensor-parallel with XLA-inserted collectives."""
+        from ..parallel.mesh import (
+            adaptor_param_sharding,
+            encoder_param_sharding,
+            qwen3_param_sharding,
+            shard_params,
+        )
+
+        self.encoder_params = shard_params(
+            mesh, self.encoder_params, encoder_param_sharding(mesh)
+        )
+        self.adaptor_params = shard_params(
+            mesh, self.adaptor_params, adaptor_param_sharding(mesh)
+        )
+        self.llm_params = shard_params(
+            mesh, self.llm_params, qwen3_param_sharding(mesh)
+        )
+        self.mesh = mesh
+
     def encode_batch(
         self, wavs: Sequence[np.ndarray]
     ) -> Tuple[jax.Array, jax.Array]:

@@ -69,6 +69,9 @@ def encoder_param_sharding(mesh: Mesh) -> Dict:
         "layer0": layer(False),
         "layers": layer(True),
         "after_norm_scale": P(), "after_norm_bias": P(),
+        # optional SenseVoiceEncoderSmall trailing stage
+        "tp_layers": layer(True),
+        "tp_norm_scale": P(), "tp_norm_bias": P(),
     }
 
 

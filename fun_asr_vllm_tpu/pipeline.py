@@ -35,17 +35,21 @@ class BatchPipeline:
         top_p: float = 0.001,
         max_tokens: int = 500,
         gpu_memory_utilization: float = 0.4,  # accepted for CLI parity
+        mesh=None,
     ) -> None:
         self.model, self.kwargs = FunASRNano.from_pretrained(
             model=model_dir, dtype=dtype
         )
         m = self.model
+        if mesh is not None:
+            m.shard_for_mesh(mesh)
         if enable_engine:
             m.vllm = LLM(
                 params=m.llm_params, config=m.llm_cfg, tokenizer=m.tokenizer,
                 dtype=dtype, max_num_seqs=max_num_seqs,
                 max_model_len=max_model_len,
                 gpu_memory_utilization=gpu_memory_utilization,
+                mesh=mesh,
             )
             m.vllm_sampling_params = SamplingParams(
                 top_p=top_p, max_tokens=max_tokens
