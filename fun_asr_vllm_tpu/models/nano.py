@@ -190,6 +190,290 @@ class FunASRNano:
 
     # ----------------------------- inference ------------------------------
 
+    def data_template(self, data: Sequence[Dict]) -> Dict[str, List]:
+        """Chat message list → {system, user, assistant} turn lists
+        (reference model.py:267-290). A user item may carry an ``audio``
+        array referenced by the ``!!`` span marker."""
+        system, user, assistant = [], [], []
+        for item in data:
+            role, content = item["role"], item["content"]
+            if role == "system":
+                system.append(content)
+            elif role == "user":
+                if "audio" in item:
+                    content = [content, item["audio"]]
+                user.append(content)
+            elif role == "assistant":
+                assistant.append(content)
+        return {
+            "system": system * len(user),
+            "user": user,
+            "assistant": assistant,
+        }
+
+    def data_load_speech(
+        self,
+        contents: Dict[str, List],
+        tokenizer=None,
+        frontend=None,
+        meta_data: Optional[Dict] = None,
+        **kwargs,
+    ) -> Dict[str, Any]:
+        """Parse multiturn ChatML with ``<|startofspeech|>…<|endofspeech|>``
+        spans → token ids with zero "fake tokens" at audio positions +
+        padded fbank batch (reference model.py:292-450). Caps:
+        multiturn_num_max=5 turns, max_token_length=1500 tokens
+        (reference model.py:318-320)."""
+        tokenizer = tokenizer or self.tokenizer
+        fe = frontend or self.frontend
+        meta_data = meta_data if meta_data is not None else {}
+        do_think = kwargs.get("do_think", True)
+        sys_prompt = kwargs.get("sys_prompt", True)
+        assistant_input = kwargs.get("infer_with_assistant_input", False)
+
+        input_ids: List[int] = []
+        labels: List[int] = []
+        source_ids: List[int] = []
+        fbank_beg: List[int] = []
+        fake_token_len: List[int] = []
+        wavs: List[np.ndarray] = []
+        target_ids: List[int] = []
+        t_load = t_feat = 0.0
+
+        turns = zip(contents["system"], contents["user"],
+                    contents["assistant"])
+        for i, (system_prompt, user_prompt, target_out) in enumerate(turns):
+            if i >= kwargs.get("multiturn_num_max", 5):
+                break
+            if len(input_ids) > kwargs.get("max_token_length", 1500):
+                break
+            audio = None
+            if isinstance(user_prompt, (list, tuple)):
+                user_prompt, audio = user_prompt
+            if i == 0:
+                if assistant_input:
+                    source_input = (
+                        f"<|im_start|>system\n{system_prompt}<|im_end|>\n"
+                        f"<|im_start|>user\n{user_prompt}"
+                        if sys_prompt else f"<|im_start|>user\n{user_prompt}"
+                    )
+                else:
+                    source_input = (
+                        f"<|im_start|>system\n{system_prompt}<|im_end|>\n"
+                        f"<|im_start|>user\n{user_prompt}<|im_end|>\n"
+                        f"<|im_start|>assistant\n"
+                        if sys_prompt else
+                        f"<|im_start|>user\n{user_prompt}<|im_end|>\n"
+                        f"<|im_start|>assistant\n"
+                    )
+            else:
+                source_input = (
+                    f"<|im_start|>user\n{user_prompt}"
+                    if assistant_input else
+                    f"<|im_start|>user\n{user_prompt}<|im_end|>\n"
+                    f"<|im_start|>assistant\n"
+                )
+            if not do_think:
+                source_input += "<think>\n\n</think>\n\n"
+
+            turn_ids: List[int] = []
+            fbank_beg_i = -1
+            fake_len_i = 0
+            for sub_str in SPEECH_SPAN_RE.split(source_input):
+                if not sub_str.startswith("<|startofspeech|>"):
+                    turn_ids += tokenizer.encode(sub_str)
+                    continue
+                sub_str = sub_str.replace("<|startofspeech|>", "").replace(
+                    "<|endofspeech|>", ""
+                )
+                if sub_str.startswith("!"):
+                    sub_str = sub_str[1:]
+                    if sub_str.startswith("!"):  # "!!" → in-memory samples
+                        wav = np.asarray(audio, np.float32).reshape(-1)
+                    else:
+                        t0 = time.perf_counter()
+                        wav = load_audio(sub_str, fs=fe.fs)
+                        t_load += time.perf_counter() - t0
+                    t1 = time.perf_counter()
+                    frames = fe.lfr_frame_count(len(wav))
+                    t_feat += time.perf_counter() - t1
+                    fake_len_i = (
+                        adaptor_mod.downsampled_length(frames)
+                        if self.use_low_frame_rate else frames
+                    )
+                    fbank_beg_i = len(turn_ids)
+                    turn_ids += [0] * fake_len_i
+                    wavs.append(wav)
+
+            fbank_beg.append(
+                fbank_beg_i + len(input_ids) if fbank_beg_i >= 0 else -1
+            )
+            fake_token_len.append(fake_len_i)
+            target_ids = tokenizer.encode(f"{target_out}<|im_end|>")
+            source_ids = input_ids + turn_ids
+            input_ids = input_ids + turn_ids + target_ids
+            labels = labels + [-100] * len(turn_ids) + target_ids
+
+        speech = speech_lengths = None
+        if wavs:
+            t1 = time.perf_counter()
+            speech, speech_lengths = fe.extract(wavs)
+            t_feat += time.perf_counter() - t1
+            meta_data["batch_data_time"] = (
+                float(jnp.sum(speech_lengths)) * fe.frame_shift
+                * fe.lfr_n / 1000
+            )
+        meta_data["load_data"] = f"{t_load:0.3f}"
+        meta_data["extract_feat"] = f"{t_feat:0.3f}"
+        return {
+            "speech": speech,
+            "speech_lengths": speech_lengths,
+            "input_ids": np.asarray(input_ids, np.int64),
+            "source_ids": np.asarray(source_ids, np.int64),
+            "labels_ids": np.asarray(labels, np.int64),
+            "target_ids": np.asarray(target_ids, np.int64),
+            "fbank_beg": np.asarray(fbank_beg, np.int32),
+            "fake_token_len": np.asarray(fake_token_len, np.int32),
+        }
+
+    @staticmethod
+    def _teacher_forcing(kwargs: Dict) -> bool:
+        # the reference spells this kwarg two different ways
+        # (model.py:505 "tearchforing", :641 "teachforing") — accept all
+        return bool(
+            kwargs.get("teacher_forcing")
+            or kwargs.get("tearchforing")
+            or kwargs.get("teachforing")
+        )
+
+    def inference_prepare(
+        self, data_in, data_lengths=None, key=None, tokenizer=None,
+        frontend=None, **kwargs,
+    ):
+        """messages → spliced prompt embeddings (reference model.py:452-541):
+        embed the token ids, run encoder+adaptor over every audio span,
+        overwrite the fake-token rows per turn."""
+        if kwargs.get("batch_size", 1) > 1:
+            raise NotImplementedError("batch decoding is not implemented")
+        meta_data: Dict[str, Any] = {}
+        contents = self.data_template(data_in[0])
+        output = self.data_load_speech(
+            contents, tokenizer, frontend, meta_data=meta_data, **kwargs
+        )
+        ids = (output["input_ids"] if self._teacher_forcing(kwargs)
+               else output["source_ids"])
+        embeds = np.array(self.embed_ids(np.maximum(ids, 0)))  # [T, H] f32
+
+        if output["speech"] is not None:
+            enc_out, enc_lens = self.audio_encoder(
+                output["speech"], output["speech_lengths"]
+            )
+            audio, audio_lens = self.audio_adaptor(enc_out, enc_lens)
+            audio_np = np.asarray(audio, np.float32)
+            lens_np = np.asarray(audio_lens)
+            speech_idx = 0
+            for turn, beg in enumerate(np.maximum(output["fbank_beg"], 0)):
+                if beg <= 0:
+                    continue
+                n = int(output["fake_token_len"][turn])
+                if n > audio_np.shape[1] or beg + n > embeds.shape[0]:
+                    # splice-length fallback (reference model.py:521-539)
+                    logger.error(
+                        "splice length mismatch: fake=%d audio=%s — "
+                        "falling back to encoder_out_lens", n, audio_np.shape,
+                    )
+                    n = min(int(lens_np[speech_idx]), embeds.shape[0] - beg)
+                embeds[beg : beg + n] = audio_np[speech_idx, :n]
+                speech_idx += 1
+        return embeds, contents, output, output["source_ids"], meta_data
+
+    def inference_llm(
+        self, data_in, data_lengths=None, key=None, tokenizer=None,
+        frontend=None, **kwargs,
+    ) -> Tuple[List[Dict], Dict]:
+        """Decode (or teacher-force) the spliced embeddings
+        (reference model.py:614-708)."""
+        embeds, contents, batch, source_ids, meta_data = self.inference_prepare(
+            data_in, data_lengths, key, tokenizer, frontend, **kwargs
+        )
+        label = contents["assistant"][-1] if contents["assistant"] else "null"
+        max_tokens = kwargs.get("max_tokens", kwargs.get("max_length", 500))
+        loss = None
+        if not self._teacher_forcing(kwargs):
+            if self.vllm is not None:
+                sp = self.vllm_sampling_params
+                if sp is None:
+                    from ..engine import SamplingParams
+
+                    sp = SamplingParams(top_p=0.001, max_tokens=max_tokens)
+                outputs = self.vllm.generate(
+                    {"prompt_embeds": embeds}, sp, use_tqdm=False
+                )
+                response = outputs[0].outputs[0].text
+            else:
+                out_ids = qwen3_mod.greedy_decode_simple(
+                    self.llm_params, self.llm_cfg, jnp.asarray(embeds)[None],
+                    max_new_tokens=max_tokens,
+                )
+                response = self.tokenizer.decode(
+                    out_ids.tolist(), skip_special_tokens=True
+                )
+        else:
+            # teacher-forcing eval: loss + argmax predictions over the
+            # target span (reference model.py:666-683)
+            t = embeds.shape[0]
+            pos = jnp.arange(t)[None, :]
+            hidden, _ = qwen3_mod.forward_hidden(
+                self.llm_params, self.llm_cfg,
+                jnp.asarray(embeds)[None].astype(self.llm_cfg.dtype), pos,
+                attn_lengths=jnp.asarray([t]),
+            )
+            logits = qwen3_mod.lm_logits(
+                self.llm_params, self.llm_cfg, hidden[0]
+            ).astype(jnp.float32)
+            labels = np.asarray(batch["labels_ids"])
+            labels[labels == -1] = -100
+            # HF convention: logits[t] predicts labels[t+1]
+            shift_logits = logits[:-1]
+            shift_labels = labels[1:]
+            valid = shift_labels != -100
+            logp = jax.nn.log_softmax(shift_logits, axis=-1)
+            tok_lp = jnp.take_along_axis(
+                logp, jnp.asarray(np.maximum(shift_labels, 0))[:, None],
+                axis=1,
+            )[:, 0]
+            loss = float(
+                -(tok_lp * jnp.asarray(valid)).sum() / max(valid.sum(), 1)
+            )
+            preds = np.asarray(jnp.argmax(logits, axis=-1))
+            preds = preds[len(source_ids):]
+            response = self.tokenizer.decode(
+                preds.tolist(), skip_special_tokens=True
+            )
+
+        if key is None:
+            chars = string.ascii_letters + string.digits
+            key = ["rand_key_" + "".join(random.choice(chars) for _ in range(13))]
+        result = {
+            "key": key[0],
+            "text": clean_response(response),
+            "text_tn": strip_special_chars(response),
+            "label": label,
+        }
+        if loss is not None:
+            result["loss"] = loss
+        out_dir = kwargs.get("output_dir")
+        if out_dir:
+            d = os.path.join(out_dir, "1best_recog")
+            os.makedirs(d, exist_ok=True)
+            for name, val in (
+                ("text", result["text"]), ("label", str(result["label"])),
+                ("text_tn", result["text_tn"]),
+            ):
+                with open(os.path.join(d, name), "a", encoding="utf-8") as f:
+                    f.write(f"{key[0]}\t{val}\n".replace("\n\n", "\n"))
+        return [result], meta_data
+
     def inference(
         self,
         data_in: Sequence,
@@ -201,75 +485,49 @@ class FunASRNano:
     ) -> Tuple[List[Dict], Dict]:
         """Single-utterance decode (batch=1, like the reference —
         model.py:463-464 raises for batch>1; batch work goes through the
-        engine harnesses)."""
+        engine harnesses). `data_in[0]` may be a wav path, raw samples, or
+        a full chat message list with audio spans (reference
+        model.py:544-613)."""
         if kwargs.get("batch_size", 1) > 1 or len(data_in) > 1:
             raise NotImplementedError("batch decoding is not implemented")
-        meta_data: Dict[str, Any] = {}
-        fe = frontend or self.frontend
 
         instruction = self.build_instruction(
             kwargs.get("hotwords", []), kwargs.get("language"),
             kwargs.get("itn", True),
         )
-        prefix_ids, suffix_ids = self.chatml_parts(instruction)
-
-        t0 = time.perf_counter()
-        wav = load_audio(data_in[0], fs=fe.fs)
-        t1 = time.perf_counter()
-        meta_data["load_data"] = f"{t1 - t0:0.3f}"
-        speech, speech_lengths = fe.extract([wav])
-        t2 = time.perf_counter()
-        meta_data["extract_feat"] = f"{t2 - t1:0.3f}"
-        meta_data["batch_data_time"] = (
-            float(jnp.sum(speech_lengths)) * fe.frame_shift * fe.lfr_n / 1000
-        )
-
-        enc_out, enc_lens = self.audio_encoder(speech, speech_lengths)
-        audio_embeds, audio_lens = self.audio_adaptor(enc_out, enc_lens)
-        embeds = self.build_prompt_embeds(
-            audio_embeds, audio_lens, prefix_ids, suffix_ids
-        )[0]
-
-        max_tokens = kwargs.get("max_tokens", kwargs.get("max_length", 500))
-        if self.vllm is not None:
-            sp = self.vllm_sampling_params
-            if sp is None:
-                from ..engine import SamplingParams
-
-                sp = SamplingParams(top_p=0.001, max_tokens=max_tokens)
-            outputs = self.vllm.generate(
-                {"prompt_embeds": embeds}, sp, use_tqdm=False
-            )
-            response = outputs[0].outputs[0].text
-        else:
-            out_ids = qwen3_mod.greedy_decode_simple(
-                self.llm_params, self.llm_cfg, jnp.asarray(embeds)[None],
-                max_new_tokens=max_tokens,
-            )
-            response = self.tokenizer.decode(
-                out_ids.tolist(), skip_special_tokens=True
-            )
+        new_data_in = []
+        for data in data_in:
+            if isinstance(data, str):
+                new_data_in.append([
+                    {"role": "system",
+                     "content": "You are a helpful assistant."},
+                    {"role": "user",
+                     "content": f"{instruction}<|startofspeech|>!{data}"
+                                f"<|endofspeech|>"},
+                    {"role": "assistant", "content": "null"},
+                ])
+            elif isinstance(data, (np.ndarray, jax.Array)):
+                new_data_in.append([
+                    {"role": "system",
+                     "content": "You are a helpful assistant."},
+                    {"role": "user",
+                     "content": f"{instruction}<|startofspeech|>!!"
+                                f"<|endofspeech|>",
+                     "audio": np.asarray(data)},
+                    {"role": "assistant", "content": "null"},
+                ])
+            else:  # already a message list
+                new_data_in.append(data)
 
         if key is None:
             chars = string.ascii_letters + string.digits
-            key = ["rand_key_" + "".join(random.choice(chars) for _ in range(13))]
-        result = {
-            "key": key[0],
-            "text": clean_response(response),
-            "text_tn": strip_special_chars(response),
-            "label": "null",
-        }
-        out_dir = kwargs.get("output_dir")
-        if out_dir:
-            d = os.path.join(out_dir, "1best_recog")
-            os.makedirs(d, exist_ok=True)
-            for name, val in (
-                ("text", result["text"]), ("label", result["label"]),
-                ("text_tn", result["text_tn"]),
-            ):
-                with open(os.path.join(d, name), "a", encoding="utf-8") as f:
-                    f.write(f"{key[0]}\t{val}\n".replace("\n\n", "\n"))
-        return [result], meta_data
+            key = ["rand_key_" + "".join(random.choice(chars)
+                                         for _ in range(13))
+                   for _ in new_data_in]
+        return self.inference_llm(
+            new_data_in, data_lengths=data_lengths, key=key,
+            tokenizer=tokenizer, frontend=frontend, **kwargs,
+        )
 
     # ------------------------- load / save --------------------------------
 

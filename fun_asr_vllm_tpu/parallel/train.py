@@ -91,11 +91,30 @@ def nano_loss(
 
     preds = jnp.argmax(shift_logits, axis=-1)
     acc = ((preds == safe_labels) * mask).sum() / denom
+    # full training-stats parity (reference model.py:200-243)
+    dialog_turns = (batch["fbank_beg"] > 0).astype(jnp.float32)
+    real_tokens = batch["attention_lengths"].sum().astype(jnp.float32)
+    frames_total = jnp.asarray(
+        batch["speech"].shape[0] * batch["speech"].shape[1], jnp.float32
+    )
+    real_frames = batch["speech_lengths"].sum().astype(jnp.float32)
     stats = {
         "loss": loss,
         "acc": acc,
         "batch_tokens": mask.sum(),
         "total_tokens": jnp.asarray(mask.size, jnp.float32),
+        "batch_size": jnp.asarray(b, jnp.float32),
+        "batch_size_x_tokens": jnp.asarray(b * l, jnp.float32),
+        "batch_size_real_tokens": real_tokens,
+        "padding_tokens": b * l - real_tokens,
+        "batch_size_speech": jnp.asarray(
+            batch["speech"].shape[0], jnp.float32
+        ),
+        "batch_size_x_frames": frames_total,
+        "batch_size_real_frames": real_frames,
+        "padding_frames": frames_total - real_frames,
+        "dialog_turns_max": dialog_turns.max(),
+        "dialog_turns_avg": dialog_turns.sum() / b,
     }
     return loss, stats
 

@@ -95,3 +95,82 @@ class TestInference:
         from fun_asr_vllm_tpu.models.adaptor import downsampled_length
 
         assert int(lens[0]) == downsampled_length(m.frontend.frame_count(16000))
+
+
+class TestMultiturn:
+    """Message-format inference: speech-span parsing, multi-audio splicing,
+    caps, teacher forcing (reference model.py:267-450, 666-683)."""
+
+    def _messages(self, wav_path, turns):
+        msgs = [{"role": "system", "content": "You are a helpful assistant."}]
+        for i in range(turns):
+            msgs.append({
+                "role": "user",
+                "content": f"语音转写：<|startofspeech|>!{wav_path}"
+                           f"<|endofspeech|>",
+            })
+            msgs.append({"role": "assistant", "content": f"回答{i}"})
+        return msgs
+
+    def test_two_audio_spans_splice(self, model_dir, wav_path):
+        m, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+        msgs = self._messages(wav_path, 2)
+        embeds, contents, batch, source_ids, meta = m.inference_prepare(
+            [msgs]
+        )
+        assert len(contents["user"]) == 2
+        assert batch["speech"].shape[0] == 2  # two fbank utterances
+        assert (batch["fbank_beg"] >= 0).all()
+        # each fake-token span must equal the downsampled length
+        from fun_asr_vllm_tpu.models.adaptor import downsampled_length
+
+        want = downsampled_length(m.frontend.frame_count(16000))
+        assert list(batch["fake_token_len"]) == [want, want]
+        # the spliced rows differ from the plain embedding of token id 0
+        zero_row = np.asarray(m.embed_ids([0]))[0]
+        beg = int(batch["fbank_beg"][0])
+        assert not np.allclose(embeds[beg], zero_row)
+
+    def test_multiturn_cap(self, model_dir, wav_path):
+        m, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+        msgs = self._messages(wav_path, 8)
+        _, contents, batch, _, _ = m.inference_prepare(
+            [msgs], multiturn_num_max=3
+        )
+        assert batch["speech"].shape[0] == 3  # capped at 3 turns
+
+    def test_max_token_length_cap(self, model_dir, wav_path):
+        m, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+        msgs = self._messages(wav_path, 5)
+        _, _, batch, _, _ = m.inference_prepare(
+            [msgs], max_token_length=50
+        )
+        # the first turn exceeds 50 tokens (audio span ~101 fake tokens),
+        # so only one turn is admitted
+        assert batch["speech"].shape[0] == 1
+
+    def test_message_input_through_inference(self, model_dir, wav_path):
+        m, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+        msgs = self._messages(wav_path, 2)
+        results, meta = m.inference(data_in=[msgs], max_tokens=4)
+        assert results[0]["label"] == "回答1"
+        assert "batch_data_time" in meta
+
+    def test_raw_samples_input(self, model_dir):
+        """`!!` span marker: audio passed as an in-memory sample array."""
+        m, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+        wav = np.random.default_rng(0).normal(
+            scale=0.05, size=16000
+        ).astype(np.float32)
+        results, _ = m.inference(data_in=[wav], max_tokens=4)
+        assert isinstance(results[0]["text"], str)
+
+    def test_teacher_forcing_loss(self, model_dir, wav_path):
+        m, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+        msgs = self._messages(wav_path, 1)
+        results, _ = m.inference(data_in=[msgs], teacher_forcing=True)
+        r = results[0]
+        assert "loss" in r and np.isfinite(r["loss"]) and r["loss"] > 0
+        # the reference's typo'd kwarg must work too (model.py:641)
+        results2, _ = m.inference(data_in=[msgs], teachforing=True)
+        assert results2[0]["loss"] == pytest.approx(r["loss"], rel=1e-5)
