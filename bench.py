@@ -43,7 +43,7 @@ def synth_utterances(total_seconds: float, seed: int = 0, fs: int = 16000):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seconds", type=float, default=240.0,
+    ap.add_argument("--seconds", type=float, default=480.0,
                     help="total synthetic audio seconds")
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--max_num_seqs", type=int, default=16)
@@ -54,9 +54,12 @@ def main():
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax.profiler trace of the timed epoch")
     ap.add_argument("--no_prefetch", action="store_true")
-    ap.add_argument("--int16_upload", action="store_true",
-                    help="measured SLOWER on this transport (int16 takes a "
-                         "conversion path); default f32")
+    ap.add_argument("--upload", type=str, default="f32",
+                    choices=("packed", "f32", "int16"),
+                    help="f32 measures fastest end-to-end; packed (int16 "
+                         "pairs in uint32, lossless half bytes) loses more "
+                         "to the in-graph interleave than the bytes save; "
+                         "int16 hits a slow dtype conversion path")
     args = ap.parse_args()
 
     import jax
@@ -115,6 +118,10 @@ def main():
         # one burst covers a typical zh transcript → one decode dispatch
         # per batch on this high-RTT transport
         decode_burst_size=16,
+        # measured: depth=2 (wave pipelining) is a net LOSS here — the 2×
+        # KV cache slows the fused program more than the ~0 fetch RTT it
+        # hides (0.79s vs 0.71s device-resident epoch); see BENCH_NOTES
+        pipeline_depth=1,
     )
 
     # 4 s length buckets bound the number of compiled encoder shapes
@@ -134,30 +141,44 @@ def main():
     prefix_dev = jnp.asarray(prefix)
     suffix_dev = jnp.asarray(suffix)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    uploader = ThreadPoolExecutor(max_workers=1)
+
+    def _force_upload(pcm):
+        # on this transport device_put is LAZY: the RPC transfer defers
+        # until first consumption, serializing ~100 ms into the compute
+        # stream. Forcing it with block_until_ready from a thread makes
+        # it run concurrently with the current wave's compute (~3 ms
+        # real cost) — the CUDA async-H2D analogue, still on the clock.
+        dev = jax.device_put(pcm)
+        dev.block_until_ready()
+        return dev
+
     def run_epoch(utt_list):
         """The reference hot loop (infer.py:441-501): per batch — feature
         prep, encode+prefill (one fused dispatch), decode, normalize. The
-        NEXT batch's waveform upload is issued asynchronously while the
-        current batch computes (the torch-DataLoader-prefetch analogue)."""
+        NEXT batch's waveform upload is forced in a background thread
+        while the current batch computes (the torch-DataLoader-prefetch
+        analogue)."""
         hyp_count = 0
         batches = []
         for i in range(0, len(utt_list), args.batch_size):
             batch = utt_list[i : i + args.batch_size]
-            pcm, frames = (
-                frontend.batchify_int16(batch) if args.int16_upload
-                else frontend.batchify(batch)
-            )
+            batchify = {
+                "packed": frontend.batchify_packed,
+                "int16": frontend.batchify_int16,
+                "f32": frontend.batchify,
+            }[args.upload]
+            pcm, frames = batchify(batch)
             mean_dur = np.mean([len(b) for b in batch]) / 16000.0
             batches.append((pcm, frames, mean_dur))
-        dev = batches[0][0] if args.no_prefetch else jax.device_put(
-            batches[0][0]
-        )
+        fut = (None if args.no_prefetch
+               else uploader.submit(_force_upload, batches[0][0]))
         for i, (pcm, frames, mean_dur) in enumerate(batches):
-            cur = dev
-            if args.no_prefetch:
-                dev = batches[i + 1][0] if i + 1 < len(batches) else None
-            elif i + 1 < len(batches):
-                dev = jax.device_put(batches[i + 1][0])  # async prefetch
+            cur = pcm if args.no_prefetch else fut.result()
+            if not args.no_prefetch and i + 1 < len(batches):
+                fut = uploader.submit(_force_upload, batches[i + 1][0])
             max_toks = max(4, int(mean_dur * args.tokens_per_audio_sec))
             sp = SamplingParams(top_p=0.001, max_tokens=max_toks)
             outs = llm.generate_fused(
@@ -174,18 +195,10 @@ def main():
                 hyp_count += 1
         return hyp_count
 
-    # warmup: compile every (batch, bucket) shape the timed epoch will see
-    buckets = sorted({-(-len(u) // frontend.bucket_samples) for u in utts})
-    rngw = np.random.default_rng(2)
-    for nb in buckets:
-        n = nb * frontend.bucket_samples
-        warm = [rngw.normal(scale=0.1, size=n).astype(np.float32)
-                for _ in range(args.batch_size)]
-        run_epoch(warm)
-    tail = len(utts) % args.batch_size
-    if tail:
-        run_epoch(utts[-tail:])
-    print(f"# warmed {len(buckets)} buckets", file=sys.stderr)
+    # warmup: run the exact timed workload once — compiles every
+    # (batch, bucket, burst) shape the timed epoch will see
+    run_epoch(utts)
+    print("# warmed", file=sys.stderr)
     llm.reset_stats()
 
     if args.profile_dir:

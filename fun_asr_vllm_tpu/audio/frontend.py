@@ -178,6 +178,21 @@ class WavFrontend:
             np.clip(batch, -32768, 32767).astype(np.int16), frame_counts
         )
 
+    def batchify_packed(
+        self, wavs: Sequence[np.ndarray]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """int16 sample pairs bit-packed into uint32 — halves the
+        host→device bytes LOSSLESSLY while keeping a TPU-native transfer
+        dtype (int16 device_put takes a slow conversion path on this
+        transport; uint32 rides the fast path). The fused program unpacks
+        in-graph with two shifts."""
+        batch, frame_counts = self.batchify(wavs)
+        i16 = np.clip(batch, -32768, 32767).astype("<i2")
+        if i16.shape[1] % 2:
+            i16 = np.pad(i16, ((0, 0), (0, 1)))
+        packed = i16.reshape(i16.shape[0], -1, 2).view("<u4")[:, :, 0]
+        return np.ascontiguousarray(packed), frame_counts
+
     def extract(
         self, wavs: Sequence[np.ndarray]
     ) -> Tuple[jax.Array, jax.Array]:

@@ -171,9 +171,15 @@ class LLM:
         mesh: Any = None,
         use_pallas: Optional[bool] = None,
         decode_burst_size: int = 8,
+        pipeline_depth: int = 1,
         **_ignored,
     ) -> None:
         self.decode_burst_size = max(1, decode_burst_size)
+        # pipeline_depth=2 provisions slot/block pools for two waves so
+        # generate_fused can dispatch wave i+1 before fetching wave i's
+        # tokens (hides the host round trip + postproc behind device
+        # compute); waves stay max_num_seqs wide
+        self.pipeline_depth = max(1, pipeline_depth)
         jdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                   "float16": jnp.bfloat16}[dtype]
         if params is None:
@@ -192,10 +198,11 @@ class LLM:
         self.max_num_seqs = max_num_seqs
         self.mesh = mesh
 
+        self.n_slots = max_num_seqs * self.pipeline_depth
         mb = -(-max_model_len // block_size)
         if num_blocks is None:
             # enough pages for all slots at max length, + slack + garbage blk
-            num_blocks = max_num_seqs * mb + mb + 1
+            num_blocks = self.n_slots * mb + mb + 1
         self.cache_cfg = CacheConfig(
             num_blocks=num_blocks, block_size=block_size,
             max_blocks_per_seq=mb, dtype=jdtype,
@@ -244,7 +251,7 @@ class LLM:
         if tokenizer is not None and getattr(tokenizer, "eos_token_id", None):
             self.eos_ids.add(tokenizer.eos_token_id)
 
-        s, mbps = max_num_seqs, self.cache_cfg.max_blocks_per_seq
+        s, mbps = self.n_slots, self.cache_cfg.max_blocks_per_seq
         self._slots: List[Optional[_Request]] = [None] * s
         self._free_blocks = deque(range(1, num_blocks))  # block 0 = garbage
         self._block_tables = np.zeros((s, mbps), dtype=np.int32)
@@ -449,7 +456,9 @@ class LLM:
         self.stats["steps"] += k
         for step in range(k):
             for slot, req in enumerate(snapshot):
-                if req is None or req.done:
+                if req is None or req.done or not self._active[slot]:
+                    # inactive: admitted for a later pipelined wave,
+                    # not yet armed — its burst lanes are garbage
                     continue
                 self.stats["decode_tokens"] += 1
                 self._positions[slot] += 1
@@ -467,7 +476,7 @@ class LLM:
         tokens = self._sample(logits)
         self.stats["steps"] += 1
         for slot, req in enumerate(self._slots):
-            if req is None:
+            if req is None or not self._active[slot]:
                 continue
             self.stats["decode_tokens"] += 1
             self._positions[slot] += 1
@@ -622,7 +631,11 @@ class LLM:
         self._cur_sampling = sp
         p, q = prefix_embeds.shape[0], suffix_embeds.shape[0]
         b = speech.shape[0]
-        k = self.decode_burst_size
+        # size the in-program burst to the token budget (snapped to 8s to
+        # bound recompiles and keep sublane-friendly ring shapes) — a
+        # fixed burst wastes steps past max_tokens
+        k = min(self.decode_burst_size,
+                max(8, -(-min(sp.max_tokens, self.decode_burst_size) // 8) * 8))
         single_shot = sp.is_greedy
         all_reqs: List[_Request] = []
         fe_kw = dict(
@@ -635,6 +648,7 @@ class LLM:
         # LFR stacking shortens the feature sequence (frontend.extract
         # semantics): the encoder sees ceil(frames / lfr_n) frames
         lfr_n = frontend.lfr_n
+        pending = None  # (reqs, tokens device array) awaiting host fetch
         for start in range(0, b, self.max_num_seqs):
             stop = min(start + self.max_num_seqs, b)
             frames = np.asarray(
@@ -667,29 +681,19 @@ class LLM:
                     t_bucket=tb, num_steps=k, use_pallas=self.use_pallas,
                     **fe_kw,
                 )
-                tokens = np.asarray(tokens)  # [K+1, B]
-                now = time.perf_counter()
-                self.stats["steps"] += k
-                for j, req in enumerate(reqs):
-                    slot = req.slot
-                    self.stats["prefill_tokens"] += req.prompt_len
-                    req.t_first_token = now
-                    self._block_tables[slot, :] = 0
-                    self._block_tables[slot, : len(req.blocks)] = req.blocks
-                    self._positions[slot] = req.prompt_len
-                    self._seq_lens[slot] = req.prompt_len + 1
-                    self._active[slot] = True
-                for step in range(k + 1):
-                    for j, req in enumerate(reqs):
-                        if req.done:
-                            continue
-                        slot = req.slot
-                        if step > 0:
-                            self.stats["decode_tokens"] += 1
-                            self._positions[slot] += 1
-                            self._seq_lens[slot] += 1
-                        self._last_tokens[slot] = tokens[step, j]
-                        self._handle_token(req, int(tokens[step, j]))
+                # the dispatch above is async — with pipeline_depth ≥ 2
+                # (disjoint slots/blocks for two waves) process the
+                # PREVIOUS wave's tokens while this one computes
+                if pending is not None:
+                    prev_reqs, prev_tokens = pending
+                    self._finish_fused_wave(prev_reqs, prev_tokens, k, sp)
+                    all_reqs.extend(prev_reqs)
+                    pending = None
+                if self.pipeline_depth >= 2 and stop < b:
+                    pending = (reqs, tokens)
+                else:
+                    self._finish_fused_wave(reqs, tokens, k, sp)
+                    all_reqs.extend(reqs)
             else:
                 (logits, first_ids), self.k_cache, self.v_cache = (
                     fused_encode_prefill(
@@ -704,9 +708,40 @@ class LLM:
                     )
                 )
                 self._post_prefill(reqs, logits, first_ids)
-            self._run(reqs, deque(), sp, use_tqdm=False)
-            all_reqs.extend(reqs)
+                self._run(reqs, deque(), sp, use_tqdm=False)
+                all_reqs.extend(reqs)
+        if pending is not None:
+            prev_reqs, prev_tokens = pending
+            self._finish_fused_wave(prev_reqs, prev_tokens, k, sp)
+            all_reqs.extend(prev_reqs)
         return self._collect(all_reqs, sp)
+
+    def _finish_fused_wave(self, reqs, tokens, k: int, sp) -> None:
+        """Fetch a fused wave's tokens, arm its slots, run continuations."""
+        tokens = np.asarray(tokens)  # [K+1, B] — blocks until ready
+        now = time.perf_counter()
+        self.stats["steps"] += k
+        for j, req in enumerate(reqs):
+            slot = req.slot
+            self.stats["prefill_tokens"] += req.prompt_len
+            req.t_first_token = now
+            self._block_tables[slot, :] = 0
+            self._block_tables[slot, : len(req.blocks)] = req.blocks
+            self._positions[slot] = req.prompt_len
+            self._seq_lens[slot] = req.prompt_len + 1
+            self._active[slot] = True
+        for step in range(k + 1):
+            for j, req in enumerate(reqs):
+                if req.done:
+                    continue
+                slot = req.slot
+                if step > 0:
+                    self.stats["decode_tokens"] += 1
+                    self._positions[slot] += 1
+                    self._seq_lens[slot] += 1
+                self._last_tokens[slot] = tokens[step, j]
+                self._handle_token(req, int(tokens[step, j]))
+        self._run(reqs, deque(), sp, use_tqdm=False)
 
     def _run(self, reqs, waiting, sp, use_tqdm: bool):
         iterator = None

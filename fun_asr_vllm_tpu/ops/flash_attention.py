@@ -65,13 +65,15 @@ def _flash_kernel(
 
     @pl.when(in_range)
     def _process():
-        q = q_ref[0].astype(jnp.float32) * scale  # [BQ, D]
-        k = k_ref[0].astype(jnp.float32)  # [BK, D]
-        v = v_ref[0].astype(jnp.float32)
+        # keep the MXU inputs in the stored dtype (bf16 runs 8× f32 rate);
+        # accumulate f32 and apply the scale post-matmul for accuracy
+        q = q_ref[0]  # [BQ, D]
+        k = k_ref[0]  # [BK, D]
+        v = v_ref[0]
         scores = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [BQ, BK]
+        ) * scale  # [BQ, BK] f32
         kpos = k_start + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
         )
