@@ -170,6 +170,7 @@ class LLM:
         compilation_config: Any = None,
         mesh: Any = None,
         use_pallas: Optional[bool] = None,
+        use_pallas_burst: bool = False,
         decode_burst_size: int = 8,
         pipeline_depth: int = 1,
         **_ignored,
@@ -246,6 +247,11 @@ class LLM:
                 and config.num_attention_heads >= 8
             )
         self.use_pallas = use_pallas
+        # A/B at flagship shapes (BENCH_NOTES round 2): the XLA live-width
+        # gather beats the per-(seq,page) Pallas kernel inside the burst
+        # (267-280 vs 251-259 RTFx), so the burst default is XLA; the
+        # kernel remains the winner for single-step decode_step
+        self.use_pallas_burst = use_pallas_burst
 
         self.eos_ids = {config.eos_token_id, config.pad_token_id}
         if tokenizer is not None and getattr(tokenizer, "eos_token_id", None):
@@ -450,7 +456,7 @@ class LLM:
             jnp.asarray(self._block_tables[:, :mbu]),
             jnp.asarray(self._seq_lens),
             jnp.asarray(self._active), num_steps=k,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas_burst,
         )
         tokens = np.asarray(tokens)  # [k, S]
         self.stats["steps"] += k
@@ -678,7 +684,7 @@ class LLM:
                     prefix_embeds, suffix_embeds,
                     jnp.asarray(prompt_lens.astype(np.int32)),
                     jnp.asarray(tables[:, :mbu]),
-                    t_bucket=tb, num_steps=k, use_pallas=self.use_pallas,
+                    t_bucket=tb, num_steps=k, use_pallas=self.use_pallas_burst,
                     **fe_kw,
                 )
                 # the dispatch above is async — with pipeline_depth ≥ 2

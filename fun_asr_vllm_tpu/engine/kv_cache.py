@@ -214,8 +214,13 @@ def _burst_core(
     K = num_steps
     # cached region length per seq (excludes the pending token)
     cached_lens = seq_lens - 1
-    # `use_pallas` is accepted for API stability; the two-segment XLA path
-    # reads the cache via one gather per layer-step and needs no kernel
+    if use_pallas:
+        from ..ops.paged_attention import paged_attention_pallas_stats
+
+        def paged_stats(q, kc, vc, bt, lens):
+            return paged_attention_pallas_stats(q, kc, vc, bt, lens)
+    else:
+        paged_stats = _paged_attention_stats
 
     k_recent0 = jnp.zeros((L, K, s, nkv, d), cfg.dtype)
     v_recent0 = jnp.zeros((L, K, s, nkv, d), cfg.dtype)
@@ -244,7 +249,7 @@ def _burst_core(
             vr = vr.at[lid, i].set(v.astype(vr.dtype))
 
             # segment 1: the immutable paged cache (reads only)
-            att1, m1, l1 = _paged_attention_stats(
+            att1, m1, l1 = paged_stats(
                 q, k_cache[lid], v_cache[lid], block_tables, cached_lens,
             )
             # segment 2: this burst's tokens 0..i

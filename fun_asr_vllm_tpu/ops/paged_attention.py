@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _paged_decode_kernel(
+def _paged_decode_body(
     # scalar prefetch
     block_tables_ref,  # [S, MB] int32 (SMEM)
     seq_lens_ref,      # [S] int32 (SMEM)
@@ -39,8 +39,6 @@ def _paged_decode_kernel(
     q_ref,             # [Nq, D] VMEM — this sequence's query
     k_page_ref,        # [BS, Nkv, D] VMEM — current page
     v_page_ref,        # [BS, Nkv, D] VMEM
-    # output
-    out_ref,           # [Nq, D] VMEM
     # scratch
     acc_ref,           # [Nq, D] f32
     m_ref,             # [Nq, 128] f32 running max (lane-replicated)
@@ -51,9 +49,9 @@ def _paged_decode_kernel(
     head_dim: int,
     num_q_heads: int,
 ):
+    """Shared online-softmax page accumulation (init + process)."""
     s = pl.program_id(0)
     j = pl.program_id(1)
-    mb = pl.num_programs(1)
     seq_len = seq_lens_ref[s]
 
     @pl.when(j == 0)
@@ -105,11 +103,58 @@ def _paged_decode_kernel(
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
+
+def _paged_decode_kernel(
+    block_tables_ref, seq_lens_ref,
+    q_ref, k_page_ref, v_page_ref,
+    out_ref,           # [Nq, D] VMEM
+    acc_ref, m_ref, l_ref,
+    *, block_size: int, num_kv_heads: int, head_dim: int, num_q_heads: int,
+):
+    j = pl.program_id(1)
+    mb = pl.num_programs(1)
+    _paged_decode_body(
+        block_tables_ref, seq_lens_ref, q_ref, k_page_ref, v_page_ref,
+        acc_ref, m_ref, l_ref,
+        block_size=block_size, num_kv_heads=num_kv_heads,
+        head_dim=head_dim, num_q_heads=num_q_heads,
+    )
+
     @pl.when(j == mb - 1)
     def _finalize():
         l = l_ref[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         out_ref[:] = (acc_ref[:] / safe_l).astype(out_ref.dtype)
+
+
+def _paged_decode_stats_kernel(
+    block_tables_ref, seq_lens_ref,
+    q_ref, k_page_ref, v_page_ref,
+    acc_out_ref,   # [Nq, D] f32 — unnormalized
+    m_out_ref,     # [Nq, 128] f32
+    l_out_ref,     # [Nq, 128] f32
+    acc_ref, m_ref, l_ref,
+    *, block_size: int, num_kv_heads: int, head_dim: int, num_q_heads: int,
+):
+    """Like `_paged_decode_kernel` but emits online-softmax stats
+    (acc, m, l) for segment merging in the two-segment burst
+    (engine/kv_cache.py `_merge_softmax_segments`)."""
+    j = pl.program_id(1)
+    mb = pl.num_programs(1)
+    _paged_decode_body(
+        block_tables_ref, seq_lens_ref, q_ref, k_page_ref, v_page_ref,
+        acc_ref, m_ref, l_ref,
+        block_size=block_size, num_kv_heads=num_kv_heads,
+        head_dim=head_dim, num_q_heads=num_q_heads,
+    )
+
+    @pl.when(j == mb - 1)
+    def _finalize():
+        # m=-inf (fully-empty cache) merges badly downstream; clamp
+        m = m_ref[:]
+        acc_out_ref[:] = acc_ref[:]
+        m_out_ref[:] = jnp.where(jnp.isfinite(m), m, -1e30)
+        l_out_ref[:] = l_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -175,3 +220,71 @@ def paged_attention_pallas(
     )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
       q, k_cache_l, v_cache_l)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_attention_pallas_stats(
+    q: jax.Array,           # [S, Nq, D]
+    k_cache_l: jax.Array,   # [NB, BS, Nkv, D]
+    v_cache_l: jax.Array,
+    block_tables: jax.Array,  # [S, MB] int32
+    seq_lens: jax.Array,      # [S] int32
+    *,
+    interpret: bool = False,
+):
+    """Unnormalized online-softmax stats → (acc [S,Nq,D] f32, m [S,Nq,1],
+    l [S,Nq,1]) — the Pallas counterpart of
+    `engine.kv_cache._paged_attention_stats` for the two-segment burst.
+    Only touches resident pages (the XLA gather reads the padded window)."""
+    s, nq, d = q.shape
+    nb, bs, nkv, _ = k_cache_l.shape
+    mb = block_tables.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s, mb),
+        in_specs=[
+            pl.BlockSpec((1, nq, d), lambda i, j, bt, sl: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs, nkv, d),
+                         lambda i, j, bt, sl: (bt[i, j], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs, nkv, d),
+                         lambda i, j, bt, sl: (bt[i, j], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nq, d), lambda i, j, bt, sl: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, 128), lambda i, j, bt, sl: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, 128), lambda i, j, bt, sl: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nq, d), jnp.float32),
+            pltpu.VMEM((nq, 128), jnp.float32),
+            pltpu.VMEM((nq, 128), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _paged_decode_stats_kernel,
+        block_size=bs, num_kv_heads=nkv, head_dim=d, num_q_heads=nq,
+    )
+
+    def _squeezed(bt, sl, q_r, k_r, v_r, acc_o, m_o, l_o, acc, m, l):
+        kernel(bt, sl, q_r.at[0], k_r.at[0], v_r.at[0],
+               acc_o.at[0], m_o.at[0], l_o.at[0], acc, m, l)
+
+    acc, m, l = pl.pallas_call(
+        _squeezed,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((s, nq, d), jnp.float32),
+            jax.ShapeDtypeStruct((s, nq, 128), jnp.float32),
+            jax.ShapeDtypeStruct((s, nq, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
+      q, k_cache_l, v_cache_l)
+    return acc, m[:, :, :1], l[:, :, :1]

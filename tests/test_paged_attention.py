@@ -53,3 +53,60 @@ class TestPagedAttention:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
         )
+
+
+class TestPagedStats:
+    def test_stats_match_xla_stats(self):
+        from fun_asr_vllm_tpu.engine.kv_cache import (
+            _merge_softmax_segments, _paged_attention_stats,
+        )
+        from fun_asr_vllm_tpu.ops.paged_attention import (
+            paged_attention_pallas_stats,
+        )
+
+        q, kc, vc, bt, sl = _setup(seed=3)
+        acc0, m0, l0 = _paged_attention_stats(q, kc, vc, bt, sl)
+        acc1, m1, l1 = paged_attention_pallas_stats(
+            q, kc, vc, bt, sl, interpret=True
+        )
+        # the normalized outputs must agree (raw m/l may differ by the
+        # masking constant when a row has no valid tokens)
+        out0 = np.asarray(acc0 / np.maximum(np.asarray(l0), 1e-30))
+        out1 = np.asarray(acc1 / np.maximum(np.asarray(l1), 1e-30))
+        np.testing.assert_allclose(out1, out0, atol=2e-5, rtol=1e-4)
+        # and merging with a second segment must agree end-to-end
+        rng = np.random.default_rng(9)
+        s, nq, d = q.shape
+        acc2 = jnp.asarray(rng.normal(size=(s, nq, d)).astype(np.float32))
+        m2 = jnp.asarray(rng.normal(size=(s, nq, 1)).astype(np.float32))
+        l2 = jnp.asarray(rng.uniform(1, 2, size=(s, nq, 1)).astype(np.float32))
+        ref = _merge_softmax_segments(acc0, m0, l0, acc2, m2, l2)
+        got = _merge_softmax_segments(acc1, m1, l1, acc2, m2, l2)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
+    def test_zero_length_row(self):
+        from fun_asr_vllm_tpu.engine.kv_cache import (
+            _merge_softmax_segments, _paged_attention_stats,
+        )
+        from fun_asr_vllm_tpu.ops.paged_attention import (
+            paged_attention_pallas_stats,
+        )
+
+        q, kc, vc, bt, sl = _setup(seed=4, s=2, mb=2)
+        sl = jnp.asarray([0, 7], jnp.int32)  # row 0: nothing cached
+        acc0, m0, l0 = _paged_attention_stats(q, kc, vc, bt, sl)
+        acc1, m1, l1 = paged_attention_pallas_stats(
+            q, kc, vc, bt, sl, interpret=True
+        )
+        rng = np.random.default_rng(10)
+        s, nq, d = q.shape
+        acc2 = jnp.asarray(rng.normal(size=(s, nq, d)).astype(np.float32))
+        m2 = jnp.asarray(rng.normal(size=(s, nq, 1)).astype(np.float32))
+        l2 = jnp.asarray(rng.uniform(1, 2, size=(s, nq, 1)).astype(np.float32))
+        ref = _merge_softmax_segments(acc0, m0, l0, acc2, m2, l2)
+        got = _merge_softmax_segments(acc1, m1, l1, acc2, m2, l2)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
