@@ -100,6 +100,7 @@ class SimpleAudioProcessor:
         fs: int = 16000,
         echo_cancel: bool = True,
         vad: Optional[EnergyVAD] = None,
+        vad_model_dir: Optional[str] = None,
         sim_threshold: float = 0.6,
     ) -> None:
         self.output_dir = output_dir
@@ -108,6 +109,12 @@ class SimpleAudioProcessor:
         self.fs = fs
         self.echo_cancel = echo_cancel
         self.transcribe_fn = transcribe_fn
+        if vad is None and vad_model_dir:
+            # FSMN-VAD weights when available (reference fsmn-vad,
+            # simple_audio_processor.py:158-257)
+            from .fsmn_vad import make_vad
+
+            vad = make_vad(vad_model_dir, fs=fs)
         self.vad = vad or EnergyVAD(
             VADConfig(max_end_silence_ms=800, max_single_segment_ms=30000)
         )
