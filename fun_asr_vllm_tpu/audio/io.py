@@ -146,6 +146,97 @@ def write_wav(
         f.write(payload)
 
 
+class StreamingWavWriter:
+    """Chunked PCM16 WAV/RF64 writer for multi-hour multi-channel files.
+
+    The reference writes aligned 4-channel audio in chunks, switching to
+    RF64 when the payload reaches 4 GB (reference
+    run_audio_cat_cut.py:400-420, soundfile format="RF64"). This writer
+    streams int16 frames and finalizes the header sizes on close —
+    RF64 with a ds64 chunk when the data exceeds the RIFF 32-bit limit
+    or when `force_rf64`.
+
+    Usage::
+
+        with StreamingWavWriter(path, rate, channels) as w:
+            for chunk in chunks:        # float [-1,1] or int16 [N, C]
+                w.write(chunk)
+    """
+
+    def __init__(self, path, rate: int, channels: int,
+                 force_rf64: bool = False) -> None:
+        self.path = path
+        self.rate = rate
+        self.channels = channels
+        self.force_rf64 = force_rf64
+        self._f = open(path, "wb")
+        self._data_bytes = 0
+        block_align = channels * 2
+        # placeholder RIFF header (patched on close; ds64 reserved via JUNK)
+        self._f.write(b"RIFF" + struct.pack("<I", 0) + b"WAVE")
+        # 28-byte chunk reserved: becomes ds64 for RF64, stays JUNK for WAV
+        self._f.write(b"JUNK" + struct.pack("<I", 28) + b"\x00" * 28)
+        self._f.write(
+            b"fmt " + struct.pack(
+                "<IHHIIHH", 16, _WAVE_FORMAT_PCM, channels, rate,
+                rate * block_align, block_align, 16,
+            )
+        )
+        self._data_hdr_pos = self._f.tell()
+        self._f.write(b"data" + struct.pack("<I", 0))
+
+    def write(self, samples: np.ndarray) -> None:
+        samples = np.asarray(samples)
+        if samples.ndim == 1:
+            samples = samples[:, None]
+        if samples.dtype != np.int16:
+            work = np.clip(samples.astype(np.float32) * 32767.0,
+                           -32768, 32767)
+            samples = work.astype("<i2")
+        payload = samples.astype("<i2", copy=False).tobytes()
+        self._f.write(payload)
+        self._data_bytes += len(payload)
+
+    def close(self) -> None:
+        if self._f.closed:
+            return
+        riff_size = self._f.tell() - 8
+        rf64 = self.force_rf64 or self._data_bytes >= 0xFFFFFFFF - 64
+        self._f.seek(0)
+        if rf64:
+            self._f.write(b"RF64" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE")
+            n_frames = self._data_bytes // (self.channels * 2)
+            self._f.write(
+                b"ds64" + struct.pack("<I", 28)
+                + struct.pack("<QQQI", riff_size, self._data_bytes,
+                              n_frames, 0)
+            )
+            self._f.seek(self._data_hdr_pos)
+            self._f.write(b"data" + struct.pack("<I", 0xFFFFFFFF))
+        else:
+            self._f.write(b"RIFF" + struct.pack("<I", riff_size) + b"WAVE")
+            self._f.seek(self._data_hdr_pos)
+            self._f.write(b"data" + struct.pack("<I", self._data_bytes))
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def load_pcm(path, channels: int = 1, dtype: str = "<i2") -> np.ndarray:
+    """Raw headerless PCM16 → float32 [-1,1]; [N, C] when channels > 1
+    (the reference's recorded-device capture format,
+    run_audio_cat_cut.py stage 2 inputs)."""
+    raw = np.fromfile(path, dtype=dtype)
+    x = raw.astype(np.float32) / 32768.0
+    if channels > 1:
+        x = x[: len(x) // channels * channels].reshape(-1, channels)
+    return x
+
+
 def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     """Polyphase resampling (the torchaudio.transforms.Resample analogue,
     reference infer.py:326-328)."""

@@ -64,6 +64,131 @@ def jaccard_char_similarity(a: str, b: str) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+class AudioFilter:
+    """Transcript-quality filter with the reference's full machinery
+    (simple_audio_processor.py:260-537): punctuation stripping, 3-rule
+    noise detection (too short / noise-word ratio / low char diversity),
+    longest-first dedup with Jaccard similarity AND containment
+    detection, and deletion of the rejected segments' audio files."""
+
+    CHINESE_PUNCT = set(",.?!:，。！？；：“”‘’（）【】《》、")
+    DEFAULT_NOISE_WORDS = ("嗯", "啊", "呃", "哦", "哈", "嘿", "哼", "咳", "喂")
+
+    def __init__(
+        self,
+        min_chars_no_punct: int = 3,
+        similarity_threshold: float = 0.6,
+        noise_indicators: Optional[Sequence[str]] = None,
+        text_key: str = "text",
+        path_key: str = "wav",
+        name_key: str = "key",
+        remove_files: bool = True,
+    ) -> None:
+        self.min_chars_no_punct = min_chars_no_punct
+        self.similarity_threshold = similarity_threshold
+        self.noise_indicators = list(noise_indicators
+                                     or self.DEFAULT_NOISE_WORDS)
+        self.text_key = text_key
+        self.path_key = path_key
+        self.name_key = name_key
+        self.remove_files = remove_files
+        self.stats = {"noise": 0, "dup": 0, "contained": 0, "kept": 0}
+
+    def remove_punctuation(self, text: str) -> str:
+        if not text:
+            return ""
+        for p in self.CHINESE_PUNCT:
+            text = text.replace(p, "")
+        return re.sub(r"[^\w\s]", "", text).strip()
+
+    def calculate_similarity(self, a: str, b: str) -> float:
+        return jaccard_char_similarity(a, b)
+
+    def is_noise_text(self, text: str) -> bool:
+        """The reference's 3 noise rules (:323-353)."""
+        if not text:
+            return True
+        clean = self.remove_punctuation(text)
+        # rule 1: too short without punctuation
+        if len(clean) <= self.min_chars_no_punct:
+            return True
+        # rule 2: noise filler words dominate a short utterance
+        noise_words = [w for w in self.noise_indicators if w in text]
+        if noise_words and len(clean) <= 5:
+            if len("".join(noise_words)) / len(clean) > 0.5:
+                return True
+        # rule 3: character diversity below 30% (stutter/noise)
+        if len(set(clean)) < len(clean) * 0.3:
+            return True
+        return False
+
+    def _is_text_contained(self, longer: str, shorter: str) -> bool:
+        """Containment check ignoring punctuation and case (:451-476)."""
+        if not longer or not shorter:
+            return False
+        cl, cs = self.remove_punctuation(longer), self.remove_punctuation(shorter)
+        if len(cs) > len(cl):
+            return False
+        return cs.lower() in cl.lower()
+
+    def _remove_audio_file(self, rec: Dict) -> None:
+        if not self.remove_files:
+            return
+        path = rec.get(self.path_key)
+        try:
+            if path and os.path.exists(path):
+                os.remove(path)
+        except OSError:
+            pass
+
+    def filter_results(self, results: List[Dict]) -> List[Dict]:
+        """Noise pass, then longest-first dedup + containment
+        (:359-449). Rejected records' audio files are deleted. Output is
+        sorted by name."""
+        kept_after_noise = []
+        for rec in results:
+            if self.is_noise_text(rec.get(self.text_key, "")):
+                self.stats["noise"] += 1
+                self._remove_audio_file(rec)
+            else:
+                kept_after_noise.append(rec)
+        if len(kept_after_noise) <= 1:
+            self.stats["kept"] += len(kept_after_noise)
+            return kept_after_noise
+
+        # longest clean text first, so duplicates fold into the richest row
+        ordered = sorted(
+            kept_after_noise,
+            key=lambda r: len(self.remove_punctuation(r.get(self.text_key, ""))),
+            reverse=True,
+        )
+        removed = set()
+        kept: List[Dict] = []
+        for i, rec in enumerate(ordered):
+            if i in removed:
+                continue
+            cur_clean = self.remove_punctuation(rec.get(self.text_key, ""))
+            cur_full = rec.get(self.text_key, "")
+            kept.append(rec)
+            for j in range(i + 1, len(ordered)):
+                if j in removed:
+                    continue
+                other = ordered[j]
+                other_clean = self.remove_punctuation(
+                    other.get(self.text_key, "")
+                )
+                sim = self.calculate_similarity(cur_clean, other_clean)
+                contained = self._is_text_contained(
+                    cur_full, other.get(self.text_key, "")
+                )
+                if sim >= self.similarity_threshold or contained:
+                    self.stats["contained" if contained else "dup"] += 1
+                    removed.add(j)
+                    self._remove_audio_file(other)
+        self.stats["kept"] += len(kept)
+        return sorted(kept, key=lambda r: str(r.get(self.name_key, "")))
+
+
 class TextFilter:
     """Noise/duplicate/containment filtering over transcripts."""
 
@@ -122,7 +247,12 @@ class SimpleAudioProcessor:
         self.summary = {
             "packages": 0, "segments": 0, "kept": 0,
             "total_duration_s": 0.0, "effective_duration_s": 0.0,
+            "processed_audios": 0, "successful_transcriptions": 0,
+            "failed_transcriptions": 0, "packages_skipped_filter": 0,
+            "zip_files_total": 0, "filtered_results": 0,
         }
+        # date-grouped duration accounting (reference per-date stats)
+        self.duration_by_date: Dict[str, Dict[str, float]] = {}
 
     def _load_pcm_stereo(self, data: bytes) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         pcm = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
@@ -131,11 +261,21 @@ class SimpleAudioProcessor:
             return st[:, 0].copy(), st[:, 1].copy()
         return pcm, None
 
+    @staticmethod
+    def _package_date(name: str) -> str:
+        m = re.search(r"(20\d{6})", name)
+        return m.group(1) if m else "unknown"
+
     def process_package(self, zip_path: str) -> List[Dict]:
-        """One device zip → list of kept segment records (+ files)."""
+        """One device zip → kept segment records (+ files). Segments are
+        all transcribed first, then filtered with the reference's
+        AudioFilter (noise → dedup/containment, rejected files deleted)."""
         name = os.path.splitext(os.path.basename(zip_path))[0]
+        date = self._package_date(name)
+        dstat = self.duration_by_date.setdefault(
+            date, {"original_s": 0.0, "final_s": 0.0}
+        )
         records: List[Dict] = []
-        tfilter = TextFilter(self.sim_threshold)
         with zipfile.ZipFile(zip_path) as zf:
             members = [m for m in zf.namelist()
                        if m.lower().endswith((".pcm", ".raw", ".wav"))]
@@ -154,59 +294,132 @@ class SimpleAudioProcessor:
                 if self.echo_cancel and ref is not None:
                     mic = nlms_echo_cancel(mic, ref)
                 self.summary["total_duration_s"] += len(mic) / self.fs
+                self.summary["processed_audios"] += 1
+                dstat["original_s"] += len(mic) / self.fs
 
                 segs = self.vad.cut(mic)
                 self.summary["segments"] += len(segs)
-                texts = (
-                    self.transcribe_fn(segs)
-                    if (self.transcribe_fn and segs) else [""] * len(segs)
-                )
+                try:
+                    texts = (
+                        self.transcribe_fn(segs)
+                        if (self.transcribe_fn and segs) else [""] * len(segs)
+                    )
+                    self.summary["successful_transcriptions"] += len(segs)
+                except Exception as e:
+                    print(f"[audio_processor] transcribe failed: {e}")
+                    texts = [""] * len(segs)
+                    self.summary["failed_transcriptions"] += len(segs)
                 base = re.sub(r"[^\w\-]", "_", f"{name}_{member}")
                 for i, (seg, text) in enumerate(zip(segs, texts)):
-                    if self.transcribe_fn and not tfilter.accept(text):
-                        continue
                     key = f"{base}_{i:04d}"
                     wav_path = os.path.join(self.audio_dir, f"{key}.wav")
                     write_wav(wav_path, seg, self.fs)
-                    dur = len(seg) / self.fs
-                    self.summary["kept"] += 1
-                    self.summary["effective_duration_s"] += dur
                     records.append(
                         {"key": key, "wav": wav_path, "text": text,
-                         "duration": dur, "package": name}
+                         "duration": len(seg) / self.fs, "package": name,
+                         "audio_type": "vad_segment"}
                     )
+
+        if self.transcribe_fn:
+            filt = AudioFilter(similarity_threshold=self.sim_threshold)
+            kept = filt.filter_results(records)
+            self.summary["filtered_results"] += len(records) - len(kept)
+        else:
+            kept = records
+        for r in kept:
+            self.summary["kept"] += 1
+            self.summary["effective_duration_s"] += r["duration"]
+            dstat["final_s"] += r["duration"]
         self.summary["packages"] += 1
         jsonl = os.path.join(self.output_dir, f"{name}.jsonl")
         with open(jsonl, "w", encoding="utf-8") as f:
-            for r in records:
+            for r in kept:
                 f.write(json.dumps(r, ensure_ascii=False) + "\n")
-        return records
+        # per-package report (Excel when openpyxl exists, else CSV —
+        # reference per-package Excel, :1082-1181)
+        from .cat_cut import _write_report
+
+        _write_report(
+            os.path.join(self.output_dir, f"{name}.xlsx"),
+            ("key", "wav", "text", "duration", "package"), kept,
+        )
+        return kept
 
     def batch_process(
         self,
         zip_dir: str,
         package_filter: Optional[PackageFilter] = None,
     ) -> Dict:
-        """All matching zips in a dir → records + processing_summary.json
-        (reference :1183-1344)."""
-        zips = sorted(
+        """All matching zips in a dir → records + consolidated report +
+        processing_summary.json with the reference's stats shape
+        (reference :1126-1344)."""
+        all_zips = sorted(
             os.path.join(zip_dir, f) for f in os.listdir(zip_dir)
             if f.endswith(".zip")
         )
+        self.summary["zip_files_total"] = len(all_zips)
+        zips = all_zips
         if package_filter:
-            zips = [z for z in zips
+            zips = [z for z in all_zips
                     if package_filter.matches(os.path.basename(z))]
+            self.summary["packages_skipped_filter"] = (
+                len(all_zips) - len(zips)
+            )
+        all_records: List[Dict] = []
         for z in zips:
             try:
-                self.process_package(z)
+                all_records.extend(self.process_package(z))
             except Exception as e:
                 print(f"[audio_processor] {z} failed: {e}")
-        s = dict(self.summary)
-        s["effective_ratio"] = (
-            s["effective_duration_s"] / s["total_duration_s"]
-            if s["total_duration_s"] else 0.0
+
+        from .cat_cut import _write_report
+
+        _write_report(
+            os.path.join(self.output_dir, "consolidated.xlsx"),
+            ("key", "wav", "text", "duration", "package"), all_records,
         )
+        s = dict(self.summary)
+        ok, fail = (s["successful_transcriptions"],
+                    s["failed_transcriptions"])
+        report = {
+            "summary": {
+                "total_packages": s["packages"],
+                "zip_files_total": s["zip_files_total"],
+                "packages_skipped_filter": s["packages_skipped_filter"],
+                "total_processed_audios": s["processed_audios"],
+                "successful_transcriptions": ok,
+                "failed_transcriptions": fail,
+                "vad_segments": s["segments"],
+                "filtered_results": s["filtered_results"],
+                "final_results": s["kept"],
+                "original_total_duration": round(s["total_duration_s"], 2),
+                "final_total_duration": round(s["effective_duration_s"], 2),
+                "effective_ratio": round(
+                    s["effective_duration_s"] / s["total_duration_s"], 4
+                ) if s["total_duration_s"] else 0.0,
+                "success_rate": ok / (ok + fail) if (ok + fail) else 0,
+            },
+            "type_statistics": {
+                t: sum(1 for r in all_records if r.get("audio_type") == t)
+                for t in {r.get("audio_type") for r in all_records}
+            },
+            "duration_statistics": {
+                "原始长音频总时长(秒)": round(s["total_duration_s"], 2),
+                "最终保留音频总时长(秒)": round(s["effective_duration_s"], 2),
+                "有效数据比例": (
+                    f"{s['effective_duration_s'] / s['total_duration_s'] * 100:.2f}%"
+                    if s["total_duration_s"] else "0.00%"
+                ),
+            },
+            "duration_by_date": {
+                d: {k: round(v, 2) for k, v in stats.items()}
+                for d, stats in sorted(self.duration_by_date.items())
+            },
+            "sample_results": all_records[:5],
+        }
         with open(os.path.join(self.output_dir, "processing_summary.json"),
-                  "w") as f:
-            json.dump(s, f, indent=2)
+                  "w", encoding="utf-8") as f:
+            json.dump(report, f, ensure_ascii=False, indent=2)
+        # flat keys kept for backwards compatibility with round-1 callers
+        s["effective_ratio"] = report["summary"]["effective_ratio"]
         return s

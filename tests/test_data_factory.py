@@ -108,8 +108,10 @@ class TestVAD:
 
 
 class TestCatCut:
-    def test_stage1_and_stage3_roundtrip(self, tmp_path):
-        from fun_asr_vllm_tpu.data.cat_cut import stage1_concat, stage3_split
+    def test_stage1_and_manifest_split_roundtrip(self, tmp_path):
+        from fun_asr_vllm_tpu.data.cat_cut import (
+            split_by_manifest, stage1_concat,
+        )
 
         rng = np.random.default_rng(0)
         scp = []
@@ -130,8 +132,8 @@ class TestCatCut:
         # split back the first manifest's wav
         man = manifests[0]
         wav_path = json.loads(open(man).readline())["wav"]
-        rows = stage3_split(wav_path, man, str(tmp_path / "split"),
-                            {"u0": "文本", "u1": "文本"})
+        rows = split_by_manifest(wav_path, man, str(tmp_path / "split"),
+                                 {"u0": "文本", "u1": "文本"})
         assert all(os.path.exists(p) for _, p in rows)
 
     def test_xcorr_alignment(self):
@@ -148,19 +150,157 @@ class TestCatCut:
                                 anchor_seconds=0.5)
         assert abs(off - delay) <= 2
 
-    def test_wer_range_filter(self):
-        from fun_asr_vllm_tpu.data.cat_cut import (
-            parse_wer_ranges, stage5_filter_wer,
-        )
+    def test_duration_range_filter(self):
+        from fun_asr_vllm_tpu.data.cat_cut import filter_rows_by_duration
 
-        ranges = parse_wer_ranges("0:5:10,5:100:30")
+        ranges = [(0, 5, 10.0), (5, 100, 30.0)]
         rows = [
             {"wer": 5.0, "dur_s": 2.0},   # ≤10 keep
             {"wer": 20.0, "dur_s": 2.0},  # >10 drop
             {"wer": 20.0, "dur_s": 10.0},  # ≤30 keep
         ]
-        kept = stage5_filter_wer(rows, ranges)
+        kept = filter_rows_by_duration(rows, ranges)
         assert len(kept) == 2
+
+    def test_stage2_dual_align_and_stage3_4ch_split(self, tmp_path):
+        """Reference-shaped stage 2+3: dual 1ch/4ch PCM alignment with
+        chunked 4ch writing, fixed-length split with tn/itn restore and
+        row-paired 4ch segments (reference :361-519)."""
+        from fun_asr_vllm_tpu.data.cat_cut import stage2_align, stage3_split
+
+        rng = np.random.default_rng(2)
+        fs = 16000
+        ref = rng.normal(scale=0.2, size=4 * fs).astype(np.float32)
+        refp = tmp_path / "concat.wav"
+        write_wav(refp, ref, fs)
+        delay = 3210
+        rec1 = np.concatenate([np.zeros(delay, np.float32), 0.8 * ref,
+                               np.zeros(fs, np.float32)])
+        rec4 = np.stack([rec1 * g for g in (1.0, 0.9, 0.8, 0.7)], axis=1)
+        p1 = tmp_path / "rec_ch1.pcm"
+        p4 = tmp_path / "rec_ch4.pcm"
+        (np.clip(rec1 * 32767, -32768, 32767).astype("<i2")).tofile(p1)
+        (np.clip(rec4 * 32767, -32768, 32767).astype("<i2")).tofile(p4)
+
+        out1 = tmp_path / "aligned" / "a_1ch.wav"
+        out4 = tmp_path / "aligned" / "a_4ch.wav"
+        off1, off4 = stage2_align(str(refp), str(p1), str(p4), str(out1),
+                                  str(out4), search_range_sec=2.0)
+        assert abs(off1 - delay) <= 2 and abs(off4 - delay) <= 2
+        from fun_asr_vllm_tpu.audio.io import read_wav
+
+        a4, sr = read_wav(str(out4), always_2d=True)
+        assert a4.shape == (len(ref), 4) and sr == fs
+
+        # stage 3: 1 s segments, 4 text lines
+        tn = tmp_path / "c_tn.txt"
+        itn = tmp_path / "c_itn.txt"
+        tn.write_text("".join(f"seg{i}\t文本{i}\n" for i in range(4)))
+        itn.write_text("".join(f"seg{i}\t文本ITN{i}\n" for i in range(4)))
+        segdir = tmp_path / "segments"
+        seg4dir = tmp_path / "segments_4ch"
+        n = stage3_split(str(out1), str(tn), str(itn), str(segdir),
+                         segment_sec=1.0, aligned_wav_4ch=str(out4),
+                         output_dir_4ch=str(seg4dir))
+        assert n == 4
+        assert len(list(segdir.glob("*.wav"))) == 4
+        assert len(list(seg4dir.glob("*.wav"))) == 4
+        assert (segdir / "a_1ch_text_tn.txt").exists()
+        assert (seg4dir / "a_4ch_text_itn.txt").exists()
+        seg, _ = read_wav(str(sorted(seg4dir.glob("*.wav"))[0]),
+                          always_2d=True)
+        assert seg.shape == (fs, 4)
+
+    def test_stage4_and_stage5_row_sync(self, tmp_path):
+        """Stage 4 report + stage 5 row-index filtering with 4ch sync
+        (reference :549-663, :789-871)."""
+        from fun_asr_vllm_tpu.data.cat_cut import (
+            stage4_asr_eval, stage5_filter_wer,
+        )
+
+        segdir = tmp_path / "segments"
+        segdir.mkdir()
+        rng = np.random.default_rng(3)
+        names = []
+        for i in range(4):
+            name = f"s_{i + 1:04d}"
+            write_wav(segdir / f"{name}.wav",
+                      rng.normal(scale=0.1, size=8000).astype(np.float32),
+                      16000)
+            names.append(name)
+        text_file = segdir / "s_text_tn.txt"
+        text_file.write_text("".join(f"{n}\t你好世界\n" for n in names))
+
+        hyps = ["你好世界", "你好", "完全不同", "你好世界"]
+
+        def fake_asr(wavs):
+            return hyps[: len(wavs)]
+
+        rows = stage4_asr_eval(str(segdir), str(text_file),
+                               str(tmp_path / "asr_wer_ch1.xlsx"),
+                               transcribe_fn=fake_asr, batch_size=4)
+        assert [r["wav_name"] for r in rows] == names
+        assert rows[0]["wer"] == 0.0 and rows[2]["wer"] > 50.0
+
+        # fabricate the ch4 report with the same rows
+        from fun_asr_vllm_tpu.data.cat_cut import _write_report
+
+        _write_report(str(tmp_path / "asr_wer_ch4.xlsx"),
+                      ("wav_name", "text", "asr", "wer"), rows)
+        kept1, kept4 = stage5_filter_wer(
+            str(tmp_path), ["0:1:0.0"], global_max_wer=60.0,
+        )
+        # rows 0-1 need wer ≤ 0 (row 0 passes, row 1 fails); rows 2-3 use
+        # the global cap 60 (row 2 fails, row 3 passes)
+        assert kept1 == 2 and kept4 == 2
+
+    def test_align_split_asr_merged_driver(self, tmp_path):
+        from fun_asr_vllm_tpu.data.cat_cut import run_align_split_asr
+
+        rng = np.random.default_rng(4)
+        fs = 16000
+        ref = rng.normal(scale=0.2, size=2 * fs).astype(np.float32)
+        refp = tmp_path / "concat.wav"
+        write_wav(refp, ref, fs)
+        rec1 = np.concatenate([np.zeros(800, np.float32), ref])
+        rec4 = np.stack([rec1] * 4, axis=1)
+        p1 = tmp_path / "r_ch1.pcm"
+        p4 = tmp_path / "r_ch4.pcm"
+        (rec1 * 32767).astype("<i2").tofile(p1)
+        (rec4 * 32767).astype("<i2").tofile(p4)
+        tn = tmp_path / "c_tn.txt"
+        itn = tmp_path / "c_itn.txt"
+        tn.write_text("a\t文本一\nb\t文本二\n")
+        itn.write_text("a\t文本1\nb\t文本2\n")
+        work = tmp_path / "work"
+
+        rows1, rows4 = run_align_split_asr(
+            str(refp), str(p1), str(p4), str(tn), str(itn),
+            segment_sec=1.0, work_dir=str(work),
+            transcribe_fn=lambda wavs: ["文本一"] * len(wavs),
+            search_range_sec=1.0,
+        )
+        assert len(rows1) == 2 and len(rows4) == 2
+        assert (work / "segments").is_dir()
+        assert (work / "segments_4ch").is_dir()
+        report = (work / "asr_wer_ch1.xlsx")
+        assert report.exists() or report.with_suffix(".csv").exists()
+
+    def test_streaming_rf64_writer_roundtrip(self, tmp_path):
+        from fun_asr_vllm_tpu.audio.io import StreamingWavWriter, read_wav
+
+        rng = np.random.default_rng(5)
+        x = np.clip(rng.normal(scale=0.3, size=(50000, 4)), -0.99, 0.99
+                    ).astype(np.float32)
+        p = tmp_path / "big.wav"
+        with StreamingWavWriter(str(p), 16000, 4, force_rf64=True) as w:
+            for s in range(0, len(x), 12000):
+                w.write(x[s : s + 12000])
+        y, sr = read_wav(str(p), always_2d=True)
+        assert sr == 16000 and y.shape == x.shape
+        # quantization + the 32767-write/32768-read scale asymmetry
+        np.testing.assert_allclose(y, x, atol=2.5 / 32768)
+        assert open(p, "rb").read(4) == b"RF64"
 
 
 class TestAudioProcessor:
@@ -302,3 +442,81 @@ class TestMpScp:
         process_scp(str(src), str(out), lambda k, v: v.upper(), num_workers=3)
         rows = read_scp(out)
         assert rows == [(f"k{i}", f"V{i}") for i in range(9)]
+
+
+class TestAudioFilter:
+    """Reference AudioFilter semantics (simple_audio_processor.py:260-537)."""
+
+    def _f(self, **kw):
+        from fun_asr_vllm_tpu.data.audio_processor import AudioFilter
+
+        kw.setdefault("remove_files", False)
+        return AudioFilter(**kw)
+
+    def test_noise_rules(self):
+        f = self._f()
+        assert f.is_noise_text("")                     # empty
+        assert f.is_noise_text("嗯嗯")                  # too short
+        assert f.is_noise_text("嗯，啊。")               # fillers dominate
+        assert f.is_noise_text("哈哈哈哈哈哈哈哈哈哈")      # low diversity
+        assert not f.is_noise_text("今天天气真的很不错")
+
+    def test_remove_punctuation(self):
+        f = self._f()
+        assert f.remove_punctuation("你好，世界！") == "你好世界"
+        assert f.remove_punctuation("hello, world!") == "hello world"
+
+    def test_dedup_keeps_longest(self):
+        f = self._f()
+        rows = [
+            {"key": "a", "text": "今天天气不错我们去公园"},
+            {"key": "b", "text": "今天天气不错我们"},       # contained
+            {"key": "c", "text": "完全无关的另一句话呀"},
+        ]
+        kept = f.filter_results(rows)
+        assert {r["key"] for r in kept} == {"a", "c"}
+        assert f.stats["contained"] == 1
+
+    def test_rejected_files_deleted(self, tmp_path):
+        from fun_asr_vllm_tpu.data.audio_processor import AudioFilter
+
+        p1 = tmp_path / "a.wav"
+        p2 = tmp_path / "b.wav"
+        p1.write_bytes(b"x")
+        p2.write_bytes(b"x")
+        f = AudioFilter(remove_files=True)
+        rows = [
+            {"key": "a", "text": "今天天气不错我们去公园", "wav": str(p1)},
+            {"key": "b", "text": "今天天气不错我们", "wav": str(p2)},
+        ]
+        kept = f.filter_results(rows)
+        assert len(kept) == 1 and p1.exists() and not p2.exists()
+
+    def test_summary_report_shape(self, tmp_path):
+        """batch_process emits the reference's processing_summary.json
+        structure with date-grouped durations (reference :1126-1181)."""
+        import json as _json
+        import zipfile
+
+        from fun_asr_vllm_tpu.data.audio_processor import SimpleAudioProcessor
+
+        rng = np.random.default_rng(0)
+        zdir = tmp_path / "zips"
+        zdir.mkdir()
+        pcm = (np.repeat(rng.normal(scale=0.2, size=16000), 2)
+               * 32767).astype("<i2")
+        with zipfile.ZipFile(zdir / "dev1_20250102_a.zip", "w") as zf:
+            zf.writestr("rec.pcm", pcm.tobytes())
+        proc = SimpleAudioProcessor(
+            str(tmp_path / "out"),
+            transcribe_fn=lambda segs: ["今天天气很不错啊朋友"] * len(segs),
+        )
+        proc.batch_process(str(zdir))
+        report = _json.loads(
+            (tmp_path / "out" / "processing_summary.json").read_text()
+        )
+        assert set(report) >= {"summary", "type_statistics",
+                               "duration_statistics", "duration_by_date"}
+        assert "20250102" in report["duration_by_date"]
+        s = report["summary"]
+        assert s["total_packages"] == 1 and s["zip_files_total"] == 1
