@@ -13,6 +13,7 @@ weights are environment-dependent, so the restorer is pluggable:
 from __future__ import annotations
 
 import argparse
+import os
 import re
 
 from ..text.normalize import strip_special_chars
@@ -52,13 +53,25 @@ class RulePunctuator:
         return text
 
 
+def make_punctuator(model_dir: str = None):
+    """ct-punc model when weights exist (models/ct_punc.py), else the
+    rule punctuator — the reference's AutoModel('ct-punc') seam."""
+    if model_dir and os.path.isdir(model_dir):
+        from ..models.ct_punc import CTPunc
+
+        return CTPunc(model_dir=model_dir)
+    return RulePunctuator()
+
+
 def main():
     ap = argparse.ArgumentParser(description="add punctuation to Kaldi text")
     ap.add_argument("--text", required=True, help="input Kaldi text")
     ap.add_argument("--out", required=True, help="output text_punc")
+    ap.add_argument("--model_dir", default=None,
+                    help="ct-punc checkpoint dir (rule-based fallback)")
     ap.add_argument("--num_workers", type=int, default=1)
     args = ap.parse_args()
-    punc = RulePunctuator()
+    punc = make_punctuator(args.model_dir)
     process_scp(args.text, args.out, lambda k, v: punc(v),
                 num_workers=args.num_workers)
     print(f"→ {args.out}")

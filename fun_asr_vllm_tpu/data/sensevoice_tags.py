@@ -46,6 +46,26 @@ class HeuristicTagger:
         return f"<|{lang}|><|NEUTRAL|><|Speech|>{text}"
 
 
+class ModelTagger:
+    """Runs the JAX SenseVoiceSmall (models/sensevoice.py) per utterance —
+    the reference's AutoModel(model='iic/SenseVoiceSmall') path
+    (run_sense_voice.py:19-28)."""
+
+    def __init__(self, model_dir: str) -> None:
+        from ..models.sensevoice import SenseVoiceSmall
+
+        self.model = SenseVoiceSmall(model_dir=model_dir)
+
+    def __call__(self, key: str, wav_path: str, text: str = "") -> str:
+        return self.model.generate(input=wav_path)[0]["text"]
+
+
+def make_tagger(model_dir: str = None):
+    if model_dir and os.path.isdir(model_dir):
+        return ModelTagger(model_dir)
+    return HeuristicTagger()
+
+
 def tag_scp(
     wav_scp_path: str,
     out_dir: str,
@@ -74,8 +94,12 @@ def main():
     ap.add_argument("--wav_scp", required=True)
     ap.add_argument("--text", default=None)
     ap.add_argument("--out_dir", required=True)
+    ap.add_argument("--model_dir", default=None,
+                    help="SenseVoiceSmall checkpoint dir (heuristic "
+                         "fallback when absent)")
     args = ap.parse_args()
-    n = tag_scp(args.wav_scp, args.out_dir, text_path=args.text)
+    n = tag_scp(args.wav_scp, args.out_dir,
+                tagger=make_tagger(args.model_dir), text_path=args.text)
     print(f"tagged {n} utts → {args.out_dir}")
 
 

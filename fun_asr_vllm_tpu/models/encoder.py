@@ -235,10 +235,14 @@ def encode(
     )[..., None].astype(cfg.dtype)
     x = x * mask
 
-    # first layer projects input_size → output_size (no attention residual
-    # across differing dims, funasr EncoderLayerSANM in_size!=size contract)
-    x = _encoder_layer(params["layer0"], cfg, x, mask, speech_lengths,
-                       residual_attn=False)
+    # first layer projects input_size → output_size; funasr
+    # EncoderLayerSANM keeps the attention residual ONLY when
+    # in_size == size (e.g. the ct-punc encoder), never across a
+    # projection
+    x = _encoder_layer(
+        params["layer0"], cfg, x, mask, speech_lengths,
+        residual_attn=(cfg.input_size == cfg.output_size),
+    )
 
     def body(carry, lp):
         return _encoder_layer(lp, cfg, carry, mask, speech_lengths), None
