@@ -141,3 +141,186 @@ def extract_bpe_train_text(texts: Iterable[str]) -> List[str]:
         if words:
             out.append(" ".join(words))
     return out
+
+
+# ------------------- dataset split machinery (reference :168-370) ----------
+
+
+def fit_format(digit) -> float:
+    """Round a msec stamp to the devset's filename convention
+    (reference :271-277)."""
+    s = str(float(digit) / 10.0)
+    return float(digit) + 1 if int(s[-1]) >= 5 else float(digit)
+
+
+def _stamp(value: str) -> str:
+    """msec stamp → zero-padded centisecond id (reference :229-244)."""
+    if len(value) < 5:
+        return str(int(round(fit_format(value) / 10, 0))).zfill(5)
+    return str(int(round(float(value) / 10, 0)))
+
+
+def read_list(path: str) -> Tuple[List[str], List[str]]:
+    """wav_file.txt rows → (session types, session ids)
+    (reference :168-181)."""
+    stypes, idxs = [], []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split("/")
+            stypes.append(parts[-3])
+            idxs.append(parts[-2])
+    return stypes, idxs
+
+
+def read_text(path: str, rmspk: bool = False) -> List[str]:
+    """devset text → utterance ids (reference :184-199)."""
+    idxs = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            key = line.split()[0]
+            if rmspk:
+                key = key.split("-", 1)[-1]
+            idxs.append(key.lower())
+    return idxs
+
+
+def read_trans(
+    data_dict: Dict[str, Dict],
+    path: str,
+    phase: str,
+    audio_list: Sequence[str],
+    audio_pth: str,
+) -> None:
+    """Parse one SEAME transcript file into data_dict
+    (reference :202-268): key = '{session}-{start}-{end}' with the
+    devset stamp format; records carry text/speaker/split/audio path."""
+    audio_set = set(audio_list)
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if phase.lower() == "phasei":
+                parts = line.split("\t")
+                if len(parts) == 4:
+                    idx, start, end, text = parts
+                else:
+                    idx = parts[0]
+                    print(f"Skip {idx} ... (no transcript)")
+                    continue
+            elif phase.lower() == "phaseii":
+                idx, start, end, _lang, text = line.split("\t")
+            else:
+                raise ValueError("phase must be PhaseI or PhaseII")
+            start_ms, end_ms = start, end
+            start_id, end_id = _stamp(start), _stamp(end)
+            name = f"{idx}-{start_id}-{end_id}"
+            if name.lower() in data_dict:
+                raise ValueError(f"repeated idx {name}")
+            head = idx.split("_")[0]
+            spkr = (head[2:-2] if head[0].isdigit() else head[:5]).lower()
+            if idx.split("-")[0] not in audio_set:
+                raise ValueError(f"FLAC idx error for {idx}")
+            data_dict[name.lower()] = {
+                "text": text,
+                "start": start_id,
+                "end": end_id,
+                "speaker": spkr,
+                "split": "train",
+                "audio_pth": os.path.join(
+                    audio_pth, name.split("-")[0] + ".flac"
+                ),
+                "start_ms": start_ms,
+                "end_ms": end_ms,
+                "phase": phase,
+            }
+
+
+def check_audio(data_dict: Dict[str, Dict],
+                audio_dict: Sequence[str]) -> List[str]:
+    """Keys whose audio file is missing (reference :280-285)."""
+    audio_set = set(audio_dict)
+    return [k for k in data_dict if k.split("-")[0] not in audio_set]
+
+
+def check_test_split(test: Sequence[str], data_dict: Dict[str, Dict],
+                     splitname: str) -> int:
+    """Tag dev/test utterances in data_dict by fuzzy (±3 cs) time match
+    (reference :288-311). → matched count."""
+    space: Dict[str, List[List[float]]] = {}
+    idx_space: Dict[str, List[List[str]]] = {}
+    for key in data_dict:
+        idx, start, end = key.split("-")
+        idx_space.setdefault(idx, []).append([start, end])
+        space.setdefault(idx, []).append([float(start), float(end)])
+    count = 0
+    for key in test:
+        idx, start, end = key.split("-")
+        start, end = float(start), float(end)
+        for li, (t0, t1) in enumerate(space.get(idx, [])):
+            if abs(start - t0) < 3 and abs(end - t1) < 3:
+                count += 1
+                s_id, e_id = idx_space[idx][li]
+                data_dict[f"{idx}-{s_id}-{e_id}"]["split"] = splitname
+                break
+    print(f"=> Test set = {count}/{len(test)}")
+    return count
+
+
+def sieve_train(data_dict: Dict[str, Dict],
+                train_dict: Sequence[str]) -> None:
+    """Tag samples that are neither train-listed nor dev as 'other'
+    (reference :314-323)."""
+    train_set = set(train_dict)
+    for key, rec in data_dict.items():
+        if rec["split"] == "train" and key.split("-")[0] in train_set:
+            continue
+        if rec["split"] in ("devman", "devsge"):
+            continue
+        rec["split"] = "other"
+
+
+def split_val(
+    data_dict: Dict[str, Dict],
+    num_val: int = None,
+    seed: int = 0,
+) -> Tuple[Dict[str, Dict], List[str], List[str], List[str]]:
+    """Carve a validation set out of train (5% default,
+    reference :326-345). → (data_dict, train, val, test key lists)."""
+    import random as _rd
+
+    test_list, tr_list = [], []
+    for key, rec in data_dict.items():
+        if rec["split"] in ("devman", "devsge"):
+            test_list.append(key)
+        elif rec["split"] == "train":
+            tr_list.append(key)
+    _rd.Random(seed).shuffle(tr_list)
+    val_len = num_val if num_val else int(len(tr_list) * 0.05)
+    tr_list, val_list = tr_list[:-val_len], tr_list[-val_len:]
+    for key in val_list:
+        data_dict[key]["split"] = "valid"
+    return data_dict, tr_list, val_list, test_list
+
+
+def count_data(data_dict: Dict[str, Dict]) -> Dict[str, Dict]:
+    """Per-split audio hours + speaker counts (reference :348-367)."""
+    stats: Dict[str, Dict] = {}
+    for rec in data_dict.values():
+        s = stats.setdefault(rec["split"], {"seconds": 0.0,
+                                            "speakers": set()})
+        s["seconds"] += (float(rec["end_ms"]) - float(rec["start_ms"])) / 1000
+        s["speakers"].add(rec["speaker"])
+    out = {}
+    for split, s in stats.items():
+        out[split] = {"hours": s["seconds"] / 3600.0,
+                      "speakers": len(s["speakers"])}
+        print(f"=> {split} set : {out[split]['hours']:.2f} hours / "
+              f"{out[split]['speakers']} speakers")
+    return out

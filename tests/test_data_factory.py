@@ -520,3 +520,81 @@ class TestAudioFilter:
         assert "20250102" in report["duration_by_date"]
         s = report["summary"]
         assert s["total_packages"] == 1 and s["zip_files_total"] == 1
+
+
+class TestSeameSplit:
+    """SEAME dataset-split machinery (reference utils/preprocess.py:168-370)."""
+
+    def _build(self, tmp_path):
+        from fun_asr_vllm_tpu.data.seame import read_trans
+
+        trans = tmp_path / "t.txt"
+        trans.write_text(
+            "NI01MAX_0101\t1230\t4560\tzh\t你好 hello\n"
+            "NI01MAX_0101\t5000\t8000\ten\tgood morning\n"
+            "UI02FBY_0202\t100\t2000\tzh\t再见 bye\n"
+        )
+        data = {}
+        read_trans(data, str(trans), "PhaseII",
+                   ["NI01MAX_0101", "UI02FBY_0202"], "/audio")
+        return data
+
+    def test_read_trans_stamps_and_speakers(self, tmp_path):
+        data = self._build(tmp_path)
+        # 1230 ms → 00123 centisecond stamp (devset convention)
+        assert "ni01max_0101-00123-00456" in data
+        rec = data["ni01max_0101-00123-00456"]
+        assert rec["speaker"] == "ni01m"  # alpha head → [:5]
+        assert rec["split"] == "train"
+        assert rec["audio_pth"].endswith("NI01MAX_0101.flac")
+        rec2 = data["ui02fby_0202-00010-00200"]
+        assert rec2["speaker"] == "ui02f"  # alpha head → [:5]
+
+    def test_check_test_split_fuzzy_match(self, tmp_path):
+        from fun_asr_vllm_tpu.data.seame import check_test_split
+
+        data = self._build(tmp_path)
+        # dev key with ±2 centisecond jitter still matches
+        n = check_test_split(["ni01max_0101-00125-00458"], data, "devman")
+        assert n == 1
+        assert data["ni01max_0101-00123-00456"]["split"] == "devman"
+
+    def test_sieve_and_split_val(self, tmp_path):
+        from fun_asr_vllm_tpu.data.seame import (
+            check_test_split, count_data, sieve_train, split_val,
+        )
+
+        data = self._build(tmp_path)
+        check_test_split(["ni01max_0101-00125-00458"], data, "devman")
+        sieve_train(data, ["ni01max_0101"])  # UI02 not train-listed
+        assert data["ui02fby_0202-00010-00200"]["split"] == "other"
+        data, tr, val, test = split_val(data, num_val=1)
+        assert len(val) == 1 and len(test) == 1
+        assert data[val[0]]["split"] == "valid"
+        stats = count_data(data)
+        assert "devman" in stats and stats["devman"]["speakers"] == 1
+
+    def test_read_list_and_text(self, tmp_path):
+        from fun_asr_vllm_tpu.data.seame import read_list, read_text
+
+        lst = tmp_path / "wav_file.txt"
+        lst.write_text("/data/conversation/NI01/audio.flac\n"
+                       "/data/interview/UI02/audio.flac\n")
+        stypes, idxs = read_list(str(lst))
+        assert stypes == ["conversation", "interview"]
+        assert idxs == ["NI01", "UI02"]
+        txt = tmp_path / "text"
+        txt.write_text("SPK1-ni01max-001 你好\n")
+        assert read_text(str(txt)) == ["spk1-ni01max-001"]
+        assert read_text(str(txt), rmspk=True) == ["ni01max-001"]
+
+    def test_repeated_idx_raises(self, tmp_path):
+        from fun_asr_vllm_tpu.data.seame import read_trans
+
+        trans = tmp_path / "t.txt"
+        trans.write_text(
+            "NI01MAX_0101\t1230\t4560\tzh\t你好\n"
+            "NI01MAX_0101\t1230\t4560\tzh\t你好\n"
+        )
+        with pytest.raises(ValueError, match="repeated"):
+            read_trans({}, str(trans), "PhaseII", ["NI01MAX_0101"], "/a")
