@@ -1,0 +1,86 @@
+"""Streaming (windowed-incremental) encoder for online serving.
+
+The round-1 server re-ran fbank+encoder+prefill over ALL accumulated
+audio per partial — O(T²) over a stream. This module bounds the encoder
+work per partial to a fixed window:
+
+- raw samples accumulate in a ring; each `push()` re-encodes only the
+  last `window_s` seconds (bounded context, the chunked-attention
+  pattern of funasr's online encoders);
+- frames older than the window are FROZEN: once emitted they never
+  change, so each partial appends `new frames` instead of recomputing
+  the stream (`encoder_frames` grows monotonically);
+- for streams shorter than the window the output is numerically
+  identical to the offline encoder; beyond it, boundary frames see a
+  bounded left context (documented small deviation, like any streaming
+  encoder).
+
+Per-partial cost: fbank+encoder over ≤ window_s seconds — O(1) in the
+stream length, vs O(T) before (and O(T²) summed over a stream).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class StreamingEncoder:
+    def __init__(
+        self,
+        encoder_params,
+        encoder_cfg,
+        frontend,
+        window_s: float = 6.0,
+    ) -> None:
+        self.params = encoder_params
+        self.cfg = encoder_cfg
+        self.frontend = frontend
+        self.window_samples = int(window_s * frontend.fs)
+        self.reset()
+
+    def reset(self) -> None:
+        self._samples = np.zeros(0, np.float32)
+        self._frozen: Optional[np.ndarray] = None  # [Tf, D] encoder out
+        self._frozen_upto = 0      # frozen frame count (post-LFR)
+        self._window_start = 0     # sample index where the window begins
+
+    def _encode(self, wav: np.ndarray) -> np.ndarray:
+        from ..models import encoder as encoder_mod
+
+        feats, lens = self.frontend.extract([wav])
+        out, _ = encoder_mod.encode(self.params, self.cfg, feats, lens)
+        return np.asarray(out[0, : int(lens[0])], np.float32)
+
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        """Append raw mono samples → the full encoder-frame sequence so
+        far [T_frames, D] (frozen prefix + live window)."""
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._samples = np.concatenate([self._samples, samples])
+        total = len(self._samples)
+
+        # slide the window start so the live region stays bounded —
+        # but only to frame-aligned positions so frozen frames stay put
+        hop = self.frontend._frame_shift_samp * self.frontend.lfr_n
+        if total - self._window_start > self.window_samples:
+            new_start = (total - self.window_samples) // hop * hop
+            if new_start > self._window_start:
+                # freeze frames fully to the left of the new window start
+                want = new_start // hop - self._window_start // hop
+                live = self._encode(self._samples[self._window_start:])
+                freeze_frames = min(want, len(live))
+                take = live[:freeze_frames]
+                self._frozen = (take if self._frozen is None
+                                else np.concatenate([self._frozen, take]))
+                self._frozen_upto += freeze_frames
+                self._window_start += freeze_frames * hop
+
+        live = self._encode(self._samples[self._window_start:])
+        if self._frozen is None:
+            return live
+        return np.concatenate([self._frozen, live])
+
+    @property
+    def stream_seconds(self) -> float:
+        return len(self._samples) / self.frontend.fs

@@ -8,7 +8,10 @@ unchanged"). Modes:
 - offline: buffer PCM until ``is_speaking: false`` → one engine decode →
   final text;
 - online: partial decode every `partial_interval_s` of new audio →
-  streaming text, final at end-of-speech;
+  streaming text, final at end-of-speech. Partials run the windowed
+  incremental encoder (audio/streaming.py): only the last window_s of
+  audio is re-encoded per partial — O(window) instead of the previous
+  O(stream) re-encode;
 - 2pass: online partials (mode "2pass-online") + an offline-quality final
   (mode "2pass-offline").
 
@@ -114,12 +117,62 @@ class ASRServer:
             text = inverse_normalize_text(text)
         return text
 
+    def decode_encoder_frames(self, enc_frames: np.ndarray, hs: Handshake,
+                              max_tokens: int = 64) -> str:
+        """Adaptor + prompt + decode from pre-encoded frames — the
+        streaming partial path (encoder work already done incrementally
+        by audio/streaming.StreamingEncoder)."""
+        from ..text.zh_itn import inverse_normalize_text
+
+        if enc_frames.shape[0] < 2:
+            return ""
+        m = self.model
+        import jax.numpy as jnp
+
+        hotwords = [h for h in (hs.hotwords or "").split(",") if h.strip()]
+        instruction = m.build_instruction(hotwords=hotwords, itn=hs.itn)
+        prefix_ids, suffix_ids = m.chatml_parts(instruction)
+        enc = jnp.asarray(enc_frames)[None]
+        lens = jnp.asarray([enc_frames.shape[0]])
+        audio, audio_lens = m.audio_adaptor(enc, lens)
+        embeds = m.build_prompt_embeds(
+            audio, audio_lens, prefix_ids, suffix_ids
+        )[0]
+        if self.async_llm is not None:
+            from ..engine import SamplingParams
+
+            sp = SamplingParams(top_p=0.001, max_tokens=max_tokens)
+            text = self.async_llm.decode_text(embeds, sp)
+        else:
+            from ..models import qwen3 as qwen3_mod
+
+            with self._decode_lock:
+                ids = qwen3_mod.greedy_decode_simple(
+                    m.llm_params, m.llm_cfg, jnp.asarray(embeds)[None],
+                    max_new_tokens=max_tokens,
+                )
+            text = m.tokenizer.decode(ids.tolist(), skip_special_tokens=True)
+        from ..text.normalize import clean_response
+
+        text = clean_response(text).strip()
+        if hs.itn:
+            text = inverse_normalize_text(text)
+        return text
+
+    def make_streaming_encoder(self):
+        from ..audio.streaming import StreamingEncoder
+
+        m = self.model
+        return StreamingEncoder(m.encoder_params, m.encoder_cfg, m.frontend)
+
     # ------------------------------------------------------------- session
 
     async def handle(self, websocket) -> None:
         hs: Optional[Handshake] = None
         buf = np.zeros(0, dtype=np.float32)
         emitted_upto = 0.0  # seconds of audio already partial-decoded
+        stream_enc = None   # windowed incremental encoder (online/2pass)
+        stream_fed = 0      # samples already pushed into stream_enc
         loop = asyncio.get_running_loop()
         try:
             async for message in websocket:
@@ -142,9 +195,25 @@ class ASRServer:
                                 from ..audio.io import resample
 
                                 part = resample(buf, hs.audio_fs, 16000)
-                            text = await loop.run_in_executor(
-                                None, self.decode_pcm, part, hs, 64
-                            )
+                                # resampled length shifts; restream fully
+                                stream_fed = 0
+                                if stream_enc is not None:
+                                    stream_enc.reset()
+                            if stream_enc is None:
+                                stream_enc = self.make_streaming_encoder()
+
+                            def _partial(part=part):
+                                nonlocal stream_fed
+                                # incremental: only NEW samples hit the
+                                # windowed encoder (O(window) per partial,
+                                # not O(stream))
+                                frames = stream_enc.push(part[stream_fed:])
+                                stream_fed = len(part)
+                                return self.decode_encoder_frames(
+                                    frames, hs, 64
+                                )
+
+                            text = await loop.run_in_executor(None, _partial)
                             mode = ("2pass-online" if hs.mode == "2pass"
                                     else "online")
                             await websocket.send(
@@ -173,6 +242,9 @@ class ASRServer:
                     )
                     buf = np.zeros(0, dtype=np.float32)
                     emitted_upto = 0.0
+                    stream_fed = 0
+                    if stream_enc is not None:
+                        stream_enc.reset()
                     hs.is_speaking = True  # allow another utterance
         except Exception as e:
             logger.warning("session ended: %s", e)

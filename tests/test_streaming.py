@@ -1,0 +1,102 @@
+"""Windowed-incremental streaming encoder tests (audio/streaming.py):
+exactness within the window, frozen-frame stability across pushes, and
+bounded per-push compute."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fun_asr_vllm_tpu.audio.frontend import WavFrontend
+from fun_asr_vllm_tpu.audio.streaming import StreamingEncoder
+from fun_asr_vllm_tpu.models import encoder as encoder_mod
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = encoder_mod.SANMEncoderConfig(
+        input_size=80, output_size=32, attention_heads=4, linear_units=48,
+        num_blocks=2, dtype=jnp.float32,
+    )
+    params = encoder_mod.init_params(cfg, jax.random.PRNGKey(0))
+    fe = WavFrontend(dither=0.0, bucket_seconds=0.5)
+    return params, cfg, fe
+
+
+def offline(params, cfg, fe, wav):
+    feats, lens = fe.extract([wav])
+    out, _ = encoder_mod.encode(params, cfg, feats, lens)
+    return np.asarray(out[0, : int(lens[0])])
+
+
+class TestStreamingEncoder:
+    def test_exact_within_window(self, setup):
+        """Streams shorter than the window must match offline encoding
+        bit-for-bit (same padded-bucket shapes)."""
+        params, cfg, fe = setup
+        senc = StreamingEncoder(params, cfg, fe, window_s=6.0)
+        rng = np.random.default_rng(0)
+        wav = rng.normal(scale=0.1, size=32000).astype(np.float32)  # 2 s
+        frames = None
+        for s in range(0, len(wav), 8000):
+            frames = senc.push(wav[s : s + 8000])
+        want = offline(params, cfg, fe, wav)
+        assert frames.shape == want.shape
+        np.testing.assert_allclose(frames, want, atol=1e-5)
+
+    def test_frozen_frames_stable(self, setup):
+        """Once a frame leaves the window it never changes again."""
+        params, cfg, fe = setup
+        senc = StreamingEncoder(params, cfg, fe, window_s=1.0)
+        rng = np.random.default_rng(1)
+        chunks = [rng.normal(scale=0.1, size=8000).astype(np.float32)
+                  for _ in range(8)]  # 4 s total, 1 s window
+        history = []
+        frozen_counts = []
+        for c in chunks:
+            history.append(senc.push(c).copy())
+            frozen_counts.append(senc._frozen_upto)
+        # frames frozen at push i must be identical in every LATER push
+        # (live frames may still refine until they freeze)
+        final = history[-1]
+        assert frozen_counts[-1] > 0
+        for h, n_frozen in zip(history, frozen_counts):
+            if n_frozen:
+                np.testing.assert_allclose(
+                    h[:n_frozen], final[:n_frozen], atol=1e-5
+                )
+
+    def test_monotonic_growth_and_reset(self, setup):
+        params, cfg, fe = setup
+        senc = StreamingEncoder(params, cfg, fe, window_s=2.0)
+        rng = np.random.default_rng(2)
+        n_prev = 0
+        for _ in range(5):
+            frames = senc.push(
+                rng.normal(scale=0.1, size=8000).astype(np.float32)
+            )
+            assert len(frames) >= n_prev
+            n_prev = len(frames)
+        assert senc.stream_seconds == pytest.approx(2.5)
+        senc.reset()
+        assert senc.stream_seconds == 0.0
+        assert senc._frozen is None
+
+    def test_bounded_window_compute(self, setup):
+        """The live re-encode never sees more than window_s+chunk of
+        samples regardless of stream length."""
+        params, cfg, fe = setup
+        senc = StreamingEncoder(params, cfg, fe, window_s=1.0)
+        rng = np.random.default_rng(3)
+        seen = []
+        orig = senc._encode
+
+        def spy(wav):
+            seen.append(len(wav))
+            return orig(wav)
+
+        senc._encode = spy
+        for _ in range(10):
+            senc.push(rng.normal(scale=0.1, size=4000).astype(np.float32))
+        assert max(seen) <= senc.window_samples + 4000
