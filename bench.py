@@ -195,8 +195,11 @@ def main():
                 hyp_count += 1
         return hyp_count
 
-    # warmup: run the exact timed workload once — compiles every
-    # (batch, bucket, burst) shape the timed epoch will see
+    # warmup: run the exact timed workload twice — the first pass
+    # compiles every (batch, bucket, burst) shape, the second flushes
+    # post-compile overheads (persistent-cache writes, allocator churn)
+    # that otherwise leak into the timed epoch on a cold cache
+    run_epoch(utts)
     run_epoch(utts)
     print("# warmed", file=sys.stderr)
     llm.reset_stats()

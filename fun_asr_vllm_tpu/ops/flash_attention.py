@@ -119,8 +119,8 @@ def flash_attention(
     kv_lengths: jax.Array = None,  # [B]
     *,
     causal: bool = False,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = None,
+    block_k: int = None,
     interpret: bool = False,
 ) -> jax.Array:
     b, t, nq, d = q.shape
@@ -128,8 +128,20 @@ def flash_attention(
     n_rep = nq // nkv
     if kv_lengths is None:
         kv_lengths = jnp.full((b,), s, jnp.int32)
-    block_q = min(block_q, t)
-    block_k = min(block_k, s)
+    if block_q is None or block_k is None:
+        # measured on v5e at the encoder shapes (BENCH_NOTES round 2):
+        # one whole-sequence block wins while the f32 score tile fits
+        # VMEM (~1.4k² × 4 B ≈ 8 MB); beyond that, 1024² tiles beat the
+        # small 256×512 default by ~30%
+        if s <= 1408 and t <= 1408:
+            bq_auto = -(-t // 128) * 128
+            bk_auto = -(-s // 128) * 128
+        else:
+            bq_auto, bk_auto = 1024, 1024
+        block_q = block_q or bq_auto
+        block_k = block_k or bk_auto
+    block_q = min(block_q, -(-t // 128) * 128)
+    block_k = min(block_k, -(-s // 128) * 128)
     # pad T/S to block multiples
     t_pad = -(-t // block_q) * block_q
     s_pad = -(-s // block_k) * block_k
