@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax.profiler trace of the timed epoch")
     ap.add_argument("--no_prefetch", action="store_true")
+    ap.add_argument("--quantize", type=str, default=None,
+                    choices=(None, "int8"),
+                    help="weight-only int8 for the decoder (opt-in; "
+                         "perturbs logits — CER must be validated)")
     ap.add_argument("--upload", type=str, default="f32",
                     choices=("packed", "f32", "int16"),
                     help="f32 measures fastest end-to-end; packed (int16 "
@@ -122,6 +126,7 @@ def main():
         # KV cache slows the fused program more than the ~0 fetch RTT it
         # hides (0.79s vs 0.71s device-resident epoch); see BENCH_NOTES
         pipeline_depth=1,
+        quantize=args.quantize,
     )
 
     # 4 s length buckets bound the number of compiled encoder shapes

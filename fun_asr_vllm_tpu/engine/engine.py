@@ -173,6 +173,7 @@ class LLM:
         use_pallas_burst: bool = False,
         decode_burst_size: int = 8,
         pipeline_depth: int = 1,
+        quantize: Optional[str] = None,
         **_ignored,
     ) -> None:
         self.decode_burst_size = max(1, decode_burst_size)
@@ -193,6 +194,15 @@ class LLM:
                 tokenizer = AutoTokenizer.from_pretrained(model)
         if config is None:
             raise ValueError("need `config` when passing preloaded params")
+        if quantize == "int8":
+            # weight-only int8: halves decode's HBM weight reads (the
+            # measured bottleneck, BENCH_NOTES). Opt-in — quantization
+            # perturbs logits, so CER impact must be validated per model.
+            if mesh is not None:
+                raise ValueError("quantize=int8 with mesh not supported yet")
+            params = qwen3_mod.quantize_params_int8(params)
+        elif quantize:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         self.params = params
         self.cfg = config
         self.tokenizer = tokenizer

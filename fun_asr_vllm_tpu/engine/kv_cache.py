@@ -146,7 +146,7 @@ def _decode_core(
         xc, kc, vc = carry
         lp, lid = scanned
         h = rms_norm(xc, lp["input_ln"], cfg.rms_norm_eps)
-        qkv = h @ qwen3.layer_wqkv(lp)  # fused [H, (Nq+2Nkv)D]
+        qkv = qwen3.mm(h, lp["wqkv"])  # fused [H, (Nq+2Nkv)D]
         q = qkv[:, : nq * d].reshape(s, nq, d)
         k = qkv[:, nq * d : (nq + nkv) * d].reshape(s, nkv, d)
         v = qkv[:, (nq + nkv) * d :].reshape(s, nkv, d)
@@ -158,7 +158,7 @@ def _decode_core(
         kc = kc.at[lid, write_blocks, write_offsets].set(k.astype(kc.dtype))
         vc = vc.at[lid, write_blocks, write_offsets].set(v.astype(vc.dtype))
         att = attn_impl(q, kc[lid], vc[lid], block_tables, seq_lens)
-        xc = xc + att.reshape(s, -1) @ lp["wo"]
+        xc = xc + qwen3.mm(att.reshape(s, -1), lp["wo"])
         h = rms_norm(xc, lp["post_ln"], cfg.rms_norm_eps)
         xc = xc + qwen3._layer_mlp(lp, h)
         return (xc, kc, vc), None
@@ -237,7 +237,7 @@ def _burst_core(
             xc, kr, vr = lcarry
             lp, lid = scanned
             h = rms_norm(xc, lp["input_ln"], cfg.rms_norm_eps)
-            qkv = h @ lp["wqkv"]
+            qkv = qwen3.mm(h, lp["wqkv"])
             q = qkv[:, : nq * d].reshape(s, nq, d)
             k = qkv[:, nq * d : (nq + nkv) * d].reshape(s, nkv, d)
             v = qkv[:, (nq + nkv) * d :].reshape(s, nkv, d)
@@ -257,7 +257,7 @@ def _burst_core(
                 q, kr[lid], vr[lid], i, nq, nkv, d, K
             )
             att = _merge_softmax_segments(att1, m1, l1, att2, m2, l2)
-            xc = xc + att.reshape(s, -1).astype(cfg.dtype) @ lp["wo"]
+            xc = xc + qwen3.mm(att.reshape(s, -1).astype(cfg.dtype), lp["wo"])
             h = rms_norm(xc, lp["post_ln"], cfg.rms_norm_eps)
             xc = xc + qwen3._layer_mlp(lp, h)
             return (xc, kr, vr), None

@@ -147,12 +147,59 @@ def init_params(cfg: Qwen3Config, key: jax.Array) -> Dict:
 def embed_tokens(params: Dict, input_ids: jax.Array) -> jax.Array:
     """Token ids → embeddings (the `get_input_embeddings()` analogue,
     reference model.py:506, infer.py:403-404)."""
-    return jnp.take(params["embed"], input_ids, axis=0)
+    emb = params["embed"]
+    if isinstance(emb, dict):  # int8 per-row quantized table
+        rows = jnp.take(emb["q"], input_ids, axis=0)
+        scales = jnp.take(emb["scale"], input_ids, axis=0)
+        return rows.astype(scales.dtype) * scales
+    return jnp.take(emb, input_ids, axis=0)
 
 
 def layer_wqkv(lp: Dict) -> jax.Array:
     """The fused qkv projection weight [H, (Nq+2Nkv)·D]."""
     return lp["wqkv"]
+
+
+def mm(x: jax.Array, w) -> jax.Array:
+    """x @ w, transparently handling int8 weight-only quantized leaves
+    ({"q": int8 [in, out], "scale": f32 [1, out]}). The int8→bf16
+    convert fuses into the dot on TPU, so HBM weight traffic halves —
+    the decode step is weight-read-bound (BENCH_NOTES round 2)."""
+    if isinstance(w, dict):
+        y = x @ w["q"].astype(x.dtype)
+        return y * w["scale"].astype(x.dtype)
+    return x @ w
+
+
+def quantize_int8(w: jax.Array) -> Dict[str, jax.Array]:
+    """Per-output-channel symmetric int8 quantization of [..., in, out]."""
+    scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2,
+                    keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127
+                 ).astype(jnp.int8)
+    return {"q": q, "scale": scale}
+
+
+def quantize_params_int8(params: Dict) -> Dict:
+    """Weight-only int8 for every big matmul (wqkv/wo/w_gateup/w_down,
+    lm_head, and the embedding table per-row). Norm scales stay f32."""
+    layers = dict(params["layers"])
+    for k in ("wqkv", "wo", "w_gateup", "w_down"):
+        layers[k] = quantize_int8(layers[k])
+    out = dict(params)
+    out["layers"] = layers
+    emb = params["embed"].astype(jnp.float32)
+    row_scale = jnp.maximum(
+        jnp.max(jnp.abs(emb), axis=-1, keepdims=True) / 127.0, 1e-12
+    )
+    out["embed"] = {
+        "q": jnp.clip(jnp.round(emb / row_scale), -127, 127).astype(jnp.int8),
+        "scale": row_scale,
+    }
+    if "lm_head" in params:
+        out["lm_head"] = quantize_int8(params["lm_head"])
+    return out
 
 
 def _layer_qkv(
@@ -162,7 +209,7 @@ def _layer_qkv(
     b, t, _ = x.shape
     D = cfg.head_dim
     nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
-    qkv = x @ lp["wqkv"]  # one fused matmul
+    qkv = mm(x, lp["wqkv"])  # one fused matmul
     q = qkv[..., : nq * D].reshape(b, t, nq, D)
     k = qkv[..., nq * D : (nq + nkv) * D].reshape(b, t, nkv, D)
     v = qkv[..., (nq + nkv) * D :].reshape(b, t, nkv, D)
@@ -174,9 +221,9 @@ def _layer_qkv(
 
 
 def _layer_mlp(lp: Dict, x: jax.Array) -> jax.Array:
-    gateup = x @ lp["w_gateup"]  # one fused matmul
+    gateup = mm(x, lp["w_gateup"])  # one fused matmul
     i = gateup.shape[-1] // 2
-    return (jax.nn.silu(gateup[..., :i]) * gateup[..., i:]) @ lp["w_down"]
+    return mm(jax.nn.silu(gateup[..., :i]) * gateup[..., i:], lp["w_down"])
 
 
 AttnFn = Callable[[int, jax.Array, jax.Array, jax.Array], jax.Array]
@@ -211,7 +258,7 @@ def forward_hidden(
                 kv_lengths=attn_lengths,
             )
         b, t, _, _ = attn.shape
-        x = x + attn.reshape(b, t, -1) @ lp["wo"]
+        x = x + mm(attn.reshape(b, t, -1), lp["wo"])
         h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
         x = x + _layer_mlp(lp, h)
         return x, (k, v) if return_kv else None
@@ -244,7 +291,7 @@ def forward_with_attn_fn(
         q, k, v = _layer_qkv(lp, cfg, h, cos, sin)
         attn = attn_fn(lid, q, k, v)
         b, t, _, _ = attn.shape
-        x = x + attn.reshape(b, t, -1) @ lp["wo"]
+        x = x + mm(attn.reshape(b, t, -1), lp["wo"])
         h = rms_norm(x, lp["post_ln"], cfg.rms_norm_eps)
         x = x + _layer_mlp(lp, h)
         return x, (k, v)
@@ -258,7 +305,22 @@ def lm_logits(params: Dict, cfg: Qwen3Config, hidden: jax.Array) -> jax.Array:
     """Hidden → vocab logits in float32."""
     head = params.get("lm_head")
     if head is None:
-        head = params["embed"].T
+        emb = params["embed"]
+        if isinstance(emb, dict):  # int8 per-row table: head scale per vocab
+            logits = jnp.einsum(
+                "...h,vh->...v", hidden.astype(jnp.float32),
+                emb["q"].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            return logits * emb["scale"][:, 0]
+        head = emb.T
+    if isinstance(head, dict):
+        logits = jnp.einsum(
+            "...h,hv->...v", hidden.astype(jnp.float32),
+            head["q"].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        return logits * head["scale"][0]
     return jnp.einsum(
         "...h,hv->...v", hidden.astype(jnp.float32), head.astype(jnp.float32),
         preferred_element_type=jnp.float32,

@@ -362,3 +362,49 @@ class TestSampling:
         # SamplingParams(top_p=0.001, max_tokens=500) — reference infer.py:384
         sp = SamplingParams(top_p=0.001, max_tokens=500)
         assert sp.is_greedy
+
+
+class TestInt8Quantization:
+    def test_quantized_generate_runs_and_tracks_reference(self, setup):
+        """Weight-only int8 is opt-in: generation must run, and at tiny
+        scale the greedy tokens should mostly track the fp engine (exact
+        parity is NOT guaranteed — quantization perturbs logits)."""
+        params, cfg = setup
+        from fun_asr_vllm_tpu.models.qwen3 import quantize_params_int8
+
+        e = rand_embeds(70, 8, cfg.hidden_size)
+        llm_fp = make_llm(params, cfg)
+        want = llm_fp.generate(
+            [{"prompt_embeds": e}], SamplingParams(temperature=0.0, max_tokens=6)
+        )[0].outputs[0].token_ids
+
+        llm_q = LLM(params=params, config=cfg, dtype="float32",
+                    use_pallas=False, max_num_seqs=2, max_model_len=64,
+                    block_size=4, quantize="int8")
+        got = llm_q.generate(
+            [{"prompt_embeds": e}], SamplingParams(temperature=0.0, max_tokens=6)
+        )[0].outputs[0].token_ids
+        assert len(got) > 0
+        # the first greedy token should survive int8 weight quantization
+        assert got[0] == want[0]
+
+    def test_quantized_logits_close(self, setup):
+        params, cfg = setup
+        from fun_asr_vllm_tpu.models.qwen3 import (
+            forward_logits, quantize_params_int8,
+        )
+
+        qparams = quantize_params_int8(params)
+        ids = jnp.asarray(
+            np.random.default_rng(0).integers(0, cfg.vocab_size, size=(1, 7))
+        )
+        ref = np.asarray(forward_logits(params, cfg, ids))
+        got = np.asarray(forward_logits(qparams, cfg, ids))
+        # per-channel int8: logits within a few percent of fp range
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 0.06
+
+    def test_unknown_mode_raises(self, setup):
+        params, cfg = setup
+        with pytest.raises(ValueError, match="quantize"):
+            make_llm(params, cfg, quantize="int4")
