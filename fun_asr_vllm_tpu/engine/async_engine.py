@@ -23,6 +23,41 @@ from .engine import LLM, _Request, _as_numpy_2d
 from .sampling import SamplingParams
 
 
+class IncrementalDetokenizer:
+    """Streaming token→text: emits only COMPLETE new text per call,
+    holding back trailing tokens that still form a partial multi-byte /
+    multi-token grapheme (the vLLM incremental-detokenization pattern).
+    """
+
+    REPLACEMENT = "�"
+
+    def __init__(self, tokenizer, skip_special_tokens: bool = True) -> None:
+        self.tokenizer = tokenizer
+        self.skip_special_tokens = skip_special_tokens
+        self.ids: List[int] = []
+        self._emitted = ""
+
+    def add(self, new_ids) -> str:
+        """Append token ids → newly completed text (may be empty)."""
+        self.ids.extend(int(t) for t in new_ids)
+        text = self.tokenizer.decode(
+            self.ids, skip_special_tokens=self.skip_special_tokens
+        )
+        # hold back an unfinished UTF-8 sequence at the tail
+        while text.endswith(self.REPLACEMENT):
+            text = text[:-1]
+        if not text.startswith(self._emitted):
+            # tokenizer rewrote earlier text (rare merge) — re-emit all
+            self._emitted = ""
+        new = text[len(self._emitted):]
+        self._emitted = text
+        return new
+
+    @property
+    def text(self) -> str:
+        return self._emitted
+
+
 class AsyncLLM:
     """Thread-safe async front over an `LLM` engine.
 
@@ -38,6 +73,7 @@ class AsyncLLM:
         self._waiting: deque = deque()          # thread-safe append/popleft
         self._inflight: List[_Request] = []     # every unresolved request
         self._futures = {}                      # rid -> Future, guarded by _cv
+        self._streams = {}                      # rid -> (cb, detok, [fed])
         self._cv = threading.Condition()
         self._shutdown = False
         # observability: number of live slots at each decode burst — tests
@@ -52,8 +88,13 @@ class AsyncLLM:
         self,
         prompt_embeds,
         sampling_params: Optional[SamplingParams] = None,
+        on_text=None,
     ) -> Future:
-        """Enqueue one request → Future resolving to the output token ids."""
+        """Enqueue one request → Future resolving to the output token ids.
+
+        `on_text(new_text)` (optional) streams incrementally detokenized
+        text from the stepper thread after every decode burst —
+        multi-byte-safe via IncrementalDetokenizer."""
         sp = sampling_params or self._default_sampling
         if not sp.is_greedy:
             raise ValueError("AsyncLLM is greedy-only; use LLM.generate")
@@ -69,6 +110,15 @@ class AsyncLLM:
             llm._next_rid += 1
             fut: Future = Future()
             self._futures[req.rid] = fut
+            if on_text is not None and llm.tokenizer is not None:
+                self._streams[req.rid] = (
+                    on_text,
+                    IncrementalDetokenizer(
+                        llm.tokenizer,
+                        skip_special_tokens=sp.skip_special_tokens,
+                    ),
+                    [0],  # tokens already fed to the detokenizer
+                )
             self._inflight.append(req)
             self._waiting.append(req)
             self._cv.notify()
@@ -108,6 +158,7 @@ class AsyncLLM:
                     self._futures.clear()
                     self._waiting.clear()
                     self._inflight.clear()
+                    self._streams.clear()
                 for r in list(llm._slots):
                     if r is not None:
                         llm._free(r)
@@ -125,7 +176,26 @@ class AsyncLLM:
             llm._grow_blocks_if_needed(horizon=k)
             self.wave_sizes.append(len(live))
             llm._decode_burst(k)
+        self._emit_stream_text()
         self._resolve_done()
+
+    def _emit_stream_text(self) -> None:
+        for req in list(self._inflight):
+            entry = self._streams.get(req.rid)
+            if entry is None:
+                continue
+            cb, detok, fed = entry
+            n = len(req.out_ids)
+            if n > fed[0]:
+                new = detok.add(req.out_ids[fed[0]:n])
+                fed[0] = n
+                if new:
+                    try:
+                        cb(new)
+                    except Exception:
+                        pass
+            if req.done:
+                self._streams.pop(req.rid, None)
 
     def _resolve_done(self) -> None:
         with self._cv:

@@ -74,8 +74,12 @@ class ASRServer:
     # -------------------------------------------------------------- decode
 
     def decode_pcm(self, pcm: np.ndarray, hs: Handshake,
-                   max_tokens: Optional[int] = None) -> str:
-        """int16-scale float [-1,1] mono 16 kHz → transcript."""
+                   max_tokens: Optional[int] = None,
+                   on_text=None) -> str:
+        """int16-scale float [-1,1] mono 16 kHz → transcript.
+
+        `on_text(chunk)` (optional, engine mode only) streams raw
+        incrementally detokenized text while the decode is in flight."""
         from ..text.zh_itn import inverse_normalize_text
 
         if pcm.size < 400:  # below one fbank window
@@ -98,7 +102,15 @@ class ASRServer:
 
                 sp = SamplingParams(top_p=0.001, max_tokens=max_tokens)
             # concurrent sessions batch inside the engine stepper
-            text = self.async_llm.decode_text(embeds, sp)
+            if on_text is not None:
+                req = self.async_llm.submit(
+                    embeds, sp, on_text=on_text
+                ).result()
+                text = m.tokenizer.decode(
+                    req.out_ids, skip_special_tokens=sp.skip_special_tokens
+                )
+            else:
+                text = self.async_llm.decode_text(embeds, sp)
         else:
             import jax.numpy as jnp
 
@@ -232,8 +244,22 @@ class ASRServer:
                         from ..audio.io import resample
 
                         buf = resample(buf, hs.audio_fs, 16000)
+                    on_text = None
+                    if hs.mode == "2pass" and self.async_llm is not None:
+                        # stream the final's tokens as they decode
+                        # (incremental detokenization in the engine)
+                        def on_text(chunk, _ws=websocket, _hs=hs):
+                            asyncio.run_coroutine_threadsafe(
+                                _ws.send(result_message(
+                                    "2pass-online", _hs.wav_name, chunk,
+                                    False,
+                                )),
+                                loop,
+                            )
+
                     text = await loop.run_in_executor(
-                        None, self.decode_pcm, buf, hs, None
+                        None, lambda: self.decode_pcm(buf, hs, None,
+                                                      on_text=on_text)
                     )
                     mode = ("2pass-offline" if hs.mode == "2pass"
                             else hs.mode)

@@ -408,3 +408,45 @@ class TestInt8Quantization:
         params, cfg = setup
         with pytest.raises(ValueError, match="quantize"):
             make_llm(params, cfg, quantize="int4")
+
+
+class TestIncrementalDetok:
+    def test_detokenizer_multibyte_holdback(self):
+        """Partial UTF-8 sequences are held back until complete."""
+        from fun_asr_vllm_tpu.engine.async_engine import IncrementalDetokenizer
+
+        class ByteTok:
+            def decode(self, ids, skip_special_tokens=True):
+                return bytes(ids).decode("utf-8", errors="replace")
+
+        d = IncrementalDetokenizer(ByteTok())
+        b = "你好a".encode("utf-8")  # 3+3+1 bytes
+        out = []
+        for byte in b:
+            out.append(d.add([byte]))
+        assert "".join(out) == "你好a"
+        # only 3 emissions are non-empty (one per completed char)
+        assert sum(1 for o in out if o) == 3
+        assert d.text == "你好a"
+
+    def test_async_stream_callback(self, setup):
+        """on_text receives the full transcript incrementally."""
+        from fun_asr_vllm_tpu.engine import AsyncLLM
+
+        params, cfg = setup
+
+        class IdTok:
+            eos_token_id = 1
+
+            def decode(self, ids, skip_special_tokens=True):
+                return "".join(chr(65 + (t % 26)) for t in ids)
+
+        llm = make_llm(params, cfg, decode_burst_size=2)
+        llm.tokenizer = IdTok()
+        async_llm = AsyncLLM(llm, SamplingParams(temperature=0.0, max_tokens=7))
+        chunks = []
+        e = rand_embeds(80, 6, cfg.hidden_size)
+        req = async_llm.submit(e, on_text=chunks.append).result(timeout=120)
+        assert "".join(chunks) == IdTok().decode(req.out_ids)
+        assert len(chunks) >= 2  # streamed across bursts, not one blob
+        async_llm.shutdown()
