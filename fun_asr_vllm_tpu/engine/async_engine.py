@@ -75,6 +75,7 @@ class AsyncLLM:
         self._futures = {}                      # rid -> Future, guarded by _cv
         self._streams = {}                      # rid -> (cb, detok, [fed])
         self._cv = threading.Condition()
+        self._engine_lock = threading.RLock()  # engine-state mutual excl.
         self._shutdown = False
         # observability: number of live slots at each decode burst — tests
         # assert concurrent sessions actually share bursts
@@ -166,7 +167,16 @@ class AsyncLLM:
                     if not f.done():
                         f.set_exception(e)
 
+    def exclusive(self):
+        """Context manager giving a caller exclusive engine access
+        between stepper iterations (PromptSession ops etc.)."""
+        return self._engine_lock
+
     def _step(self) -> None:
+        with self._engine_lock:
+            self._step_locked()
+
+    def _step_locked(self) -> None:
         llm = self.llm
         if self._waiting:
             llm._admit(self._waiting)

@@ -38,6 +38,7 @@ from .kv_cache import (
     CacheConfig,
     decode_step,
     decode_steps,
+    extend_step,
     init_cache,
     prefill_step,
 )
@@ -806,3 +807,169 @@ class LLM:
                 )
             )
         return outs
+
+
+@partial(jax.jit, donate_argnames=("cache",))
+def _copy_block(cache: jax.Array, src: jax.Array, dst: jax.Array):
+    """Copy one KV page across all layers (boundary-block isolation for
+    PromptSession suffix decodes)."""
+    return cache.at[:, dst].set(cache[:, src])
+
+
+class PromptSession:
+    """Append-only cached prompt over the engine's paged KV cache
+    (chunked/incremental prefill — the vLLM prefix-caching analogue).
+
+    Use case: online serving, where the prompt is
+    [prefix ⧺ growing audio tokens ⧺ suffix] and every partial decode
+    previously re-prefilled the whole prompt. A session extends the
+    cached [prefix ⧺ audio] region with only the NEW tokens
+    (kv_cache.extend_step), then `decode_with_suffix` prefills just the
+    suffix into scratch blocks and decodes — the session's cached blocks
+    are never written (the partially-filled boundary block is copied
+    into scratch first).
+
+    NOT thread-safe with the engine's other entry points; callers
+    serialize (AsyncLLM.exclusive() when a stepper owns the engine).
+    """
+
+    def __init__(self, llm: "LLM") -> None:
+        self.llm = llm
+        self.blocks: List[int] = []
+        self.cached_len = 0
+
+    # -------------------------------------------------------------- internals
+
+    def _ensure_blocks(self, upto_tokens: int) -> None:
+        bs = self.llm.cache_cfg.block_size
+        need = -(-upto_tokens // bs)
+        while len(self.blocks) < need:
+            got = self.llm._alloc_blocks(1)
+            if got is None:
+                raise RuntimeError("KV cache out of blocks (PromptSession)")
+            self.blocks.extend(got)
+
+    def _table(self, blocks: Sequence[int], width_tokens: int) -> np.ndarray:
+        bs = self.llm.cache_cfg.block_size
+        w = max(1, -(-width_tokens // bs))
+        w = -(-w // 8) * 8  # snap widths so jit caches a handful of shapes
+        t = np.zeros((1, w), np.int32)
+        t[0, : len(blocks)] = list(blocks)[:w]
+        return t
+
+    # ----------------------------------------------------------------- API
+
+    def extend(self, embeds: np.ndarray) -> None:
+        """Append token embeddings [T, H] to the cached prompt."""
+        llm = self.llm
+        embeds = _as_numpy_2d(embeds)
+        t = embeds.shape[0]
+        if t == 0:
+            return
+        tb = _bucket_len(t)
+        self._ensure_blocks(self.cached_len + t)
+        padded = np.zeros((1, tb, llm.cfg.hidden_size), np.float32)
+        padded[0, :t] = embeds
+        tables = self._table(self.blocks, self.cached_len + t)
+        (_logits, _ids), llm.k_cache, llm.v_cache = extend_step(
+            llm.params, llm.cfg, llm.k_cache, llm.v_cache,
+            jnp.asarray(padded),
+            jnp.asarray([self.cached_len], jnp.int32),
+            jnp.asarray([t], jnp.int32),
+            jnp.asarray(tables),
+        )
+        self.cached_len += t
+
+    def decode_with_suffix(
+        self,
+        suffix_embeds: np.ndarray,
+        sampling_params: Optional[SamplingParams] = None,
+    ) -> List[int]:
+        """Prefill [suffix] after the cached prompt into scratch blocks,
+        greedy-decode up to max_tokens, free the scratch — the cached
+        prompt survives unchanged for the next partial."""
+        llm = self.llm
+        sp = sampling_params or SamplingParams()
+        suffix = _as_numpy_2d(suffix_embeds)
+        q = suffix.shape[0]
+        bs = llm.cache_cfg.block_size
+        total = self.cached_len + q + sp.max_tokens + 1
+
+        # scratch table: cached blocks shared READ-ONLY; the partially
+        # filled boundary block is copied so suffix writes can't corrupt
+        # the session
+        scratch: List[int] = []
+        blocks = list(self.blocks)
+        boundary = self.cached_len % bs
+        if boundary and blocks:
+            got = llm._alloc_blocks(1)
+            if got is None:
+                raise RuntimeError("KV cache out of blocks (PromptSession)")
+            scratch.extend(got)
+            llm.k_cache = _copy_block(
+                llm.k_cache, jnp.int32(blocks[-1]), jnp.int32(scratch[-1])
+            )
+            llm.v_cache = _copy_block(
+                llm.v_cache, jnp.int32(blocks[-1]), jnp.int32(scratch[-1])
+            )
+            blocks[-1] = scratch[-1]
+        need_extra = -(-total // bs) - len(blocks)
+        if need_extra > 0:
+            got = llm._alloc_blocks(need_extra)
+            if got is None:
+                llm._free_blocks.extend(scratch)
+                raise RuntimeError("KV cache out of blocks (PromptSession)")
+            scratch.extend(got)
+            blocks.extend(got)
+
+        try:
+            tb = _bucket_len(max(q, 1))
+            padded = np.zeros((1, tb, llm.cfg.hidden_size), np.float32)
+            padded[0, :q] = suffix
+            tables = self._table(blocks, total)
+            (logits, first_ids), llm.k_cache, llm.v_cache = extend_step(
+                llm.params, llm.cfg, llm.k_cache, llm.v_cache,
+                jnp.asarray(padded),
+                jnp.asarray([self.cached_len], jnp.int32),
+                jnp.asarray([q], jnp.int32),
+                jnp.asarray(tables),
+            )
+            stop_ids = llm.eos_ids | set(sp.stop_token_ids or ())
+            out: List[int] = []
+            tok = int(np.asarray(first_ids)[0])
+            pos = self.cached_len + q
+            while True:
+                if tok in stop_ids or len(out) >= sp.max_tokens:
+                    break
+                out.append(tok)
+                k = min(llm.decode_burst_size,
+                        max(1, sp.max_tokens - len(out)))
+                k = max(1, -(-k // 8) * 8)
+                toks, llm.k_cache, llm.v_cache = decode_steps(
+                    llm.params, llm.cfg, llm.k_cache, llm.v_cache,
+                    jnp.asarray([tok], jnp.int32),
+                    jnp.asarray([pos], jnp.int32),
+                    jnp.asarray(tables),
+                    jnp.asarray([pos + 1], jnp.int32),
+                    jnp.asarray([True]),
+                    num_steps=k, use_pallas=llm.use_pallas_burst,
+                )
+                toks = np.asarray(toks)[:, 0]
+                done = False
+                for step_tok in toks:
+                    pos += 1
+                    tok = int(step_tok)
+                    if tok in stop_ids or len(out) >= sp.max_tokens:
+                        done = True
+                        break
+                    out.append(tok)
+                if done or len(out) >= sp.max_tokens:
+                    break
+            return out
+        finally:
+            llm._free_blocks.extend(scratch)
+
+    def close(self) -> None:
+        self.llm._free_blocks.extend(self.blocks)
+        self.blocks = []
+        self.cached_len = 0

@@ -424,3 +424,118 @@ prefill_step = partial(
     static_argnames=("cfg",),
     donate_argnames=("k_cache", "v_cache"),
 )(_prefill_core)
+
+
+def _extend_core(
+    params: Dict,
+    cfg: Qwen3Config,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    inputs_embeds: jax.Array,  # [B, T_bucket, H] NEW tokens only
+    cached_lens: jax.Array,     # [B] tokens already in the cache
+    new_lens: jax.Array,        # [B] valid new tokens in this chunk
+    block_tables: jax.Array,    # [B, MB] covering cached + new positions
+) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array, jax.Array]:
+    """Chunked prefill: extend already-cached sequences with new token
+    embeddings. Queries at positions cached_lens+i attend to the paged
+    cache (first cached_lens tokens) plus causally within the chunk;
+    new K/V are written at positions cached_lens+i. → ((last-token
+    logits [B, V], greedy ids [B]), caches).
+
+    This is the incremental-prefill primitive behind PromptSession
+    (append-only prompts: streaming audio tokens, chat history)."""
+    b, t, _ = inputs_embeds.shape
+    bs = k_cache.shape[2]
+    nq, nkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    x = inputs_embeds.astype(cfg.dtype)
+    pos = cached_lens[:, None] + jnp.arange(t)[None, :]  # [B, T]
+    cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+
+    # gather the cached region once per layer inside the scan
+    valid_new = jnp.arange(t)[None, :] < new_lens[:, None]  # [B, T]
+    write_blocks = jnp.where(
+        valid_new,
+        jnp.take_along_axis(
+            block_tables, jnp.minimum(pos // bs, block_tables.shape[1] - 1),
+            axis=1,
+        ),
+        0,
+    ).reshape(-1)
+    write_offsets = (pos % bs).reshape(-1)
+    layer_ids = jnp.arange(cfg.num_hidden_layers)
+
+    def body(carry, scanned):
+        xc, kc, vc = carry
+        lp, lid = scanned
+        h = rms_norm(xc, lp["input_ln"], cfg.rms_norm_eps)
+        qkv = qwen3.mm(h, lp["wqkv"])
+        q = qkv[..., : nq * d].reshape(b, t, nq, d)
+        k = qkv[..., nq * d : (nq + nkv) * d].reshape(b, t, nkv, d)
+        v = qkv[..., (nq + nkv) * d :].reshape(b, t, nkv, d)
+        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kc = kc.at[lid, write_blocks, write_offsets].set(
+            k.reshape(b * t, nkv, d).astype(kc.dtype)
+        )
+        vc = vc.at[lid, write_blocks, write_offsets].set(
+            v.reshape(b * t, nkv, d).astype(vc.dtype)
+        )
+        # combined attention: [cached pages ⧺ chunk] with causal masking
+        kcached = _gather_pages(kc[lid], block_tables)  # [B, Tc, nkv, d]
+        vcached = _gather_pages(vc[lid], block_tables)
+        tc = kcached.shape[1]
+        n_rep = nq // nkv
+        qf = (q.astype(jnp.float32) * (d ** -0.5)).reshape(
+            b, t, nkv, n_rep, d
+        )
+        # cached-segment scores [B, T, nkv, r, Tc]
+        s1 = jnp.einsum(
+            "btgrd,bsgd->btgrs", qf.astype(q.dtype), kcached,
+            preferred_element_type=jnp.float32,
+        )
+        mask_cached = (jnp.arange(tc)[None, :]
+                       < cached_lens[:, None])[:, None, None, None, :]
+        s1 = jnp.where(mask_cached, s1, -1e30)
+        # chunk-segment scores [B, T, nkv, r, T] (causal + valid)
+        s2 = jnp.einsum(
+            "btgrd,bsgd->btgrs", qf.astype(q.dtype), k,
+            preferred_element_type=jnp.float32,
+        )
+        causal = (jnp.arange(t)[:, None]
+                  >= jnp.arange(t)[None, :])[None, :, None, None, :]
+        s2 = jnp.where(causal, s2, -1e30)
+        s2 = jnp.where(valid_new[:, None, None, None, :], s2, -1e30)
+        scores = jnp.concatenate([s1, s2], axis=-1)
+        probs = jax.nn.softmax(scores, axis=-1)
+        vall = jnp.concatenate([vcached, v.astype(vcached.dtype)], axis=1)
+        att = jnp.einsum(
+            "btgrs,bsgd->btgrd", probs.astype(vall.dtype), vall,
+            preferred_element_type=jnp.float32,
+        ).reshape(b, t, nq * d)
+        xc = xc + qwen3.mm(att.astype(cfg.dtype), lp["wo"])
+        h = rms_norm(xc, lp["post_ln"], cfg.rms_norm_eps)
+        xc = xc + qwen3._layer_mlp(lp, h)
+        return (xc, kc, vc), None
+
+    (x, k_cache, v_cache), _ = jax.lax.scan(
+        body, (x, k_cache, v_cache), (params["layers"], layer_ids)
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    last = jnp.take_along_axis(
+        x, jnp.maximum(new_lens - 1, 0)[:, None, None].astype(jnp.int32),
+        axis=1,
+    )[:, 0]
+    logits = qwen3.lm_logits(params, cfg, last)
+    first_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return (logits, first_ids), k_cache, v_cache
+
+
+extend_step = partial(
+    jax.jit,
+    static_argnames=("cfg",),
+    donate_argnames=("k_cache", "v_cache"),
+)(_extend_core)

@@ -177,6 +177,81 @@ class ASRServer:
         m = self.model
         return StreamingEncoder(m.encoder_params, m.encoder_cfg, m.frontend)
 
+    class _OnlineSession:
+        """Per-connection incremental state: windowed encoder + cached
+        LLM prompt (engine/engine.PromptSession). Each partial extends
+        the cached [prefix ⧺ stable audio tokens] with only the NEW
+        stable tokens and prefills just [live-tail tokens ⧺ suffix] —
+        chunked prefill instead of re-prefilling the whole prompt."""
+
+        def __init__(self, server: "ASRServer", hs: Handshake):
+            import jax.numpy as jnp
+
+            self.server = server
+            self.hs = hs
+            self.enc = server.make_streaming_encoder()
+            self.psess = None
+            self.fed_tokens = 0  # audio tokens already in the cached prompt
+            m = server.model
+            hotwords = [h for h in (hs.hotwords or "").split(",")
+                        if h.strip()]
+            instruction = m.build_instruction(hotwords=hotwords, itn=hs.itn)
+            prefix_ids, suffix_ids = m.chatml_parts(instruction)
+            self.prefix = np.asarray(m.embed_ids(prefix_ids))
+            self.suffix = np.asarray(m.embed_ids(suffix_ids))
+
+        def reset(self) -> None:
+            self.enc.reset()
+            self.fed_tokens = 0
+            if self.psess is not None:
+                with self.server.async_llm.exclusive():
+                    self.psess.close()
+                self.psess = None
+
+        def partial(self, new_samples: np.ndarray, max_tokens: int = 64
+                    ) -> str:
+            import jax.numpy as jnp
+
+            from ..engine import SamplingParams
+            from ..engine.engine import PromptSession
+            from ..models.adaptor import downsampled_length
+            from ..text.normalize import clean_response
+            from ..text.zh_itn import inverse_normalize_text
+
+            server = self.server
+            m = server.model
+            frames = self.enc.push(new_samples)  # [F, E]
+            if frames.shape[0] < 2:
+                return ""
+            audio, audio_lens = m.audio_adaptor(
+                jnp.asarray(frames)[None],
+                jnp.asarray([frames.shape[0]]),
+            )
+            audio_np = np.asarray(audio[0, : int(audio_lens[0])], np.float32)
+            # tokens computed purely from FROZEN encoder frames are final
+            # (adaptor receptive field: token m needs frames ≤ 8m+3)
+            stable = min(
+                max(0, (self.enc._frozen_upto - 4) // 8), audio_np.shape[0]
+            )
+            with server.async_llm.exclusive():
+                if self.psess is None:
+                    self.psess = PromptSession(server.async_llm.llm)
+                    self.psess.extend(self.prefix)
+                if stable > self.fed_tokens:
+                    self.psess.extend(audio_np[self.fed_tokens : stable])
+                    self.fed_tokens = stable
+                tail = np.concatenate(
+                    [audio_np[self.fed_tokens :], self.suffix]
+                )
+                ids = self.psess.decode_with_suffix(
+                    tail, SamplingParams(top_p=0.001, max_tokens=max_tokens)
+                )
+            text = m.tokenizer.decode(ids, skip_special_tokens=True)
+            text = clean_response(text).strip()
+            if self.hs.itn:
+                text = inverse_normalize_text(text)
+            return text
+
     # ------------------------------------------------------------- session
 
     async def handle(self, websocket) -> None:
@@ -212,15 +287,23 @@ class ASRServer:
                                 if stream_enc is not None:
                                     stream_enc.reset()
                             if stream_enc is None:
-                                stream_enc = self.make_streaming_encoder()
+                                stream_enc = (
+                                    self._OnlineSession(self, hs)
+                                    if self.async_llm is not None
+                                    else self.make_streaming_encoder()
+                                )
 
                             def _partial(part=part):
                                 nonlocal stream_fed
-                                # incremental: only NEW samples hit the
-                                # windowed encoder (O(window) per partial,
-                                # not O(stream))
-                                frames = stream_enc.push(part[stream_fed:])
+                                new = part[stream_fed:]
                                 stream_fed = len(part)
+                                if self.async_llm is not None:
+                                    # chunked prefill: cached prompt grows
+                                    # with stable audio tokens; only the
+                                    # live tail + suffix prefill per
+                                    # partial
+                                    return stream_enc.partial(new, 64)
+                                frames = stream_enc.push(new)
                                 return self.decode_encoder_frames(
                                     frames, hs, 64
                                 )
@@ -274,6 +357,13 @@ class ASRServer:
                     hs.is_speaking = True  # allow another utterance
         except Exception as e:
             logger.warning("session ended: %s", e)
+        finally:
+            # release the session's cached-prompt KV blocks
+            if stream_enc is not None and hasattr(stream_enc, "psess"):
+                try:
+                    stream_enc.reset()
+                except Exception:
+                    pass
 
     async def serve(self, host: str = "0.0.0.0", port: int = 10095):
         import websockets

@@ -450,3 +450,59 @@ class TestIncrementalDetok:
         assert "".join(chunks) == IdTok().decode(req.out_ids)
         assert len(chunks) >= 2  # streamed across bursts, not one blob
         async_llm.shutdown()
+
+
+class TestPromptSession:
+    def test_incremental_prefill_matches_full(self, setup):
+        """extend() in chunks + decode_with_suffix must equal a one-shot
+        generate over [chunks ⧺ suffix] — the chunked-prefill parity."""
+        from fun_asr_vllm_tpu.engine.engine import PromptSession
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        c1 = rand_embeds(90, 6, h)
+        c2 = rand_embeds(91, 5, h)
+        c3 = rand_embeds(92, 4, h)
+        suffix = rand_embeds(93, 3, h)
+        sp = SamplingParams(temperature=0.0, max_tokens=6)
+
+        llm_ref = make_llm(params, cfg)
+        want = llm_ref.generate(
+            [{"prompt_embeds": np.concatenate([c1, c2, c3, suffix])}], sp
+        )[0].outputs[0].token_ids
+
+        llm = make_llm(params, cfg)
+        sess = PromptSession(llm)
+        sess.extend(c1)
+        sess.extend(c2)
+        sess.extend(c3)
+        got = sess.decode_with_suffix(suffix, sp)
+        assert got == want
+        sess.close()
+        assert len(llm._free_blocks) == llm.cache_cfg.num_blocks - 1
+
+    def test_repeated_decodes_do_not_corrupt_cache(self, setup):
+        """Growing prompt with a decode after each extension: every
+        partial must match the equivalent from-scratch decode (boundary
+        block isolation)."""
+        from fun_asr_vllm_tpu.engine.engine import PromptSession
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        chunks = [rand_embeds(100 + i, 3 + i, h) for i in range(3)]
+        suffix = rand_embeds(110, 2, h)
+        sp = SamplingParams(temperature=0.0, max_tokens=4)
+
+        llm = make_llm(params, cfg, max_model_len=128, num_blocks=64)
+        sess = PromptSession(llm)
+        acc = []
+        for ch in chunks:
+            sess.extend(ch)
+            acc.append(ch)
+            got = sess.decode_with_suffix(suffix, sp)
+            llm_ref = make_llm(params, cfg)
+            want = llm_ref.generate(
+                [{"prompt_embeds": np.concatenate(acc + [suffix])}], sp
+            )[0].outputs[0].token_ids
+            assert got == want, f"after {len(acc)} chunks"
+        sess.close()

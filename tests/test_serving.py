@@ -169,3 +169,22 @@ class TestRoundTrip:
         # random weights: transcript is garbage → must FAIL the gate
         assert passed is False
         assert wer >= 0.3
+
+
+class TestOnlineChunkedPrefill:
+    def test_2pass_partials_on_engine_server(self, engine_server, wav_path):
+        """Online partials on the engine server run the chunked-prefill
+        session (cached prompt + windowed encoder) and still produce
+        partial messages plus a final."""
+        from fun_asr_vllm_tpu.serving.client import ASR_Client
+
+        server, port = engine_server
+
+        client = ASR_Client(host="127.0.0.1", port=port, mode="2pass",
+                            itn=False)
+        final = asyncio.run(client.transcribe(wav_path))
+        assert isinstance(final, str)
+        # the cached-prompt session must have released all its blocks
+        llm = server.async_llm.llm
+        time.sleep(0.5)
+        assert len(llm._free_blocks) == llm.cache_cfg.num_blocks - 1
