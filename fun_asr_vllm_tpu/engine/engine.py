@@ -506,23 +506,52 @@ class LLM:
     def generate(
         self,
         prompts: Union[Dict, Sequence],
-        sampling_params: Optional[SamplingParams] = None,
+        sampling_params: Union[SamplingParams, Sequence[SamplingParams],
+                               None] = None,
         use_tqdm: bool = False,
         **_ignored,
     ) -> List[RequestOutput]:
         """vLLM-shaped generate: each prompt is ``{"prompt_embeds": [T,D]}``
-        (or a raw [T,D] array). Returns outputs in submission order."""
-        sp = sampling_params or SamplingParams()
-        self._cur_sampling = sp
+        (or a raw [T,D] array). Returns outputs in submission order.
+
+        `sampling_params` may be a list (one per prompt, the vLLM
+        contract): per-request max_tokens / stop_token_ids are honored;
+        the distribution settings (temperature/top_p/top_k) must agree
+        across the batch — the decode step samples all slots with one
+        configuration."""
         if isinstance(prompts, dict) or (
             hasattr(prompts, "ndim") and getattr(prompts, "ndim", 0) == 2
         ):
             prompts = [prompts]
+        if isinstance(sampling_params, (list, tuple)):
+            sps = list(sampling_params)
+            if len(sps) != len(prompts):
+                raise ValueError(
+                    f"{len(sps)} sampling_params for {len(prompts)} prompts"
+                )
+            head = sps[0]
+            for s in sps[1:]:
+                if (s.temperature, s.top_p, s.top_k) != (
+                    head.temperature, head.top_p, head.top_k
+                ):
+                    raise ValueError(
+                        "per-request distribution settings must agree "
+                        "(temperature/top_p/top_k)"
+                    )
+            sp = head
+        else:
+            sp = sampling_params or SamplingParams()
+            sps = [sp] * len(prompts)
+        self._cur_sampling = sp
 
         reqs: List[_Request] = []
-        for p in prompts:
+        for p, rsp in zip(prompts, sps):
             embeds = p["prompt_embeds"] if isinstance(p, dict) else p
-            req = _Request(self._next_rid, _as_numpy_2d(embeds), sp.max_tokens)
+            req = _Request(
+                self._next_rid, _as_numpy_2d(embeds), rsp.max_tokens,
+                stop_ids=(self.eos_ids | set(rsp.stop_token_ids or ())
+                          if rsp is not sp or rsp.stop_token_ids else None),
+            )
             self._next_rid += 1
             reqs.append(req)
 

@@ -668,7 +668,9 @@ class FunASRNano:
                 attention_heads=self.encoder_cfg.attention_heads,
                 linear_units=self.encoder_cfg.linear_units,
                 num_blocks=self.encoder_cfg.num_blocks,
+                tp_blocks=self.encoder_cfg.tp_blocks,
                 kernel_size=self.encoder_cfg.kernel_size,
+                sanm_shift=self.encoder_cfg.sanm_shift,
             ),
             audio_adaptor="NanoAdaptor",
             audio_adaptor_conf=dict(

@@ -506,3 +506,37 @@ class TestPromptSession:
             )[0].outputs[0].token_ids
             assert got == want, f"after {len(acc)} chunks"
         sess.close()
+
+
+class TestPerRequestSampling:
+    def test_per_request_max_tokens(self, setup):
+        """vLLM contract: sampling_params may be a list, one per prompt."""
+        params, cfg = setup
+        llm = make_llm(params, cfg, max_num_seqs=3)
+        embeds = [rand_embeds(120 + i, 6, cfg.hidden_size) for i in range(3)]
+        sps = [SamplingParams(temperature=0.0, max_tokens=m)
+               for m in (2, 5, 8)]
+        outs = llm.generate([{"prompt_embeds": e} for e in embeds], sps)
+        for o, m, e in zip(outs, (2, 5, 8), embeds):
+            assert len(o.outputs[0].token_ids) <= m
+            want = ref_decode(params, cfg, e, m)
+            assert o.outputs[0].token_ids == want[:len(o.outputs[0].token_ids)]
+
+    def test_mismatched_distribution_raises(self, setup):
+        params, cfg = setup
+        llm = make_llm(params, cfg)
+        e = rand_embeds(130, 5, cfg.hidden_size)
+        with pytest.raises(ValueError, match="must agree"):
+            llm.generate(
+                [{"prompt_embeds": e}, {"prompt_embeds": e}],
+                [SamplingParams(temperature=0.0),
+                 SamplingParams(temperature=0.9)],
+            )
+
+    def test_wrong_count_raises(self, setup):
+        params, cfg = setup
+        llm = make_llm(params, cfg)
+        e = rand_embeds(131, 5, cfg.hidden_size)
+        with pytest.raises(ValueError, match="sampling_params"):
+            llm.generate([{"prompt_embeds": e}], [SamplingParams(),
+                                                  SamplingParams()])
