@@ -96,6 +96,16 @@ class FunASRNano:
             self.adaptor_params, self.adaptor_cfg, encoder_out, encoder_out_lens
         )
 
+    def encode(self, speech, speech_lengths):
+        """Encoder-only surface (reference model.py:256-265)."""
+        return self.audio_encoder(speech, speech_lengths)
+
+    def forward_export(self, speech, speech_lengths, **kwargs):
+        """fbank features → audio prompt embeddings, the exportable
+        encoder+adaptor subgraph (reference model.py:251-254)."""
+        x, olens = self.audio_encoder(speech, speech_lengths)
+        return self.audio_adaptor(x, olens)
+
     def embed_ids(self, ids: Sequence[int]) -> jax.Array:
         """Token ids → embedding rows (the `get_input_embeddings()` surface,
         reference infer.py:403-404)."""
