@@ -144,9 +144,14 @@ class ASRServer:
         hotwords = [h for h in (hs.hotwords or "").split(",") if h.strip()]
         instruction = m.build_instruction(hotwords=hotwords, itn=hs.itn)
         prefix_ids, suffix_ids = m.chatml_parts(instruction)
-        enc = jnp.asarray(enc_frames)[None]
-        lens = jnp.asarray([enc_frames.shape[0]])
-        audio, audio_lens = m.audio_adaptor(enc, lens)
+        # bucketed frame count: avoid a recompile per growing partial
+        f = enc_frames.shape[0]
+        fb = -(-f // 512) * 512
+        padded = np.zeros((1, fb, enc_frames.shape[1]), np.float32)
+        padded[0, :f] = enc_frames
+        audio, audio_lens = m.audio_adaptor(
+            jnp.asarray(padded), jnp.asarray([f])
+        )
         embeds = m.build_prompt_embeds(
             audio, audio_lens, prefix_ids, suffix_ids
         )[0]
@@ -223,9 +228,14 @@ class ASRServer:
             frames = self.enc.push(new_samples)  # [F, E]
             if frames.shape[0] < 2:
                 return ""
+            # bucket the frame count: exact growing shapes would compile
+            # a fresh adaptor program every partial
+            f = frames.shape[0]
+            fb = -(-f // 512) * 512
+            padded = np.zeros((1, fb, frames.shape[1]), np.float32)
+            padded[0, :f] = frames
             audio, audio_lens = m.audio_adaptor(
-                jnp.asarray(frames)[None],
-                jnp.asarray([frames.shape[0]]),
+                jnp.asarray(padded), jnp.asarray([f])
             )
             audio_np = np.asarray(audio[0, : int(audio_lens[0])], np.float32)
             # tokens computed purely from FROZEN encoder frames are final
