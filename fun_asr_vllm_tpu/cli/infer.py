@@ -37,6 +37,9 @@ def get_args():
                         "any non-None value enables the engine (default on)")
     p.add_argument("--disable_engine", action="store_true")
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=(None, "int8"),
+                   help="opt-in weight-only int8 decoder")
     p.add_argument("--max_num_seqs", type=int, default=None)
     return p.parse_args()
 
@@ -79,6 +82,7 @@ def main():
         args.model_dir, dtype=args.dtype,
         enable_engine=not args.disable_engine,
         max_num_seqs=args.max_num_seqs or args.batch_size,
+        quantize=args.quantize,
     )
 
     dataset = hf_datasets.load_dataset(

@@ -53,6 +53,9 @@ def get_args():
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways over the local device mesh")
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=(None, "int8"),
+                   help="opt-in weight-only int8 decoder")
     p.add_argument("--max_tokens", type=int, default=500)
     p.add_argument("--disable_engine", action="store_true")
     return p.parse_args()
@@ -150,7 +153,7 @@ def main():
         args.model_dir, dtype=args.dtype,
         enable_engine=not args.disable_engine,
         max_num_seqs=args.batch_size, itn=args.itn, language=args.language,
-        max_tokens=args.max_tokens, mesh=mesh,
+        max_tokens=args.max_tokens, mesh=mesh, quantize=args.quantize,
     )
 
     if args.distributed:

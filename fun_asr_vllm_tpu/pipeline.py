@@ -36,6 +36,7 @@ class BatchPipeline:
         max_tokens: int = 500,
         gpu_memory_utilization: float = 0.4,  # accepted for CLI parity
         mesh=None,
+        quantize=None,
     ) -> None:
         self.model, self.kwargs = FunASRNano.from_pretrained(
             model=model_dir, dtype=dtype
@@ -49,7 +50,7 @@ class BatchPipeline:
                 dtype=dtype, max_num_seqs=max_num_seqs,
                 max_model_len=max_model_len,
                 gpu_memory_utilization=gpu_memory_utilization,
-                mesh=mesh,
+                mesh=mesh, quantize=quantize,
             )
             m.vllm_sampling_params = SamplingParams(
                 top_p=top_p, max_tokens=max_tokens
