@@ -251,3 +251,63 @@ class TestEnTN:
 
     def test_tag_removal(self):
         assert normalize_text("<noise>你好", language="zh") == "你好"
+
+
+class TestWerProperty:
+    """Property tests: the production DP must equal a brute-force
+    Levenshtein on random token sequences (metric correctness beyond the
+    fixed reference examples)."""
+
+    @staticmethod
+    def _brute_distance(ref, hyp):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            cost = 0 if ref[i - 1] == hyp[j - 1] else 1
+            return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                       d(i - 1, j - 1) + cost)
+
+        return d(len(ref), len(hyp))
+
+    def test_random_sequences_match_brute_force(self):
+        import random
+
+        from fun_asr_vllm_tpu.text.wer import compute_wer_line
+
+        rng = random.Random(0)
+        alphabet = "abcdefg"
+        for trial in range(40):
+            n, m = rng.randint(0, 12), rng.randint(0, 12)
+            ref = " ".join(rng.choice(alphabet) for _ in range(n))
+            hyp = " ".join(rng.choice(alphabet) for _ in range(m))
+            if not ref.strip():
+                continue
+            res = compute_wer_line(ref, hyp, tochar=False)
+            s = res["stats"]
+            total_err = s["sub"] + s["del"] + s["ins"]
+            want = self._brute_distance(tuple(ref.split()),
+                                        tuple(hyp.split()))
+            assert total_err == want, (ref, hyp, s)
+            # invariants
+            assert s["cor"] + s["sub"] + s["del"] == s["all"] == n
+            assert abs(s["wer"] - 100.0 * total_err / max(n, 1)) < 1e-6
+
+    def test_cjk_char_tokenization_property(self):
+        import random
+
+        from fun_asr_vllm_tpu.text.wer import compute_wer_line
+
+        rng = random.Random(1)
+        chars = "今天天气不错我们去公园玩"
+        for _ in range(20):
+            ref = "".join(rng.choice(chars) for _ in range(rng.randint(1, 10)))
+            hyp = "".join(rng.choice(chars) for _ in range(rng.randint(0, 10)))
+            res = compute_wer_line(ref, hyp, tochar=True)
+            s = res["stats"]
+            want = self._brute_distance(tuple(ref), tuple(hyp))
+            assert s["sub"] + s["del"] + s["ins"] == want
