@@ -29,6 +29,8 @@ def get_args():
     p.add_argument("--hotwords", type=str, default="",
                    help="comma-separated hotword list")
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=(None, "int8"))
     p.add_argument("--output_dir", type=str, default=None)
     return p.parse_args()
 
@@ -47,6 +49,7 @@ def main():
             params=m.llm_params, config=m.llm_cfg, tokenizer=m.tokenizer,
             dtype=args.dtype, max_num_seqs=args.max_num_seqs,
             gpu_memory_utilization=args.gpu_memory_utilization,
+            quantize=args.quantize,
         )
         m.vllm_sampling_params = SamplingParams(
             top_p=args.top_p, max_tokens=args.max_tokens

@@ -822,6 +822,7 @@ class LLM:
 
     def _collect(self, reqs, sp) -> List[RequestOutput]:
         outs = []
+        now = time.perf_counter()
         for req in reqs:
             text = ""
             if self.tokenizer is not None:
@@ -833,6 +834,15 @@ class LLM:
                     request_id=req.rid,
                     outputs=[CompletionOutput(0, text, list(req.out_ids))],
                     prompt_len=req.prompt_len,
+                    metrics={
+                        # vLLM-style request metrics (seconds)
+                        "time_to_first_token": (
+                            req.t_first_token - req.t_enqueue
+                            if req.t_first_token else None
+                        ),
+                        "latency": now - req.t_enqueue,
+                        "num_generated_tokens": len(req.out_ids),
+                    },
                 )
             )
         return outs

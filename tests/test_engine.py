@@ -540,3 +540,56 @@ class TestPerRequestSampling:
         with pytest.raises(ValueError, match="sampling_params"):
             llm.generate([{"prompt_embeds": e}], [SamplingParams(),
                                                   SamplingParams()])
+
+
+class TestRequestMetrics:
+    def test_outputs_carry_timing_metrics(self, setup):
+        params, cfg = setup
+        llm = make_llm(params, cfg)
+        e = rand_embeds(140, 6, cfg.hidden_size)
+        out = llm.generate(
+            [{"prompt_embeds": e}], SamplingParams(temperature=0.0, max_tokens=3)
+        )[0]
+        m = out.metrics
+        assert m["num_generated_tokens"] == len(out.outputs[0].token_ids)
+        assert m["latency"] > 0
+        assert m["time_to_first_token"] is not None
+        assert 0 < m["time_to_first_token"] <= m["latency"]
+
+
+class TestQuantizedFusedPath:
+    def test_generate_fused_runs_with_int8(self, setup):
+        """The single-dispatch program must accept quantized decoder
+        leaves (dict params flow through the jit pytree)."""
+        import jax.numpy as jnp
+
+        from fun_asr_vllm_tpu.audio.frontend import WavFrontend
+        from fun_asr_vllm_tpu.models import adaptor as adaptor_mod
+        from fun_asr_vllm_tpu.models import encoder as encoder_mod
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        enc_cfg = encoder_mod.SANMEncoderConfig(
+            input_size=80, output_size=32, attention_heads=4,
+            linear_units=64, num_blocks=2, dtype=jnp.float32,
+        )
+        ad_cfg = adaptor_mod.NanoAdaptorConfig(
+            encoder_dim=32, llm_dim=h, ffn_dim=64, dtype=jnp.float32
+        )
+        key = jax.random.PRNGKey(3)
+        enc_params = encoder_mod.init_params(enc_cfg, key)
+        ad_params = adaptor_mod.init_params(ad_cfg, key)
+        fe = WavFrontend(dither=0.0)
+        rng = np.random.default_rng(0)
+        wavs = [rng.normal(scale=0.05, size=16000).astype(np.float32)]
+        pcm, frames = fe.batchify(wavs)
+        prefix = jnp.asarray(rng.normal(scale=0.3, size=(3, h)), jnp.float32)
+        suffix = jnp.asarray(rng.normal(scale=0.3, size=(2, h)), jnp.float32)
+        llm = LLM(params=params, config=cfg, dtype="float32",
+                  max_num_seqs=2, max_model_len=64, block_size=4,
+                  use_pallas=False, quantize="int8")
+        outs = llm.generate_fused(
+            pcm, frames, enc_params, enc_cfg, ad_params, ad_cfg, fe,
+            prefix, suffix, SamplingParams(temperature=0.0, max_tokens=4),
+        )
+        assert len(outs[0].outputs[0].token_ids) > 0
