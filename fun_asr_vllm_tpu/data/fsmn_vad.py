@@ -50,8 +50,10 @@ class FSMNVadConfig:
     output_affine_dim: int = 140
     output_dim: int = 248
     sil_pdf_ids: Tuple[int, ...] = (0,)
-    # decision logic
+    # decision logic (FireRedVadConfig-compatible fields, reference
+    # simple_audio_processor.py:175-186)
     speech_threshold: float = 0.5
+    smooth_window_size: int = 1   # moving-average over frame probs
     frame_ms: int = 10
     min_speech_ms: int = 100
     max_end_silence_ms: int = 800
@@ -225,6 +227,10 @@ class FSMNVad:
         if len(wav) < self.fs * 25 // 1000:
             return []
         probs = self.frame_speech_probs(wav)
+        if cfg.smooth_window_size > 1:
+            k = cfg.smooth_window_size
+            kernel = np.ones(k, np.float32) / k
+            probs = np.convolve(probs, kernel, mode="same")
         active = probs > cfg.speech_threshold
         out: List[Tuple[int, int]] = []
         start = None
