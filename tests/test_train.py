@@ -97,3 +97,85 @@ class TestLoss:
         loss, stats = nano_loss(params, cfgs, batch)
         assert float(stats["batch_tokens"]) == 0.0
         assert np.isfinite(float(loss)) and float(loss) == 0.0
+
+
+class TestTrainToServe:
+    def test_overfit_then_engine_reproduces_targets(self, setup):
+        """End-to-end coherence: train the full stack (encoder+adaptor+
+        LLM via the pjit train step) to overfit two synthetic
+        audio→transcript pairs, then the SERVING ENGINE must decode those
+        exact token sequences from the trained weights — proving the
+        training loss path, the audio-span splice, the prompt layout and
+        the paged-KV engine all agree."""
+        from fun_asr_vllm_tpu.engine import LLM, SamplingParams
+        from fun_asr_vllm_tpu.parallel.train import (
+            make_optimizer, make_train_step,
+        )
+
+        cfgs, params = setup
+        rng = np.random.default_rng(0)
+        B, F, S = 2, 32, 12
+        eos = 1  # in-vocab EOS for the tiny config
+        prompt_len = 2  # tokens before the audio span
+        audio_tokens = adaptor_mod.downsampled_length(F)
+        # target transcripts (disjoint, then EOS)
+        targets = np.array([[10, 11, 12, eos], [20, 21, 22, eos]], np.int32)
+        t_len = targets.shape[1]
+        seq_len = prompt_len + audio_tokens + t_len
+
+        speech = rng.normal(size=(B, F, cfgs.encoder.input_size)
+                            ).astype(np.float32)
+        input_ids = np.zeros((B, seq_len), np.int32)
+        input_ids[:, :prompt_len] = 2  # fixed prompt token
+        input_ids[:, prompt_len + audio_tokens:] = targets
+        labels = np.full((B, seq_len), -100, np.int32)
+        labels[:, prompt_len + audio_tokens:] = targets
+        batch = {
+            "speech": speech,
+            "speech_lengths": np.full((B,), F, np.int32),
+            "input_ids": input_ids,
+            "labels": labels,
+            "fbank_beg": np.full((B,), prompt_len, np.int32),
+            "attention_lengths": np.full((B,), seq_len, np.int32),
+        }
+
+        optimizer = make_optimizer(lr=3e-3)
+        opt_state = optimizer.init(params)
+        step = make_train_step(cfgs, optimizer)
+        import jax as _jax
+
+        params = _jax.tree.map(lambda x: x, params)  # fresh copy (donation)
+        state = (params, opt_state)
+        for i in range(150):
+            p, o, stats = step(*state, batch)
+            state = (p, o)
+        assert float(stats["acc"]) == 1.0, float(stats["acc"])
+        params = state[0]
+
+        # serve: [prompt ⧺ audio ⧺ nothing] → greedy decode == target
+        enc_out, enc_lens = encoder_mod.encode(
+            params["audio_encoder"], cfgs.encoder,
+            jnp.asarray(speech), jnp.asarray(batch["speech_lengths"]),
+        )
+        audio, audio_lens = adaptor_mod.forward(
+            params["audio_adaptor"], cfgs.adaptor, enc_out, enc_lens
+        )
+        prompt_emb = np.asarray(qwen3_mod.embed_tokens(
+            params["llm"], jnp.asarray([2, 2], jnp.int32)
+        ), np.float32)
+        llm = LLM(params=params["llm"], config=cfgs.llm, dtype="float32",
+                  max_num_seqs=2, max_model_len=64, block_size=4,
+                  use_pallas=False)
+        audio_np = np.asarray(audio, np.float32)
+        outs = llm.generate(
+            [{"prompt_embeds": np.concatenate(
+                [prompt_emb, audio_np[i, : int(audio_lens[i])]])}
+             for i in range(B)],
+            SamplingParams(temperature=0.0, max_tokens=8,
+                           stop_token_ids=[eos]),
+        )
+        for i, o in enumerate(outs):
+            want = [t for t in targets[i].tolist() if t != eos]
+            assert o.outputs[0].token_ids == want, (
+                i, o.outputs[0].token_ids, want
+            )
