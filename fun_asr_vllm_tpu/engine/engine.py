@@ -172,6 +172,7 @@ class LLM:
         mesh: Any = None,
         use_pallas: Optional[bool] = None,
         use_pallas_burst: bool = False,
+        early_exit_bursts: bool = True,
         decode_burst_size: int = 8,
         pipeline_depth: int = 1,
         quantize: Optional[str] = None,
@@ -267,6 +268,11 @@ class LLM:
         self.eos_ids = {config.eos_token_id, config.pad_token_id}
         if tokenizer is not None and getattr(tokenizer, "eos_token_id", None):
             self.eos_ids.add(tokenizer.eos_token_id)
+        # in-graph all-EOS early exit for decode bursts: stop the step
+        # loop once every live slot emitted a GLOBAL eos (per-request
+        # extra stop ids are handled on the host, conservatively)
+        self.early_exit_bursts = early_exit_bursts
+        self._eos_arr = jnp.asarray(sorted(self.eos_ids), jnp.int32)
 
         s, mbps = self.n_slots, self.cache_cfg.max_blocks_per_seq
         self._slots: List[Optional[_Request]] = [None] * s
@@ -468,6 +474,8 @@ class LLM:
             jnp.asarray(self._seq_lens),
             jnp.asarray(self._active), num_steps=k,
             use_pallas=self.use_pallas_burst,
+            eos_ids=self._eos_arr if self.early_exit_bursts else None,
+            early_exit=self.early_exit_bursts,
         )
         tokens = np.asarray(tokens)  # [k, S]
         self.stats["steps"] += k
@@ -725,6 +733,9 @@ class LLM:
                     jnp.asarray(prompt_lens.astype(np.int32)),
                     jnp.asarray(tables[:, :mbu]),
                     t_bucket=tb, num_steps=k, use_pallas=self.use_pallas_burst,
+                    eos_ids=(self._eos_arr if self.early_exit_bursts
+                             else None),
+                    early_exit=self.early_exit_bursts,
                     **fe_kw,
                 )
                 # the dispatch above is async — with pipeline_depth ≥ 2
@@ -992,6 +1003,9 @@ class PromptSession:
                     jnp.asarray([pos + 1], jnp.int32),
                     jnp.asarray([True]),
                     num_steps=k, use_pallas=llm.use_pallas_burst,
+                    eos_ids=(llm._eos_arr if llm.early_exit_bursts
+                             else None),
+                    early_exit=llm.early_exit_bursts,
                 )
                 toks = np.asarray(toks)[:, 0]
                 done = False

@@ -79,7 +79,7 @@ def fused_encode_prefill(
     jax.jit,
     static_argnames=("enc_cfg", "ad_cfg", "llm_cfg", "t_bucket", "num_steps",
                      "frame_length", "frame_shift", "n_mels", "window_type",
-                     "fs", "use_pallas", "lfr_m", "lfr_n"),
+                     "fs", "use_pallas", "lfr_m", "lfr_n", "early_exit"),
     donate_argnames=("k_cache", "v_cache"),
 )
 def fused_encode_prefill_decode(
@@ -108,6 +108,8 @@ def fused_encode_prefill_decode(
     lfr_m: int = 1,
     lfr_n: int = 1,
     cmvn=None,               # optional (add [D], scale [D]) device arrays
+    eos_ids=None,            # [E] int32 → in-graph all-EOS early exit
+    early_exit: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """The whole batch in ONE dispatch: fbank → encoder → adaptor → prompt
     assembly → prefill → `num_steps` greedy decode steps.
@@ -128,6 +130,7 @@ def fused_encode_prefill_decode(
         llm_params, llm_cfg, k_cache, v_cache,
         first_ids, prompt_lengths, block_tables, prompt_lengths + 1,
         active, num_steps=num_steps, use_pallas=use_pallas,
+        eos_ids=eos_ids, early_exit=early_exit,
     )
     tokens = jnp.concatenate([first_ids[None], steps_tokens], axis=0)
     return tokens, k_cache, v_cache

@@ -191,9 +191,17 @@ def _burst_core(
     active: jax.Array,         # [S] bool
     num_steps: int = 8,
     use_pallas: bool = False,
+    eos_ids: Optional[jax.Array] = None,  # [E] int32 (early_exit only)
+    early_exit: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """`num_steps` fused greedy decode steps →
     (tokens [num_steps, S], caches).
+
+    With `early_exit` (and `eos_ids`), the step loop is a
+    `lax.while_loop` that stops once EVERY live slot has emitted an EOS
+    token — saving the wasted tail of a fixed-K burst when transcripts
+    finish early. Token rows after the exit are zeros; the host already
+    truncates at EOS.
 
     Two-segment attention keeps the big paged cache READ-ONLY inside the
     step scan: the burst's new K/V live in a tiny [L, K, S, Nkv, D] ring
@@ -270,10 +278,30 @@ def _burst_core(
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (nxt, k_recent, v_recent), nxt
 
-    (_, k_recent, v_recent), tokens = jax.lax.scan(
-        step, (token_ids, k_recent0, v_recent0),
-        jnp.arange(K, dtype=jnp.int32),
-    )
+    if early_exit and eos_ids is not None:
+        buf0 = jnp.zeros((K, s), jnp.int32)
+        done0 = ~active  # inactive slots never gate the exit
+
+        def cond(state):
+            i, _toks, _kr, _vr, _buf, done = state
+            return (i < K) & ~jnp.all(done)
+
+        def body(state):
+            i, toks, kr, vr, buf, done = state
+            (nxt, kr, vr), _ = step((toks, kr, vr), i)
+            buf = buf.at[i].set(nxt)
+            done = done | (nxt[:, None] == eos_ids[None, :]).any(axis=-1)
+            return (i + 1, nxt, kr, vr, buf, done)
+
+        _, _, k_recent, v_recent, tokens, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), token_ids, k_recent0, v_recent0, buf0, done0),
+        )
+    else:
+        (_, k_recent, v_recent), tokens = jax.lax.scan(
+            step, (token_ids, k_recent0, v_recent0),
+            jnp.arange(K, dtype=jnp.int32),
+        )
 
     # one scatter writes the whole burst's K/V into the pages
     tok_pos = positions[None, :] + jnp.arange(K, dtype=jnp.int32)[:, None]
@@ -298,7 +326,7 @@ def _burst_core(
 
 decode_steps = partial(
     jax.jit,
-    static_argnames=("cfg", "num_steps", "use_pallas"),
+    static_argnames=("cfg", "num_steps", "use_pallas", "early_exit"),
     donate_argnames=("k_cache", "v_cache"),
 )(_burst_core)
 
