@@ -200,8 +200,7 @@ class LLM:
             # weight-only int8: halves decode's HBM weight reads (the
             # measured bottleneck, BENCH_NOTES). Opt-in — quantization
             # perturbs logits, so CER impact must be validated per model.
-            if mesh is not None:
-                raise ValueError("quantize=int8 with mesh not supported yet")
+            # Composes with mesh: shard_params places quantized leaves.
             params = qwen3_mod.quantize_params_int8(params)
         elif quantize:
             raise ValueError(f"unknown quantize mode {quantize!r}")

@@ -87,8 +87,23 @@ def adaptor_param_sharding(mesh: Mesh) -> Dict:
 def shard_params(mesh: Mesh, params: Dict, specs: Dict) -> Dict:
     """Place a param tree on the mesh according to a parallel spec tree
     (recursive zip — PartitionSpec is a tuple subclass, so jax.tree.map
-    would wrongly traverse it)."""
+    would wrongly traverse it).
+
+    int8 weight-only quantized leaves ({"q", "scale"}, models/qwen3.py)
+    take the weight's spec on `q`; the per-channel `scale` inherits only
+    the axes whose sizes match (broadcast size-1 dims stay replicated)."""
     if isinstance(params, dict):
+        if set(params) == {"q", "scale"} and not isinstance(specs, dict):
+            q, scale = params["q"], params["scale"]
+            full = tuple(specs) + (None,) * (q.ndim - len(tuple(specs)))
+            sspec = P(*[
+                ax if scale.shape[i] == q.shape[i] else None
+                for i, ax in enumerate(full[: scale.ndim])
+            ])
+            return {
+                "q": jax.device_put(q, NamedSharding(mesh, P(*full))),
+                "scale": jax.device_put(scale, NamedSharding(mesh, sspec)),
+            }
         return {k: shard_params(mesh, v, specs[k]) for k, v in params.items()}
     return jax.device_put(params, NamedSharding(mesh, specs))
 

@@ -143,3 +143,27 @@ class TestMeshEngine:
         want = run(None)
         got = run(make_mesh(dp=4, tp=2))
         assert got == want
+
+    def test_int8_quantized_engine_on_mesh(self):
+        """Weight-only int8 composes with tensor parallelism: quantized
+        leaves shard (q gets the weight spec, per-channel scales stay
+        replicated on broadcast dims) and generation runs."""
+        from fun_asr_vllm_tpu.engine import LLM, SamplingParams
+        from fun_asr_vllm_tpu.parallel.mesh import make_mesh
+
+        cfg, params = self._cfg_params()
+        sp = SamplingParams(temperature=0.0, max_tokens=5)
+        rng = np.random.default_rng(13)
+        e = rng.normal(scale=0.3, size=(7, 64)).astype(np.float32)
+
+        llm0 = LLM(params=params, config=cfg, dtype="float32",
+                   max_num_seqs=2, block_size=4, use_pallas=False,
+                   quantize="int8")
+        want = llm0.generate([{"prompt_embeds": e}], sp)[0].outputs[0].token_ids
+
+        mesh = make_mesh(dp=4, tp=2)
+        llm1 = LLM(params=params, config=cfg, dtype="float32",
+                   max_num_seqs=2, block_size=4, use_pallas=False,
+                   quantize="int8", mesh=mesh)
+        got = llm1.generate([{"prompt_embeds": e}], sp)[0].outputs[0].token_ids
+        assert got == want
