@@ -593,3 +593,36 @@ class TestQuantizedFusedPath:
             prefix, suffix, SamplingParams(temperature=0.0, max_tokens=4),
         )
         assert len(outs[0].outputs[0].token_ids) > 0
+
+
+class TestRandomizedSchedules:
+    def test_fuzzed_request_mixes_match_reference(self, setup):
+        """Property test: random request mixes (lengths, token budgets,
+        arrival counts) through the continuous-batching scheduler must be
+        token-exact vs the full-recompute reference — covers slot refill,
+        block alloc/free, bucket selection, and early-exit interplay."""
+        import random
+
+        params, cfg = setup
+        llm = make_llm(params, cfg, max_num_seqs=2, num_blocks=120,
+                       decode_burst_size=3)
+        rng = random.Random(0)
+        for trial in range(4):
+            n = rng.randint(1, 6)
+            lens = [rng.randint(3, 20) for _ in range(n)]
+            max_toks = [rng.randint(1, 9) for _ in range(n)]
+            embeds = [rand_embeds(1000 + trial * 10 + i, t, cfg.hidden_size)
+                      for i, t in enumerate(lens)]
+            outs = llm.generate(
+                [{"prompt_embeds": e} for e in embeds],
+                [SamplingParams(temperature=0.0, max_tokens=m)
+                 for m in max_toks],
+            )
+            for e, m, o in zip(embeds, max_toks, outs):
+                want = ref_decode(params, cfg, e, m)
+                got = o.outputs[0].token_ids
+                assert got == want[: len(got)] and len(got) <= m, (
+                    trial, e.shape, m, got, want
+                )
+            # pool fully reclaimed after every wave
+            assert len(llm._free_blocks) == llm.cache_cfg.num_blocks - 1
