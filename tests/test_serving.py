@@ -185,6 +185,11 @@ class TestOnlineChunkedPrefill:
         final = asyncio.run(client.transcribe(wav_path))
         assert isinstance(final, str)
         # the cached-prompt session must have released all its blocks
+        # (the release runs in the handler's finally on connection close —
+        # poll briefly rather than racing it)
         llm = server.async_llm.llm
-        time.sleep(0.5)
+        for _ in range(50):
+            if len(llm._free_blocks) == llm.cache_cfg.num_blocks - 1:
+                break
+            time.sleep(0.1)
         assert len(llm._free_blocks) == llm.cache_cfg.num_blocks - 1
