@@ -626,3 +626,42 @@ class TestRandomizedSchedules:
                 )
             # pool fully reclaimed after every wave
             assert len(llm._free_blocks) == llm.cache_cfg.num_blocks - 1
+
+
+class TestAsyncSoak:
+    def test_many_threads_many_submits(self, setup):
+        """Soak: concurrent submitters from several threads; every result
+        token-exact, no stuck futures, pool fully reclaimed."""
+        import threading
+
+        from fun_asr_vllm_tpu.engine import AsyncLLM
+
+        params, cfg = setup
+        llm = make_llm(params, cfg, max_num_seqs=3, num_blocks=200,
+                       decode_burst_size=2)
+        async_llm = AsyncLLM(llm, SamplingParams(temperature=0.0, max_tokens=4))
+        results = {}
+        errors = []
+
+        def worker(tid):
+            try:
+                for i in range(5):
+                    e = rand_embeds(2000 + tid * 100 + i, 4 + (i % 5),
+                                    cfg.hidden_size)
+                    req = async_llm.submit(e).result(timeout=300)
+                    results[(tid, i)] = (e, req.out_ids)
+            except Exception as ex:
+                errors.append(ex)
+
+        threads = [threading.Thread(target=worker, args=(t,))
+                   for t in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+        assert len(results) == 20
+        for (tid, i), (e, out) in results.items():
+            assert out == ref_decode(params, cfg, e, 4), (tid, i)
+        async_llm.shutdown()
+        assert len(llm._free_blocks) == llm.cache_cfg.num_blocks - 1
