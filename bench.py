@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax.profiler trace of the timed epoch")
     ap.add_argument("--no_prefetch", action="store_true")
+    ap.add_argument("--sort_by_duration", action="store_true",
+                    help="length-sort utterances before batching (tighter "
+                         "padding buckets per wave; a scheduling freedom "
+                         "vLLM also has)")
     ap.add_argument("--quantize", type=str, default=None,
                     choices=(None, "int8"),
                     help="weight-only int8 for the decoder (opt-in; "
@@ -132,6 +136,8 @@ def main():
     # 4 s length buckets bound the number of compiled encoder shapes
     frontend = WavFrontend(dither=0.0, bucket_seconds=4.0)
     utts = synth_utterances(args.seconds)
+    if args.sort_by_duration:
+        utts = sorted(utts, key=len)
     audio_seconds = sum(len(u) for u in utts) / 16000.0
     print(f"# {len(utts)} utts, {audio_seconds:.1f} s audio", file=sys.stderr)
 
