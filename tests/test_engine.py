@@ -665,3 +665,46 @@ class TestAsyncSoak:
             assert out == ref_decode(params, cfg, e, 4), (tid, i)
         async_llm.shutdown()
         assert len(llm._free_blocks) == llm.cache_cfg.num_blocks - 1
+
+
+class TestUploadFormats:
+    def test_packed_uint32_matches_f32(self, setup):
+        """The lossless packed-int16-pair upload path must produce the
+        same tokens as the f32 path through the fused program."""
+        import jax.numpy as jnp
+
+        from fun_asr_vllm_tpu.audio.frontend import WavFrontend
+        from fun_asr_vllm_tpu.models import adaptor as adaptor_mod
+        from fun_asr_vllm_tpu.models import encoder as encoder_mod
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        enc_cfg = encoder_mod.SANMEncoderConfig(
+            input_size=80, output_size=32, attention_heads=4,
+            linear_units=64, num_blocks=2, dtype=jnp.float32,
+        )
+        ad_cfg = adaptor_mod.NanoAdaptorConfig(
+            encoder_dim=32, llm_dim=h, ffn_dim=64, dtype=jnp.float32
+        )
+        key = jax.random.PRNGKey(3)
+        enc_params = encoder_mod.init_params(enc_cfg, key)
+        ad_params = adaptor_mod.init_params(ad_cfg, key)
+        fe = WavFrontend(dither=0.0)
+        rng = np.random.default_rng(0)
+        # int16-exact samples so f32 and packed agree bit-for-bit
+        wavs = [(rng.integers(-3000, 3000, size=n).astype(np.float32)
+                 / 32768.0) for n in (16000, 12000)]
+        prefix = jnp.asarray(rng.normal(scale=0.3, size=(3, h)), jnp.float32)
+        suffix = jnp.asarray(rng.normal(scale=0.3, size=(2, h)), jnp.float32)
+        sp = SamplingParams(temperature=0.0, max_tokens=5)
+
+        def run(batchify):
+            pcm, frames = batchify(wavs)
+            llm = make_llm(params, cfg, max_num_seqs=2)
+            outs = llm.generate_fused(
+                pcm, frames, enc_params, enc_cfg, ad_params, ad_cfg, fe,
+                prefix, suffix, sp,
+            )
+            return [o.outputs[0].token_ids for o in outs]
+
+        assert run(fe.batchify_packed) == run(fe.batchify)
