@@ -375,10 +375,16 @@ class FunASRNano:
         embeds = np.array(self.embed_ids(np.maximum(ids, 0)))  # [T, H] f32
 
         if output["speech"] is not None:
-            enc_out, enc_lens = self.audio_encoder(
-                output["speech"], output["speech_lengths"]
-            )
-            audio, audio_lens = self.audio_adaptor(enc_out, enc_lens)
+            if ("audio_embedding" in kwargs
+                    and "audio_embedding_lens" in kwargs):
+                # precomputed adaptor output (reference model.py:477-480)
+                audio = kwargs["audio_embedding"]
+                audio_lens = kwargs["audio_embedding_lens"]
+            else:
+                enc_out, enc_lens = self.audio_encoder(
+                    output["speech"], output["speech_lengths"]
+                )
+                audio, audio_lens = self.audio_adaptor(enc_out, enc_lens)
             audio_np = np.asarray(audio, np.float32)
             lens_np = np.asarray(audio_lens)
             speech_idx = 0

@@ -174,3 +174,59 @@ class TestMultiturn:
         # the reference's typo'd kwarg must work too (model.py:641)
         results2, _ = m.inference(data_in=[msgs], teachforing=True)
         assert results2[0]["loss"] == pytest.approx(r["loss"], rel=1e-5)
+
+
+class TestMultiturnVariants:
+    def test_do_think_false_appends_think_block(self, model_dir, wav_path):
+        m, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+        msgs = [{"role": "system", "content": "s"},
+                {"role": "user",
+                 "content": f"转写：<|startofspeech|>!{wav_path}"
+                            f"<|endofspeech|>"},
+                {"role": "assistant", "content": "null"}]
+        out_think = m.data_load_speech(m.data_template(msgs), do_think=True)
+        out_nothink = m.data_load_speech(m.data_template(msgs), do_think=False)
+        # "<think>\n\n</think>\n\n" adds tokens to the source
+        assert len(out_nothink["source_ids"]) > len(out_think["source_ids"])
+
+    def test_assistant_input_variant_omits_assistant_tag(self, model_dir,
+                                                         wav_path):
+        m, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+        msgs = [{"role": "system", "content": "s"},
+                {"role": "user",
+                 "content": f"转写：<|startofspeech|>!{wav_path}"
+                            f"<|endofspeech|>"},
+                {"role": "assistant", "content": "null"}]
+        a = m.data_load_speech(m.data_template(msgs))
+        b = m.data_load_speech(m.data_template(msgs),
+                               infer_with_assistant_input=True)
+        # the assistant-input variant drops the <|im_end|>/assistant tail
+        assert len(b["source_ids"]) < len(a["source_ids"])
+
+    def test_precomputed_audio_embedding_kwargs(self, model_dir, wav_path):
+        """reference model.py:477-480: audio_embedding(+lens) kwargs skip
+        the encoder/adaptor and splice the given embeddings."""
+        import jax.numpy as jnp
+
+        m, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+        msgs = [{"role": "system", "content": "s"},
+                {"role": "user",
+                 "content": f"转写：<|startofspeech|>!{wav_path}"
+                            f"<|endofspeech|>"},
+                {"role": "assistant", "content": "null"}]
+        # reference embeddings from the real chain
+        out = m.data_load_speech(m.data_template(msgs))
+        enc, enc_lens = m.audio_encoder(out["speech"], out["speech_lengths"])
+        audio, audio_lens = m.audio_adaptor(enc, enc_lens)
+
+        e_ref, *_ = m.inference_prepare([msgs])
+        e_pre, *_ = m.inference_prepare(
+            [msgs], audio_embedding=audio, audio_embedding_lens=audio_lens
+        )
+        np.testing.assert_allclose(e_pre, e_ref, atol=1e-6)
+        # a DIFFERENT embedding changes the splice
+        e_other, *_ = m.inference_prepare(
+            [msgs], audio_embedding=audio * 2.0,
+            audio_embedding_lens=audio_lens,
+        )
+        assert not np.allclose(e_other, e_ref)
