@@ -41,7 +41,6 @@ def _flash_kernel(
     block_k: int,
     num_q_heads: int,
     causal: bool,
-    scale: float,
 ):
     bn = pl.program_id(0)
     qi = pl.program_id(1)
@@ -58,32 +57,45 @@ def _flash_kernel(
 
     q_start = qi * block_q
     k_start = kj * block_k
-    # skip fully-masked blocks: beyond kv_len, or strictly future (causal)
-    in_range = k_start < kv_len
+    # skip fully-masked blocks: beyond kv_len, strictly future (causal), or
+    # padding query rows. Both call sites (encoder self-attention, LLM
+    # prefill) have query position == kv position, so q rows at/after
+    # kv_len are padding — skipping them is the big ragged-batch win
+    # (~half the tile area at the SPEECHIO duration mix); their outputs
+    # finalize to zeros.
+    in_range = jnp.logical_and(k_start < kv_len, q_start < kv_len)
     if causal:
         in_range = jnp.logical_and(in_range, k_start <= q_start + block_q - 1)
 
     @pl.when(in_range)
     def _process():
         # keep the MXU inputs in the stored dtype (bf16 runs 8× f32 rate);
-        # accumulate f32 and apply the scale post-matmul for accuracy
+        # accumulate f32. The softmax scale is pre-folded into q by the
+        # wrapper, saving a [BQ,BK] multiply per tile on the VPU.
         q = q_ref[0]  # [BQ, D]
         k = k_ref[0]  # [BK, D]
         v = v_ref[0]
         scores = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # [BQ, BK] f32
-        kpos = k_start + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
-        )
-        mask = kpos < kv_len
+        )  # [BQ, BK] f32
         if causal:
+            kpos = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
             qpos = q_start + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
-            mask = jnp.logical_and(mask, kpos <= qpos)
-        scores = jnp.where(mask, scores, _NEG_INF)
+            mask = jnp.logical_and(kpos < kv_len, kpos <= qpos)
+            scores = jnp.where(mask, scores, _NEG_INF)
+        else:
+            # kv-length masking depends only on the column: one broadcast
+            # add of a [1, BK] bias row beats a [BQ, BK] compare+select
+            kpos_row = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1
+            )
+            bias = jnp.where(kpos_row < kv_len, 0.0, _NEG_INF)
+            scores = scores + bias
 
         m_prev = m_ref[:, :1]
         l_prev = l_ref[:, :1]
@@ -145,6 +157,9 @@ def flash_attention(
     # pad T/S to block multiples
     t_pad = -(-t // block_q) * block_q
     s_pad = -(-s // block_k) * block_k
+    # fold the softmax scale into q once ([B,T,N,D] elementwise) instead
+    # of scaling every [BQ,BK] score tile inside the kernel
+    q = q * jnp.asarray(d ** -0.5, q.dtype)
     qh = jnp.moveaxis(q, 2, 1).reshape(b * nq, t, d)
     kh = jnp.moveaxis(k, 2, 1).reshape(b * nkv, s, d)
     vh = jnp.moveaxis(v, 2, 1).reshape(b * nkv, s, d)
@@ -181,7 +196,7 @@ def flash_attention(
     )
     kernel = functools.partial(
         _flash_kernel, block_q=block_q, block_k=block_k, num_q_heads=nq,
-        causal=causal, scale=d ** -0.5,
+        causal=causal,
     )
     out = pl.pallas_call(
         kernel,
