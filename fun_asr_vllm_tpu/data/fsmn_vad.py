@@ -286,6 +286,85 @@ class FSMNVad:
         ]
 
 
+#: FireRedVadConfig field defaults the reference passes
+#: (simple_audio_processor.py:175-186); frame-count fields are 10 ms
+#: frames. Mapped onto FSMNVadConfig's ms fields by `firered_config`.
+FIRERED_VAD_DEFAULTS = dict(
+    smooth_window_size=5,
+    speech_threshold=0.4,
+    min_speech_frame=20,
+    max_speech_frame=2000,
+    min_silence_frame=20,
+    merge_silence_frame=0,
+    extend_speech_frame=0,
+    chunk_max_frame=30000,
+)
+
+
+def firered_config(**overrides) -> FSMNVadConfig:
+    """FSMNVadConfig carrying the reference's FireRedVadConfig decision
+    parameters (simple_audio_processor.py:175-186), frame counts
+    converted to ms at the 10 ms frame rate."""
+    c = dict(FIRERED_VAD_DEFAULTS, **overrides)
+    return FSMNVadConfig(
+        speech_threshold=c["speech_threshold"],
+        smooth_window_size=c["smooth_window_size"],
+        min_speech_ms=c["min_speech_frame"] * 10,
+        max_single_segment_ms=c["max_speech_frame"] * 10,
+        max_end_silence_ms=c["min_silence_frame"] * 10,
+        pad_ms=c["extend_speech_frame"] * 10,
+    )
+
+
+class VADModelWrapper:
+    """Reference VADModelWrapper parity (simple_audio_processor.py:158-257):
+    route by model name — "fireredvad" prefers the external FireRedASR2S
+    library exactly as the reference does (and raises ImportError when it
+    is missing, same as reference :171-172, unless `fallback=True` routes
+    to the in-repo FSMN graph with FireRed decision params); anything
+    else is fsmn-vad (our JAX graph, weights-pluggable)."""
+
+    def __init__(self, model_name: str = "fsmn-vad",
+                 model_dir: Optional[str] = None, fallback: bool = False,
+                 fs: int = 16000):
+        self.model_name = model_name
+        if model_name.lower() == "fireredvad":
+            try:
+                from fireredasr2s.fireredvad import (  # external, optional
+                    FireRedVad, FireRedVadConfig,
+                )
+                self.model = FireRedVad.from_pretrained(
+                    model_dir or
+                    "FireRedASR2S/pretrained_models/FireRedVAD/VAD",
+                    FireRedVadConfig(use_gpu=False, **FIRERED_VAD_DEFAULTS),
+                )
+                self.model_type = "fireredvad"
+                return
+            except ImportError:
+                if not fallback:
+                    raise ImportError(
+                        "FireRedVad unavailable: install FireRedASR2S, or "
+                        "pass fallback=True to use the in-repo FSMN-VAD "
+                        "with FireRedVadConfig decision parameters"
+                    )
+                self.model = FSMNVad(model_dir=model_dir,
+                                     config=firered_config(), fs=fs)
+                self.model_type = "fsmnvad"
+                return
+        self.model = make_vad(model_dir, fs=fs)
+        self.model_type = "fsmnvad"
+
+    def detect_segments(self, wav: np.ndarray) -> List[Dict]:
+        if self.model_type == "fireredvad":
+            result, _probs = self.model.detect(wav)
+            return [
+                {"segment_id": i, "start_time": s * 1000,
+                 "end_time": e * 1000, "duration": (e - s) * 1000}
+                for i, (s, e) in enumerate(result.get("timestamps", []))
+            ]
+        return self.model.detect_segments(wav)
+
+
 def make_vad(model_dir: Optional[str] = None, model_name: str = "auto",
              **kw):
     """VAD factory: FSMN weights when a model dir exists, energy VAD

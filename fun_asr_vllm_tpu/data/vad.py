@@ -102,3 +102,12 @@ class EnergyVAD:
             wav[s * cfg.fs // 1000 : e * cfg.fs // 1000]
             for s, e in self.segments(wav)
         ]
+
+    def detect_segments(self, wav: np.ndarray) -> List[dict]:
+        """Reference VADModelWrapper.detect_segments dict shape
+        (simple_audio_processor.py:240-257)."""
+        return [
+            {"segment_id": i, "start_time": s, "end_time": e,
+             "duration": e - s}
+            for i, (s, e) in enumerate(self.segments(wav))
+        ]

@@ -176,3 +176,40 @@ class TestSegmentContract:
 
         assert isinstance(make_vad(None), EnergyVAD)
         assert isinstance(make_vad(str(tmp_path / "nope")), EnergyVAD)
+
+class TestVADModelWrapper:
+    """Reference VADModelWrapper parity (simple_audio_processor.py:158-257)."""
+
+    def test_fireredvad_without_lib_raises(self):
+        from fun_asr_vllm_tpu.data.fsmn_vad import VADModelWrapper
+
+        with pytest.raises(ImportError):
+            VADModelWrapper("fireredvad")
+
+    def test_fireredvad_fallback_uses_firered_params(self):
+        from fun_asr_vllm_tpu.data.fsmn_vad import FSMNVad, VADModelWrapper
+
+        w = VADModelWrapper("fireredvad", fallback=True)
+        assert w.model_type == "fsmnvad"
+        assert isinstance(w.model, FSMNVad)
+        # FireRedVadConfig defaults mapped frames→ms (reference :175-186)
+        assert w.model.cfg.speech_threshold == 0.4
+        assert w.model.cfg.smooth_window_size == 5
+        assert w.model.cfg.max_single_segment_ms == 20000
+
+    def test_default_routes_to_energy_vad(self):
+        from fun_asr_vllm_tpu.data.fsmn_vad import VADModelWrapper
+        from fun_asr_vllm_tpu.data.vad import EnergyVAD
+
+        w = VADModelWrapper("fsmn-vad")
+        assert isinstance(w.model, EnergyVAD)
+        wav = np.zeros(16000, np.float32)
+        out = w.detect_segments(wav)
+        assert isinstance(out, list)
+
+    def test_firered_config_mapping(self):
+        from fun_asr_vllm_tpu.data.fsmn_vad import firered_config
+
+        cfg = firered_config(min_speech_frame=30, speech_threshold=0.6)
+        assert cfg.min_speech_ms == 300
+        assert cfg.speech_threshold == 0.6
