@@ -154,7 +154,7 @@ def main():
 
     from concurrent.futures import ThreadPoolExecutor
 
-    uploader = ThreadPoolExecutor(max_workers=1)
+    uploader = ThreadPoolExecutor(max_workers=2)
 
     def _force_upload(pcm):
         # on this transport device_put is LAZY: the RPC transfer defers
@@ -173,6 +173,9 @@ def main():
         while the current batch computes (the torch-DataLoader-prefetch
         analogue)."""
         hyp_count = 0
+        tm = run_epoch.timings = {"batchify": 0.0, "upload_wait": 0.0,
+                                  "generate": 0.0, "normalize": 0.0}
+        t_b = time.time()
         batches = []
         for i in range(0, len(utt_list), args.batch_size):
             batch = utt_list[i : i + args.batch_size]
@@ -184,18 +187,28 @@ def main():
             pcm, frames = batchify(batch)
             mean_dur = np.mean([len(b) for b in batch]) / 16000.0
             batches.append((pcm, frames, mean_dur))
-        fut = (None if args.no_prefetch
-               else uploader.submit(_force_upload, batches[0][0]))
+        tm["batchify"] += time.time() - t_b
+        # submit EVERY wave's upload immediately (workload HBM cost is
+        # tiny — ~15 MB/wave): a one-ahead prefetch measured 0.8 s of
+        # upload_wait per epoch because a single upload takes longer
+        # than one wave's compute; queued upfront, transfers stream
+        # while the early waves compute (reference analogue: DataLoader
+        # prefetch_factor×workers batches in flight + async H2D)
+        futs = (None if args.no_prefetch
+                else [uploader.submit(_force_upload, b[0]) for b in batches])
         for i, (pcm, frames, mean_dur) in enumerate(batches):
-            cur = pcm if args.no_prefetch else fut.result()
-            if not args.no_prefetch and i + 1 < len(batches):
-                fut = uploader.submit(_force_upload, batches[i + 1][0])
+            t_s = time.time()
+            cur = pcm if args.no_prefetch else futs[i].result()
+            tm["upload_wait"] += time.time() - t_s
             max_toks = max(4, int(mean_dur * args.tokens_per_audio_sec))
             sp = SamplingParams(top_p=0.001, max_tokens=max_toks)
+            t_s = time.time()
             outs = llm.generate_fused(
                 cur, frames, enc_params, enc_cfg, ad_params, ad_cfg,
                 frontend, prefix_dev, suffix_dev, sp,
             )
+            tm["generate"] += time.time() - t_s
+            t_s = time.time()
             for o in outs:
                 # reference normalizes every hyp inside the timed loop
                 # (infer.py:493-496); token ids → pseudo-text stand-in
@@ -204,6 +217,7 @@ def main():
                     language="zh",
                 )
                 hyp_count += 1
+            tm["normalize"] += time.time() - t_s
         return hyp_count
 
     # warmup: run the exact timed workload twice — the first pass
@@ -229,6 +243,9 @@ def main():
         f"# decode {n} utts in {dt:.2f}s, engine stats {llm.stats}",
         file=sys.stderr,
     )
+    print(f"# epoch timings "
+          f"{ {k: round(v, 3) for k, v in run_epoch.timings.items()} }",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "RTFx_batch16_speechio_protocol",
         "value": round(rtfx, 2),

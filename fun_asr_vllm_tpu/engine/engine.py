@@ -174,11 +174,18 @@ class LLM:
         use_pallas_burst: bool = False,
         early_exit_bursts: bool = True,
         decode_burst_size: int = 8,
+        single_shot_burst_cap: int = 32,
         pipeline_depth: int = 1,
         quantize: Optional[str] = None,
         **_ignored,
     ) -> None:
         self.decode_burst_size = max(1, decode_burst_size)
+        # the fused single-shot program sizes its in-graph burst to cover
+        # sampling_params.max_tokens (snapped to 8 to bound compile
+        # variants) up to this cap: one wave = one dispatch + one fetch.
+        # Beyond the cap, continuation bursts take over.
+        self.single_shot_burst_cap = max(self.decode_burst_size,
+                                         single_shot_burst_cap)
         # pipeline_depth=2 provisions slot/block pools for two waves so
         # generate_fused can dispatch wave i+1 before fetching wave i's
         # tokens (hides the host round trip + postproc behind device
@@ -283,7 +290,8 @@ class LLM:
         self._active = np.zeros((s,), dtype=bool)
         self._rng = jax.random.PRNGKey(0)
         self._next_rid = 0
-        self.stats = {"prefill_tokens": 0, "decode_tokens": 0, "steps": 0}
+        self.stats = {"prefill_tokens": 0, "decode_tokens": 0, "steps": 0,
+                      "t_dispatch": 0.0, "t_fetch": 0.0}
 
     def reset_stats(self) -> None:
         for k in self.stats:
@@ -466,6 +474,7 @@ class LLM:
         """k fused greedy steps in one dispatch (kv_cache.decode_steps)."""
         snapshot = list(self._slots)
         mbu = self._burst_table_width(k)
+        t0 = time.perf_counter()
         tokens, self.k_cache, self.v_cache = decode_steps(
             self.params, self.cfg, self.k_cache, self.v_cache,
             jnp.asarray(self._last_tokens), jnp.asarray(self._positions),
@@ -476,7 +485,10 @@ class LLM:
             eos_ids=self._eos_arr if self.early_exit_bursts else None,
             early_exit=self.early_exit_bursts,
         )
+        t1 = time.perf_counter()
+        self.stats["t_dispatch"] += t1 - t0
         tokens = np.asarray(tokens)  # [k, S]
+        self.stats["t_fetch"] += time.perf_counter() - t1
         self.stats["steps"] += k
         for step in range(k):
             for slot, req in enumerate(snapshot):
@@ -684,11 +696,17 @@ class LLM:
         self._cur_sampling = sp
         p, q = prefix_embeds.shape[0], suffix_embeds.shape[0]
         b = speech.shape[0]
-        # size the in-program burst to the token budget (snapped to 8s to
-        # bound recompiles and keep sublane-friendly ring shapes) — a
-        # fixed burst wastes steps past max_tokens
-        k = min(self.decode_burst_size,
-                max(8, -(-min(sp.max_tokens, self.decode_burst_size) // 8) * 8))
+        # size the in-program burst to COVER the token budget (snapped to
+        # 8 to bound recompiles and keep sublane-friendly ring shapes),
+        # capped at single_shot_burst_cap: a burst that falls short of
+        # max_tokens forces a full continuation burst + an extra host
+        # round trip for a handful of tokens (measured: 16-step burst +
+        # RTT to produce 2-3 remaining tokens). Early-exit bursts make
+        # the overshoot cheap with real weights.
+        # the prefill emits the first token, so the burst needs
+        # max_tokens - 1 further steps
+        k = max(8, -(-min(sp.max_tokens - 1, self.single_shot_burst_cap)
+                     // 8) * 8)
         single_shot = sp.is_greedy
         all_reqs: List[_Request] = []
         fe_kw = dict(
@@ -723,6 +741,7 @@ class LLM:
                 need = -(-(int(prompt_lens.max()) + k + 1) // bs_blk)
                 mbu = min(self.cache_cfg.max_blocks_per_seq,
                           -(-need // 8) * 8)
+                t0 = time.perf_counter()
                 tokens, self.k_cache, self.v_cache = fused_encode_prefill_decode(
                     enc_params, ad_params, self.params,
                     enc_cfg, ad_cfg, self.cfg,
@@ -737,6 +756,7 @@ class LLM:
                     early_exit=self.early_exit_bursts,
                     **fe_kw,
                 )
+                self.stats["t_dispatch"] += time.perf_counter() - t0
                 # the dispatch above is async — with pipeline_depth ≥ 2
                 # (disjoint slots/blocks for two waves) process the
                 # PREVIOUS wave's tokens while this one computes
@@ -774,8 +794,10 @@ class LLM:
 
     def _finish_fused_wave(self, reqs, tokens, k: int, sp) -> None:
         """Fetch a fused wave's tokens, arm its slots, run continuations."""
+        t0 = time.perf_counter()
         tokens = np.asarray(tokens)  # [K+1, B] — blocks until ready
         now = time.perf_counter()
+        self.stats["t_fetch"] += now - t0
         self.stats["steps"] += k
         for j, req in enumerate(reqs):
             slot = req.slot
@@ -813,10 +835,17 @@ class LLM:
             self._admit(waiting)
             if any(r is not None for r in self._slots):
                 if sp.is_greedy:
-                    # fixed K: every distinct burst size compiles another
-                    # full decode program (expensive on this transport);
-                    # overshoot past EOS/max wastes ≤ K-1 cheap steps
-                    k = self.decode_burst_size
+                    # burst size snapped to 8 and capped at
+                    # decode_burst_size (≤ decode_burst_size/8 compiled
+                    # variants): a continuation for 2-3 remaining tokens
+                    # shouldn't run a full fixed-K burst
+                    rem = max(
+                        (r.max_tokens - len(r.out_ids)
+                         for r in self._slots if r is not None and not r.done),
+                        default=self.decode_burst_size,
+                    )
+                    k = max(8, min(self.decode_burst_size,
+                                   -(-rem // 8) * 8))
                     self._grow_blocks_if_needed(horizon=k)
                     self._decode_burst(k)
                 else:

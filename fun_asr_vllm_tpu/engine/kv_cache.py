@@ -227,8 +227,22 @@ def _burst_core(
 
         def paged_stats(q, kc, vc, bt, lens):
             return paged_attention_pallas_stats(q, kc, vc, bt, lens)
+
+        k_gathered = v_gathered = None
     else:
-        paged_stats = _paged_attention_stats
+        paged_stats = None
+        # hoist the page gather OUT of the step loop: the paged cache is
+        # read-only inside the burst, so the gathered [L, S, W, Nkv, D]
+        # window is identical for every step. Gathering per step costs
+        # read+write+reread (3× the window bytes) per layer per step;
+        # hoisted, the copy is paid once per burst and each step streams
+        # the contiguous window (the irreducible attention read).
+        k_gathered = jax.vmap(_gather_pages, in_axes=(0, None))(
+            k_cache, block_tables
+        )
+        v_gathered = jax.vmap(_gather_pages, in_axes=(0, None))(
+            v_cache, block_tables
+        )
 
     k_recent0 = jnp.zeros((L, K, s, nkv, d), cfg.dtype)
     v_recent0 = jnp.zeros((L, K, s, nkv, d), cfg.dtype)
@@ -257,9 +271,14 @@ def _burst_core(
             vr = vr.at[lid, i].set(v.astype(vr.dtype))
 
             # segment 1: the immutable paged cache (reads only)
-            att1, m1, l1 = paged_stats(
-                q, k_cache[lid], v_cache[lid], block_tables, cached_lens,
-            )
+            if use_pallas:
+                att1, m1, l1 = paged_stats(
+                    q, k_cache[lid], v_cache[lid], block_tables, cached_lens,
+                )
+            else:
+                att1, m1, l1 = _window_attention_stats(
+                    q, k_gathered[lid], v_gathered[lid], cached_lens,
+                )
             # segment 2: this burst's tokens 0..i
             att2, m2, l2 = _recent_attention_stats(
                 q, kr[lid], vr[lid], i, nq, nkv, d, K
@@ -340,9 +359,19 @@ def _paged_attention_stats(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Unnormalized paged attention → (acc [S,Nq,D] f32, max [S,Nq,1],
     denom [S,Nq,1]) for softmax-segment merging."""
-    s, nq, d = q.shape
     k = _gather_pages(k_cache_l, block_tables)
     v = _gather_pages(v_cache_l, block_tables)
+    return _window_attention_stats(q, k, v, kv_lens)
+
+
+def _window_attention_stats(
+    q: jax.Array,        # [S, Nq, D]
+    k: jax.Array,        # [S, T, Nkv, D] contiguous (pre-gathered) window
+    v: jax.Array,
+    kv_lens: jax.Array,  # [S] valid cached length
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Attention stats over a materialized per-seq KV window."""
+    s, nq, d = q.shape
     t = k.shape[1]
     nkv = k.shape[2]
     n_rep = nq // nkv

@@ -84,22 +84,22 @@ def main():
     feats = fbank_jax(speech)
 
     @jax.jit
-    def s_enc(f, fr):
-        out, _ = encoder_mod.encode(enc_params, enc_cfg, f, fr)
+    def s_enc(p, f, fr):
+        out, _ = encoder_mod.encode(p, enc_cfg, f, fr)
         return out.astype(jnp.float32).sum()
 
-    dt = timeit(lambda: s_enc(feats, frames))
+    dt = timeit(lambda: s_enc(enc_params, feats, frames))
     print(f"encoder 50L [{b},{t},80]     : {dt*1e3:8.2f} ms")
 
     # --- stage 3: adaptor
     enc_out, enc_lens = encoder_mod.encode(enc_params, enc_cfg, feats, frames)
 
     @jax.jit
-    def s_ad(e, el):
-        a, al = adaptor_mod.forward(ad_params, ad_cfg, e, el)
+    def s_ad(p, e, el):
+        a, al = adaptor_mod.forward(p, ad_cfg, e, el)
         return a.astype(jnp.float32).sum()
 
-    dt = timeit(lambda: s_ad(enc_out, enc_lens))
+    dt = timeit(lambda: s_ad(ad_params, enc_out, enc_lens))
     print(f"adaptor                      : {dt*1e3:8.2f} ms")
 
     # --- stage 4: prompt assembly + prefill
@@ -120,15 +120,16 @@ def main():
     prompt_lengths = jnp.minimum(12 + audio_lens + 5, t_bucket)
 
     @jax.jit
-    def s_prefill(a, al, pl_, kc, vc):
+    def s_prefill(lp, a, al, pl_, kc, vc, bt):
         embeds, _ = build_prompt_embeds_device(
             prefix, suffix, a, al, t_bucket=t_bucket)
         (lg, fi), kc, vc = _prefill_core(
-            llm_params, llm_cfg, kc, vc, embeds, pl_, block_tables)
+            lp, llm_cfg, kc, vc, embeds, pl_, bt)
         return fi.sum() + lg.astype(jnp.float32).sum()
 
-    dt = timeit(lambda: s_prefill(audio, audio_lens, prompt_lengths,
-                                  k_cache, v_cache))
+    dt = timeit(lambda: s_prefill(llm_params, audio, audio_lens,
+                                  prompt_lengths, k_cache, v_cache,
+                                  block_tables))
     tb = t_bucket
     print(f"assembly+prefill [B,{tb},{h}]: {dt*1e3:8.2f} ms")
 
@@ -141,13 +142,14 @@ def main():
     active = jnp.ones((b,), bool)
 
     @jax.jit
-    def s_burst(fi, kc, vc):
+    def s_burst(lp, fi, pl_, bt, kc, vc):
         toks, kc, vc = _burst_core(
-            llm_params, llm_cfg, kc, vc, fi, prompt_lengths, block_tables,
-            prompt_lengths + 1, active, num_steps=args.num_steps)
+            lp, llm_cfg, kc, vc, fi, pl_, bt,
+            pl_ + 1, active, num_steps=args.num_steps)
         return toks.sum()
 
-    dt = timeit(lambda: s_burst(first_ids, k_cache, v_cache))
+    dt = timeit(lambda: s_burst(llm_params, first_ids, prompt_lengths,
+                                block_tables, k_cache, v_cache))
     print(f"decode burst x{args.num_steps}            : {dt*1e3:8.2f} ms "
           f"({dt/args.num_steps*1e3:.2f} ms/step)")
 
