@@ -126,6 +126,13 @@ class WavFrontend:
         self._cmvn_dev = None
         self._frame_len_samp = int(fs * frame_length / 1000)
         self._frame_shift_samp = int(fs * frame_shift / 1000)
+        # padding is bucketed in FRAMES, snapped so the post-LFR encoder
+        # time dim is a multiple of 16 (bf16 sublane) — this keeps the
+        # flash-attention column-block fast path on (no pad/transpose ops
+        # per encoder layer; see ops/flash_attention.py)
+        unit = 16 * max(self.lfr_n, 1)
+        fb = int(round(bucket_seconds * 1000.0 / frame_shift))
+        self.frame_bucket = max(unit, (fb // unit) * unit)
 
     def cmvn_dev(self):
         """CMVN (add, scale) as device arrays, uploaded once, or None."""
@@ -143,6 +150,14 @@ class WavFrontend:
     def frame_count(self, n_samples: int) -> int:
         return num_frames(n_samples, self._frame_len_samp, self._frame_shift_samp)
 
+    def padded_samples(self, max_len: int) -> int:
+        """Frame-bucketed padded sample count covering `max_len` samples
+        (lands exactly on a `frame_bucket`-frames boundary)."""
+        fl, fs_ = self._frame_len_samp, self._frame_shift_samp
+        needed = max(1, -(-(max_len - fl) // fs_) + 1)
+        frames_b = -(-needed // self.frame_bucket) * self.frame_bucket
+        return (frames_b - 1) * fs_ + fl
+
     def lfr_frame_count(self, n_samples: int) -> int:
         t = self.frame_count(n_samples)
         return int(math.ceil(t / self.lfr_n)) if t else 0
@@ -150,19 +165,17 @@ class WavFrontend:
     def batchify(
         self, wavs: Sequence[np.ndarray]
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Pad to a bucketed length and scale to int16 range →
-        ([B, N_pad] float32, frame_counts [B])."""
+        """Pad to a frame-bucketed length and scale to int16 range →
+        ([B, N_pad] float32, frame_counts [B]). The padded sample count
+        lands exactly on a frame boundary of `frame_bucket` frames, so
+        the in-graph fbank produces a lane-aligned time dimension."""
         wavs = [np.asarray(w, dtype=np.float32).reshape(-1) for w in wavs]
         lens = [len(w) for w in wavs]
-        max_len = max(lens)
-        padded_len = max(
-            self._frame_len_samp,
-            ((max_len + self.bucket_samples - 1) // self.bucket_samples)
-            * self.bucket_samples,
-        )
+        padded_len = self.padded_samples(max(lens))
         batch = np.zeros((len(wavs), padded_len), dtype=np.float32)
         for i, w in enumerate(wavs):
-            batch[i, : len(w)] = w
+            n = min(len(w), padded_len)
+            batch[i, :n] = w[:n]
         batch *= _INT16_SCALE
         frame_counts = np.array([self.frame_count(n) for n in lens],
                                 dtype=np.int32)
@@ -209,7 +222,8 @@ class WavFrontend:
         )
 
         if self.lfr_m != 1 or self.lfr_n != 1:
-            feats = _lfr_jax(feats, self.lfr_m, self.lfr_n)
+            feats = _lfr_jax(feats, self.lfr_m, self.lfr_n,
+                             jnp.asarray(feat_lens))
             feat_lens = np.ceil(feat_lens / self.lfr_n).astype(np.int32)
         if self.cmvn is not None:
             add, scale = self.cmvn
@@ -245,26 +259,34 @@ def _fbank_np_int16(wav_int16_scale, fs, n_mels, frame_length_ms, frame_shift_ms
 
 
 @partial(jax.jit, static_argnames=("lfr_m", "lfr_n"))
-def _lfr_jax(feats: jax.Array, lfr_m: int, lfr_n: int) -> jax.Array:
-    """Batched LFR stacking matching fbank_ref.apply_lfr."""
+def _lfr_jax(
+    feats: jax.Array, lfr_m: int, lfr_n: int,
+    lengths: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Batched LFR stacking matching fbank_ref.apply_lfr.
+
+    LFR group i stacks source frames ``i*lfr_n - (lfr_m-1)//2 + j``
+    clipped into the valid range — funasr replicates the FIRST frame on
+    the left and the LAST VALID frame on the right. In a padded batch
+    the last valid frame differs per row, so `lengths` (pre-LFR frame
+    counts) must be given whenever rows are padded beyond their true
+    frame count; without it the batch's padded tail frames are used."""
     b, t, d = feats.shape
     t_lfr = -(-t // lfr_n)
     left_pad = (lfr_m - 1) // 2
-    need = (t_lfr - 1) * lfr_n + lfr_m
-    right_pad = max(0, need - (t + left_pad))
-    padded = jnp.concatenate(
-        [
-            jnp.repeat(feats[:, :1], left_pad, axis=1),
-            feats,
-            jnp.repeat(feats[:, -1:], right_pad, axis=1),
-        ],
-        axis=1,
-    )
     idx = (
-        jnp.arange(t_lfr, dtype=jnp.int32)[:, None] * lfr_n
+        jnp.arange(t_lfr, dtype=jnp.int32)[:, None] * lfr_n - left_pad
         + jnp.arange(lfr_m, dtype=jnp.int32)[None, :]
-    )
-    return jnp.take(padded, idx, axis=1).reshape(b, t_lfr, lfr_m * d)
+    )  # [T_lfr, M]
+    if lengths is None:
+        idx_b = jnp.clip(idx, 0, t - 1)[None]
+        idx_b = jnp.broadcast_to(idx_b, (b, t_lfr, lfr_m))
+    else:
+        hi = (jnp.maximum(lengths, 1) - 1)[:, None, None]
+        idx_b = jnp.clip(idx[None], 0, hi)
+    flat = idx_b.reshape(b, t_lfr * lfr_m)
+    out = jnp.take_along_axis(feats, flat[:, :, None], axis=1)
+    return out.reshape(b, t_lfr, lfr_m * d)
 
 
 def extract_fbank(

@@ -726,6 +726,12 @@ class LLM:
                 [-(-int(f) // lfr_n) for f in wav_frames[start:stop]],
                 np.int32,
             )
+            if lfr_n != 1 or frontend.lfr_m != 1:
+                # LFR tail groups must replicate each row's last VALID
+                # frame, not the batch padding (frontend._lfr_jax)
+                fe_kw["pre_lfr_frames"] = jnp.asarray(
+                    np.asarray(wav_frames[start:stop], np.int32)
+                )
             prompt_lens = np.array(
                 [p + downsampled_length(int(f)) + q for f in frames], np.int64
             )

@@ -62,6 +62,7 @@ def fused_encode_prefill(
     lfr_m: int = 1,
     lfr_n: int = 1,
     cmvn=None,               # optional (add [D], scale [D]) device arrays
+    pre_lfr_frames=None,     # [B] pre-LFR frame counts (when lfr_n > 1)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """→ ((logits [B, V], greedy first ids [B]), k_cache, v_cache).
 
@@ -71,7 +72,7 @@ def fused_encode_prefill(
         enc_params, ad_params, llm_params, enc_cfg, ad_cfg, llm_cfg,
         k_cache, v_cache, speech, wav_frames, prefix, suffix,
         prompt_lengths, block_tables, t_bucket, frame_length, frame_shift,
-        n_mels, window_type, fs, lfr_m, lfr_n, cmvn,
+        n_mels, window_type, fs, lfr_m, lfr_n, cmvn, pre_lfr_frames,
     )
 
 
@@ -110,6 +111,7 @@ def fused_encode_prefill_decode(
     cmvn=None,               # optional (add [D], scale [D]) device arrays
     eos_ids=None,            # [E] int32 → in-graph all-EOS early exit
     early_exit: bool = False,
+    pre_lfr_frames=None,     # [B] pre-LFR frame counts (when lfr_n > 1)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """The whole batch in ONE dispatch: fbank → encoder → adaptor → prompt
     assembly → prefill → `num_steps` greedy decode steps.
@@ -122,7 +124,7 @@ def fused_encode_prefill_decode(
         enc_params, ad_params, llm_params, enc_cfg, ad_cfg, llm_cfg,
         k_cache, v_cache, speech, wav_frames, prefix, suffix,
         prompt_lengths, block_tables, t_bucket, frame_length, frame_shift,
-        n_mels, window_type, fs, lfr_m, lfr_n, cmvn,
+        n_mels, window_type, fs, lfr_m, lfr_n, cmvn, pre_lfr_frames,
     )
 
     active = jnp.ones((speech.shape[0],), bool)
@@ -141,6 +143,7 @@ def _fused_prefill(
     k_cache, v_cache, speech, wav_frames, prefix, suffix,
     prompt_lengths, block_tables, t_bucket, frame_length, frame_shift,
     n_mels, window_type, fs, lfr_m=1, lfr_n=1, cmvn=None,
+    pre_lfr_frames=None,
 ):
     if speech.dtype == jnp.uint32:
         # int16 sample pairs bit-packed on the host (frontend
@@ -159,7 +162,10 @@ def _fused_prefill(
     # WavFrontend semantics, reference model.py:372-377) — both are cheap
     # in-graph ops XLA fuses into the surrounding program
     if lfr_m != 1 or lfr_n != 1:
-        feats = _lfr_jax(feats, lfr_m, lfr_n)
+        # pre-LFR lengths make incomplete tail groups replicate each
+        # row's last VALID frame (funasr apply_lfr semantics) instead of
+        # the batch's padded silence frames
+        feats = _lfr_jax(feats, lfr_m, lfr_n, pre_lfr_frames)
     if cmvn is not None:
         add, scale = cmvn
         feats = (feats + add) * scale

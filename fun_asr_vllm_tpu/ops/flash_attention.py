@@ -13,6 +13,18 @@ flash-attention tiling — supporting:
 Layouts: q [B, T, Nq, D], k/v [B, S, Nkv, D] — same contract as
 `ops.attention.gqa_attention`, which remains the XLA reference
 (tests compare the two in interpret mode).
+
+Two lowerings share one kernel body:
+
+- **column-block fast path** (T, S divisible into lane-aligned blocks):
+  heads are addressed as D-wide COLUMN blocks of the native
+  ``[B, T, N*D]`` matmul-output layout, so q/k/v flow straight from the
+  qkv projection into the kernel and the output flows straight into the
+  out projection — zero transposes, pads, concats or slices. Profiling
+  showed those XLA data-formatting ops around the old head-major path
+  cost ~1.1 ms/encoder-layer at [16,1598,512], ~2× the kernel itself.
+- **head-major legacy path** (odd shapes): moveaxis to [B*N, T, D] and
+  pad T/S to block multiples, as before.
 """
 
 from __future__ import annotations
@@ -27,8 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _flash_kernel(
-    kv_lens_ref,   # [B] int32 (scalar prefetch)
+def _flash_body(
+    kv_len,        # scalar int32 valid kv length for this batch row
     q_ref,         # [1, BQ, D]
     k_ref,         # [1, BK, D]
     v_ref,         # [1, BK, D]
@@ -37,17 +49,16 @@ def _flash_kernel(
     m_ref,         # [BQ, 128] f32
     l_ref,         # [BQ, 128] f32
     *,
+    kj,
+    nk,
     block_q: int,
     block_k: int,
-    num_q_heads: int,
+    q_start,
+    k_start,
     causal: bool,
+    scale: float = 1.0,
 ):
-    bn = pl.program_id(0)
-    qi = pl.program_id(1)
-    kj = pl.program_id(2)
-    nk = pl.num_programs(2)
-    b = bn // num_q_heads
-    kv_len = kv_lens_ref[b]
+    """Shared online-softmax tile body (one (q-block, k-block) step)."""
 
     @pl.when(kj == 0)
     def _init():
@@ -55,8 +66,6 @@ def _flash_kernel(
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q_start = qi * block_q
-    k_start = kj * block_k
     # skip fully-masked blocks: beyond kv_len, strictly future (causal), or
     # padding query rows. Both call sites (encoder self-attention, LLM
     # prefill) have query position == kv position, so q rows at/after
@@ -70,9 +79,12 @@ def _flash_kernel(
     @pl.when(in_range)
     def _process():
         # keep the MXU inputs in the stored dtype (bf16 runs 8× f32 rate);
-        # accumulate f32. The softmax scale is pre-folded into q by the
-        # wrapper, saving a [BQ,BK] multiply per tile on the VPU.
+        # accumulate f32. The softmax scale is folded into q (either
+        # pre-folded by the legacy wrapper or applied here on the small
+        # [BQ, D] tile), saving a [BQ, BK] multiply per tile on the VPU.
         q = q_ref[0]  # [BQ, D]
+        if scale != 1.0:
+            q = q * jnp.asarray(scale, q.dtype)
         k = k_ref[0]  # [BK, D]
         v = v_ref[0]
         scores = jax.lax.dot_general(
@@ -120,6 +132,139 @@ def _flash_kernel(
         out_ref[0] = (acc_ref[:] / safe_l).astype(out_ref.dtype)
 
 
+def _flash_kernel(
+    kv_lens_ref, q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref,
+    *, block_q: int, block_k: int, num_q_heads: int, causal: bool,
+):
+    """Legacy head-major grid: (B*Nq, T/BQ, S/BK) over [B*N, T, D]."""
+    bn = pl.program_id(0)
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+    nk = pl.num_programs(2)
+    _flash_body(
+        kv_lens_ref[bn // num_q_heads], q_ref, k_ref, v_ref, out_ref,
+        acc_ref, m_ref, l_ref,
+        kj=kj, nk=nk, block_q=block_q, block_k=block_k,
+        q_start=qi * block_q, k_start=kj * block_k, causal=causal,
+    )
+
+
+def _flash_kernel_cb(
+    kv_lens_ref, q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref,
+    *, block_q: int, block_k: int, causal: bool, scale: float,
+):
+    """Column-block grid: (B, Nq, T/BQ, S/BK) over native [B, T, N*D]."""
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    kj = pl.program_id(3)
+    nk = pl.num_programs(3)
+    _flash_body(
+        kv_lens_ref[b], q_ref, k_ref, v_ref, out_ref,
+        acc_ref, m_ref, l_ref,
+        kj=kj, nk=nk, block_q=block_q, block_k=block_k,
+        q_start=qi * block_q, k_start=kj * block_k, causal=causal,
+        scale=scale,
+    )
+
+
+def _divisor_block(t: int, cap: int, unit: int) -> int | None:
+    """Largest divisor of `t` that is a multiple of `unit` and ≤ cap."""
+    best = None
+    b = (min(t, cap) // unit) * unit
+    while b >= unit:
+        if t % b == 0:
+            best = b
+            break
+        b -= unit
+    return best
+
+
+def _pick_blocks_fast(t: int, s: int, dtype) -> "tuple[int, int] | None":
+    """Block sizes for the column-block path: must DIVIDE t/s exactly
+    (no padding by construction). None → shapes don't admit reasonable
+    blocks; use the legacy pad path."""
+    unit = 16 if dtype == jnp.bfloat16 else 8
+    # measured on v5e at the encoder shapes (BENCH_NOTES round 2): one
+    # whole-sequence block wins while the f32 score tile fits VMEM
+    # (~1.4k² × 4 B ≈ 8 MB); beyond that ~1k² tiles
+    if t <= 1408 and s <= 1408 and t % unit == 0 and s % unit == 0:
+        return t, s
+    bq = _divisor_block(t, 1024, unit)
+    bk = _divisor_block(s, 1024, unit)
+    if not bq or not bk or bq < 128 or bk < 128:
+        return None
+    # keep the f32 score tile within VMEM budget
+    while bq * bk * 4 > 8 * 1024 * 1024:
+        if bq >= bk:
+            nxt = _divisor_block(t, bq - 1, unit)
+            if not nxt:
+                return None
+            bq = nxt
+        else:
+            nxt = _divisor_block(s, bk - 1, unit)
+            if not nxt:
+                return None
+            bk = nxt
+    return bq, bk
+
+
+def _flash_attention_cb(
+    q2: jax.Array,  # [B, T, Nq*D] native matmul-output layout
+    k2: jax.Array,  # [B, S, Nkv*D]
+    v2: jax.Array,
+    kv_lengths: jax.Array,  # [B]
+    *,
+    nq: int,
+    nkv: int,
+    d: int,
+    block_q: int,
+    block_k: int,
+    causal: bool,
+    interpret: bool,
+) -> jax.Array:
+    """Column-block lowering → out [B, T, Nq*D]. Heads are D-wide column
+    blocks of the packed layout; BlockSpec index maps route query head h
+    to kv column block h // n_rep — no data movement outside the kernel."""
+    b, t, _ = q2.shape
+    s = k2.shape[1]
+    n_rep = nq // nkv
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nq, t // block_q, s // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d),
+                         lambda bb, h, qi, kj, lens: (bb, qi, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bb, h, qi, kj, lens: (bb, kj, h // n_rep),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bb, h, qi, kj, lens: (bb, kj, h // n_rep),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda bb, h, qi, kj, lens: (bb, qi, h),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _flash_kernel_cb, block_q=block_q, block_k=block_k, causal=causal,
+        scale=d ** -0.5,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, nq * d), q2.dtype),
+        interpret=interpret,
+    )(kv_lengths.astype(jnp.int32), q2, k2, v2)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "block_q", "block_k", "interpret"),
@@ -140,6 +285,23 @@ def flash_attention(
     n_rep = nq // nkv
     if kv_lengths is None:
         kv_lengths = jnp.full((b,), s, jnp.int32)
+
+    # fast path: lane-aligned head dim + block sizes that divide T/S →
+    # index the native [B, T, N*D] layout directly (reshape from
+    # [B, T, N, D] is free: N, D are adjacent)
+    if block_q is None and block_k is None and d % 128 == 0:
+        picked = _pick_blocks_fast(t, s, q.dtype)
+        if picked is not None:
+            out2 = _flash_attention_cb(
+                q.reshape(b, t, nq * d),
+                k.reshape(b, s, nkv * d),
+                v.reshape(b, s, nkv * d),
+                kv_lengths,
+                nq=nq, nkv=nkv, d=d, block_q=picked[0], block_k=picked[1],
+                causal=causal, interpret=interpret,
+            )
+            return out2.reshape(b, t, nq, d)
+
     if block_q is None or block_k is None:
         # measured on v5e at the encoder shapes (BENCH_NOTES round 2):
         # one whole-sequence block wins while the f32 score tile fits

@@ -74,3 +74,68 @@ class TestFlashAttention:
                 np.asarray(got)[b, :n], np.asarray(ref)[b, :n],
                 atol=2e-5, rtol=1e-4,
             )
+
+
+class TestFlashAttentionColumnBlock:
+    """The native-layout fast path: d=128, T/S block-divisible, auto
+    blocks → heads as column blocks of [B, T, N*D] (no transposes)."""
+
+    def test_full_attention_matches(self):
+        q, k, v = _mk(10, t=160, d=128)
+        lens = jnp.asarray([160, 100], jnp.int32)
+        ref = gqa_attention(q, k, v, causal=False, kv_lengths=lens)
+        got = flash_attention(q, k, v, lens, causal=False, interpret=True)
+        for b in range(2):
+            n = int(lens[b])
+            np.testing.assert_allclose(
+                np.asarray(got)[b, :n], np.asarray(ref)[b, :n],
+                atol=2e-5, rtol=1e-4,
+            )
+
+    def test_causal_gqa_matches(self):
+        q, k, v = _mk(11, t=96, nq=8, nkv=2, d=128)
+        lens = jnp.asarray([96, 41], jnp.int32)
+        ref = gqa_attention(q, k, v, causal=True, kv_lengths=lens)
+        got = flash_attention(q, k, v, lens, causal=True, interpret=True)
+        for b in range(2):
+            n = int(lens[b])
+            np.testing.assert_allclose(
+                np.asarray(got)[b, :n], np.asarray(ref)[b, :n],
+                atol=2e-5, rtol=1e-4,
+            )
+
+    def test_multi_block_divisor(self):
+        # t=256 forces block choice 256 (whole seq); also check a shape
+        # whose divisor block < t (t=1536 → 768) via _pick_blocks_fast
+        from fun_asr_vllm_tpu.ops.flash_attention import _pick_blocks_fast
+
+        assert _pick_blocks_fast(1536, 1536, jnp.bfloat16) == (768, 768)
+        assert _pick_blocks_fast(2048, 2048, jnp.bfloat16) == (1024, 1024)
+        assert _pick_blocks_fast(1280, 1280, jnp.float32) == (1280, 1280)
+        # 16×prime admits no usable divisor → legacy path
+        assert _pick_blocks_fast(16 * 113, 16 * 113, jnp.bfloat16) is None
+
+        q, k, v = _mk(12, t=256, d=128)
+        lens = jnp.asarray([256, 137], jnp.int32)
+        ref = gqa_attention(q, k, v, causal=False, kv_lengths=lens)
+        got = flash_attention(q, k, v, lens, causal=False, interpret=True)
+        for b in range(2):
+            n = int(lens[b])
+            np.testing.assert_allclose(
+                np.asarray(got)[b, :n], np.asarray(ref)[b, :n],
+                atol=2e-5, rtol=1e-4,
+            )
+
+    def test_matches_legacy_path(self):
+        # the two lowerings must agree bit-for-bit on the same shapes
+        q, k, v = _mk(13, t=128, d=128)
+        lens = jnp.asarray([128, 90], jnp.int32)
+        fast = flash_attention(q, k, v, lens, causal=False, interpret=True)
+        legacy = flash_attention(q, k, v, lens, causal=False, block_q=64,
+                                 block_k=64, interpret=True)
+        for b in range(2):
+            n = int(lens[b])
+            np.testing.assert_allclose(
+                np.asarray(fast)[b, :n], np.asarray(legacy)[b, :n],
+                atol=2e-5, rtol=1e-4,
+            )
