@@ -54,6 +54,7 @@ def main():
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax.profiler trace of the timed epoch")
     ap.add_argument("--no_prefetch", action="store_true")
+    ap.add_argument("--pipeline_depth", type=int, default=1)
     ap.add_argument("--sort_by_duration", action="store_true",
                     help="length-sort utterances before batching (tighter "
                          "padding buckets per wave; a scheduling freedom "
@@ -129,10 +130,10 @@ def main():
         # one burst covers a typical zh transcript → one decode dispatch
         # per batch on this high-RTT transport
         decode_burst_size=16,
-        # measured: depth=2 (wave pipelining) is a net LOSS here — the 2×
-        # KV cache slows the fused program more than the ~0 fetch RTT it
-        # hides (0.79s vs 0.71s device-resident epoch); see BENCH_NOTES
-        pipeline_depth=1,
+        # depth=2 (wave pipelining) was a net loss when the burst
+        # scan-carried the 2× KV cache; re-measurable via --pipeline_depth
+        # now the burst reads a hoisted gather instead (see BENCH_NOTES)
+        pipeline_depth=args.pipeline_depth,
         quantize=args.quantize,
     )
 
@@ -159,16 +160,7 @@ def main():
 
     uploader = ThreadPoolExecutor(max_workers=2)
 
-    from functools import partial as _partial
-
-    @_partial(jax.jit, static_argnames=("n",))
-    def _unpack_pairs(packed, n: int):
-        # uint32 → two int16 samples → f32 at int16 scale
-        i = jax.lax.bitcast_convert_type(packed, jnp.int32)
-        lo = jnp.right_shift(jnp.left_shift(i, 16), 16)
-        hi = jnp.right_shift(i, 16)
-        flat = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)
-        return flat[:, :n].astype(jnp.float32)
+    from fun_asr_vllm_tpu.audio.frontend import unpack_pairs_f32 as _unpack_pairs
 
     def _force_upload(pcm, n_samples=None):
         # on this transport device_put is LAZY: the RPC transfer defers

@@ -101,12 +101,23 @@ def main():
     results = []
     print("Starting inference...")
     start_time = time.time()
-    batch: list = []
     n = len(dataset)
-    for idx in range(0, n, args.batch_size):
-        batch = [dataset[i] for i in range(idx, min(idx + args.batch_size, n))]
-        batch_ids, batch_wavs, batch_refs = collate(batch, args.ref_column)
-        response = pipe.transcribe_batch(batch_wavs)
+    metas: list = []
+
+    def batches():
+        # lazy per-batch collate: runs inside transcribe_many's prefetch
+        # thread, overlapping the current batch's compute
+        for idx in range(0, n, args.batch_size):
+            batch = [dataset[i]
+                     for i in range(idx, min(idx + args.batch_size, n))]
+            batch_ids, batch_wavs, batch_refs = collate(batch, args.ref_column)
+            metas.append((batch_ids, batch_refs))
+            yield batch_wavs
+
+    for response in pipe.transcribe_many(batches()):
+        # a batch's meta is appended (in the prefetch thread) before its
+        # texts are yielded, so FIFO pop pairs them correctly
+        batch_ids, batch_refs = metas.pop(0)
         for cut_id, ref, hyp in zip(batch_ids, batch_refs, response):
             results.append((cut_id, normalize(ref).upper(), normalize(hyp).upper()))
         print(response)

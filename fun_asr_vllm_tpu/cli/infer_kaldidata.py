@@ -77,20 +77,31 @@ def run_shard(pipe, shard, texts, out_dir, batch_size, itn):
     hyp_rows, itn_rows, tn_rows, results = [], [], [], []
     t_start = time.time()
     audio_seconds = 0.0
-    for i in range(0, len(shard), batch_size):
-        batch = shard[i : i + batch_size]
-        wavs = []
-        keys = []
-        for key, path in batch:
-            try:
-                wav = load_audio(path, fs=16000)
-            except Exception as e:  # placeholder on load failure
-                print(f"load failed for {key}: {e}")
-                wav = np.zeros(1600, np.float32)
-            wavs.append(wav)
-            keys.append(key)
-            audio_seconds += len(wav) / 16000.0
-        hyps = pipe.transcribe_batch(wavs)
+    key_batches: list = []
+    dur_box = [0.0]
+
+    def batches():
+        # audio loading runs inside transcribe_many's prefetch thread,
+        # overlapped with the previous batch's compute (the reference's
+        # DataLoader-worker analogue, infer_kaldidata.py:31-123)
+        for i in range(0, len(shard), batch_size):
+            batch = shard[i : i + batch_size]
+            wavs = []
+            keys = []
+            for key, path in batch:
+                try:
+                    wav = load_audio(path, fs=16000)
+                except Exception as e:  # placeholder on load failure
+                    print(f"load failed for {key}: {e}")
+                    wav = np.zeros(1600, np.float32)
+                wavs.append(wav)
+                keys.append(key)
+                dur_box[0] += len(wav) / 16000.0
+            key_batches.append(keys)
+            yield wavs
+
+    for hyps in pipe.transcribe_many(batches()):
+        keys = key_batches.pop(0)
         for key, hyp in zip(keys, hyps):
             hyp_rows.append((key, hyp))
             # dual outputs (reference infer_kaldidata.py:800-812)
@@ -102,6 +113,7 @@ def run_shard(pipe, shard, texts, out_dir, batch_size, itn):
                 hyp_n = normalize_text(nfkc(normalize_text_alimeeting(hyp)))
                 results.append((key, ref.upper(), hyp_n.upper()))
     elapsed = time.time() - t_start
+    audio_seconds = dur_box[0]
 
     write_scp(os.path.join(out_dir, "text"), hyp_rows)
     write_scp(os.path.join(out_dir, "text_itn"), itn_rows)

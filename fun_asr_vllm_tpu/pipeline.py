@@ -70,6 +70,70 @@ class BatchPipeline:
         self.timings: Dict[str, float] = {"fbank": 0.0, "encode": 0.0,
                                           "generate": 0.0}
 
+    def _prep_upload(self, wavs: Sequence[np.ndarray], upload: str = "packed"):
+        """Host prep + forced upload for one batch → (device f32 pcm,
+        frame_counts). `packed` ships uint32 int16-pairs (half the wire
+        bytes, lossless) and unpacks on device; device_put is lazy on
+        RPC transports, so blocking here (from a prefetch thread) is
+        what actually overlaps the transfer with compute."""
+        import jax
+        from .audio.frontend import unpack_pairs_f32
+
+        fe = self.model.frontend
+        if upload == "packed":
+            packed, frames = fe.batchify_packed(list(wavs))
+            n = fe.padded_samples(max(len(w) for w in wavs))
+            dev = unpack_pairs_f32(jax.device_put(packed), n)
+        else:
+            pcm, frames = fe.batchify(list(wavs))
+            dev = jax.device_put(pcm)
+        dev.block_until_ready()
+        return dev, frames
+
+    def transcribe_many(self, batches, *, upload: str = "packed"):
+        """Iterator of wav-batches → yields one list of texts per batch.
+
+        The NEXT batch's host work (the caller's lazy audio loading via
+        the iterator, batchify, upload, device unpack) runs in a worker
+        thread while the current batch computes — the DataLoader-
+        prefetch + async-H2D analogue of the reference hot loop
+        (infer.py:406-421). Falls back to `transcribe_batch` per batch
+        when the engine fast path is off."""
+        m = self.model
+        if m.vllm is None:
+            for wavs in batches:
+                yield self.transcribe_batch(wavs)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        it = iter(batches)
+
+        def task():
+            try:
+                wavs = next(it)
+            except StopIteration:
+                return None
+            return self._prep_upload(wavs, upload)
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(task)
+            while True:
+                res = fut.result()
+                if res is None:
+                    return
+                dev, frames = res
+                fut = ex.submit(task)  # prep the next batch now
+                t0 = time.perf_counter()
+                outs = m.vllm.generate_fused(
+                    dev, frames,
+                    m.encoder_params, m.encoder_cfg,
+                    m.adaptor_params, m.adaptor_cfg, m.frontend,
+                    self._prefix_dev, self._suffix_dev,
+                    m.vllm_sampling_params or self.sampling,
+                )
+                self.timings["generate"] += time.perf_counter() - t0
+                yield [o.outputs[0].text for o in outs]
+
     def transcribe_batch(self, wavs: Sequence[np.ndarray]) -> List[str]:
         m = self.model
         fe = m.frontend

@@ -122,3 +122,27 @@ class TestInferKaldidata:
         merge_results(parts, str(tmp_path), ("text", "text_itn", "text_tn"))
         merged = read_scp(tmp_path / "text")
         assert [k for k, _ in merged] == ["utt0", "utt1", "utt2"]
+
+
+class TestTranscribeMany:
+    def test_matches_transcribe_batch(self, kaldi_setup):
+        """transcribe_many (prefetch thread + packed upload + device
+        unpack) must produce the same texts as sequential
+        transcribe_batch calls."""
+        from fun_asr_vllm_tpu.audio.io import load_audio
+        from fun_asr_vllm_tpu.pipeline import BatchPipeline
+
+        root, model_dir = kaldi_setup
+        pipe = BatchPipeline(
+            str(model_dir), dtype="float32", enable_engine=True,
+            max_num_seqs=2, max_tokens=4, max_model_len=512,
+        )
+        scp = read_scp(root / "wav.scp")
+        wavs = [load_audio(p, fs=16000) for _, p in scp]
+        batches = [wavs[:2], wavs[2:]]
+        want = [pipe.transcribe_batch(b) for b in batches]
+        got = list(pipe.transcribe_many(iter(batches)))
+        assert got == want
+        # f32 upload mode too
+        got_f32 = list(pipe.transcribe_many(iter(batches), upload="f32"))
+        assert got_f32 == want
