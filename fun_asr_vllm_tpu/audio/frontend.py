@@ -68,9 +68,27 @@ def fbank_jax(
     """[B, N] → [B, T, n_mels] log-mel; T = 1 + (N - frame_length)//frame_shift."""
     b, n = waveform.shape
     t = 1 + (n - frame_length) // frame_shift
-    starts = jnp.arange(t, dtype=jnp.int32) * frame_shift
-    idx = starts[:, None] + jnp.arange(frame_length, dtype=jnp.int32)[None, :]
-    frames = jnp.take(waveform, idx, axis=1)  # [B, T, L]
+    g = math.gcd(frame_length, frame_shift)
+    if n % g == 0:
+        # gather-free framing: decompose by rows of g = gcd(L, S)
+        # samples — frame i is `span` consecutive rows starting at row
+        # i*step, so `span` strided slices + one concat build [B, T, L].
+        # The equivalent index gather profiled ~6 ms per 16×1200-frame
+        # wave on v5e (bad layout); the slices are plain strided copies.
+        step, span = frame_shift // g, frame_length // g
+        rows = waveform.reshape(b, n // g, g)
+        parts = [
+            jax.lax.slice_in_dim(
+                rows, j, j + (t - 1) * step + 1, step, axis=1
+            )
+            for j in range(span)
+        ]
+        frames = jnp.concatenate(parts, axis=-1)  # [B, T, L]
+    else:
+        starts = jnp.arange(t, dtype=jnp.int32) * frame_shift
+        idx = (starts[:, None]
+               + jnp.arange(frame_length, dtype=jnp.int32)[None, :])
+        frames = jnp.take(waveform, idx, axis=1)  # [B, T, L]
 
     if remove_dc:
         frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
