@@ -483,6 +483,83 @@ prefill_step = partial(
 )(_prefill_core)
 
 
+def _prefill_core_packed(
+    params: Dict,
+    cfg: Qwen3Config,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    inputs_embeds: jax.Array,  # [TTP, H] packed prompt embeddings
+    pos_ids: jax.Array,         # [TTP] within-prompt positions (gaps 0)
+    seg_ids: jax.Array,         # [TTP] int32 sequence id, -1 = gap
+    write_blocks: jax.Array,    # [TTP] KV page per token (gaps → 0)
+    write_offsets: jax.Array,   # [TTP]
+    last_idx: jax.Array,        # [B] packed index of each prompt's last token
+    use_flash: bool = False,
+) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array, jax.Array]:
+    """Ragged/varlen prefill: every sequence's prompt tokens packed
+    along ONE time axis (segment-block-diagonal causal attention) —
+    matmuls run on sum(len_i) rows instead of B·max(len_i), the padded
+    batch's ~2× waste at the SPEECHIO prompt mix. Page scatter indices
+    are host-computed per token. → ((last-token logits [B, V], greedy
+    first ids [B]), caches)."""
+    ttp = inputs_embeds.shape[0]
+    nq, nkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    x = inputs_embeds.astype(cfg.dtype)
+    cos, sin = rope_cos_sin(pos_ids, cfg.head_dim, cfg.rope_theta)
+    cos, sin = cos[:, None, :], sin[:, None, :]
+    layer_ids = jnp.arange(cfg.num_hidden_layers)
+
+    def body(carry, scanned):
+        xc, kc, vc = carry
+        lp, lid = scanned
+        h = rms_norm(xc, lp["input_ln"], cfg.rms_norm_eps)
+        qkv = qwen3.mm(h, lp["wqkv"])  # [TTP, (Nq+2Nkv)D]
+        q = qkv[:, : nq * d].reshape(ttp, nq, d)
+        k = qkv[:, nq * d : (nq + nkv) * d].reshape(ttp, nkv, d)
+        v = qkv[:, (nq + nkv) * d :].reshape(ttp, nkv, d)
+        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kc = kc.at[lid, write_blocks, write_offsets].set(k.astype(kc.dtype))
+        vc = vc.at[lid, write_blocks, write_offsets].set(v.astype(vc.dtype))
+        if use_flash:
+            from ..ops.flash_attention import flash_attention_segmented
+
+            att = flash_attention_segmented(
+                q.reshape(ttp, -1), k.reshape(ttp, -1), v.reshape(ttp, -1),
+                seg_ids, nq=nq, nkv=nkv, d=d, causal=True,
+            )
+        else:
+            from ..ops.attention import segment_attention_xla
+
+            att = segment_attention_xla(
+                q.reshape(ttp, -1), k.reshape(ttp, -1), v.reshape(ttp, -1),
+                seg_ids, nq, d, causal=True,
+            )
+        xc = xc + qwen3.mm(att.astype(cfg.dtype), lp["wo"])
+        h = rms_norm(xc, lp["post_ln"], cfg.rms_norm_eps)
+        xc = xc + qwen3._layer_mlp(lp, h)
+        return (xc, kc, vc), None
+
+    (x, k_cache, v_cache), _ = jax.lax.scan(
+        body, (x, k_cache, v_cache), (params["layers"], layer_ids)
+    )
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    last = x[last_idx]  # [B, H]
+    logits = qwen3.lm_logits(params, cfg, last)
+    first_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return (logits, first_ids), k_cache, v_cache
+
+
+prefill_step_packed = partial(
+    jax.jit,
+    static_argnames=("cfg", "use_flash"),
+    donate_argnames=("k_cache", "v_cache"),
+)(_prefill_core_packed)
+
+
 def _extend_core(
     params: Dict,
     cfg: Qwen3Config,

@@ -1,0 +1,228 @@
+"""Packed (ragged) audio→prefill pipeline: layout planning + the
+single-dispatch fused program.
+
+The padded-batch fused path (`engine/fused.py`) computes every utterance
+at the wave's max bucketed length — ~2.4× wasted encoder rows and ~2×
+wasted prefill rows at the SPEECHIO duration mix. This module packs all
+valid frames along ONE time axis instead (the Ragged Paged Attention
+idea generalized to the whole pipeline, SURVEY §7 "hard part (a)"):
+
+- frame level: utterance i's post-LFR frames occupy a 16-aligned
+  segment [start_i, start_i + t_i) with ≥16 zero-gap frames before the
+  next segment — the zero gaps make every depthwise/strided conv's
+  cross-boundary taps read zeros, reproducing per-utterance SAME/p=1
+  padding EXACTLY (models/encoder.encode_packed,
+  models/adaptor.forward_packed);
+- token level: ChatML prompts [prefix ⧺ audio_i ⧺ suffix] pack the same
+  way (no gaps needed — no convs), with per-token KV page scatter
+  indices and a segment-block-diagonal causal prefill
+  (engine/kv_cache._prefill_core_packed).
+
+All layout arrays are host-computed int32 (deterministic frame math) and
+tiny; packed lengths are bucketed so jit compiles a handful of shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.frontend import _lfr_jax, fbank_jax
+from ..models import adaptor as adaptor_mod
+from ..models import encoder as encoder_mod
+from ..models.adaptor import downsampled_length
+from ..models.qwen3 import Qwen3Config
+from .kv_cache import _burst_core, _prefill_core_packed
+
+ALIGN = 16  # frame segment alignment; gap ≥ ALIGN zeros between segments
+
+
+@dataclasses.dataclass
+class FramePack:
+    tt: int
+    seg_ids: np.ndarray   # [tt] int32: utt id, -1 gap
+    pos_ids: np.ndarray   # [tt] int32: frame index within utt
+    src_idx: np.ndarray   # [tt] int32: flat index into [B*T_pad] features
+    m1: np.ndarray        # [tt//2, 1] f32: validity after adaptor conv1
+    m2: np.ndarray        # [tt//4, 1] f32: validity after adaptor conv2
+    starts: List[int]
+    tok_starts: List[int]   # audio-token start per utt (= start//8)
+    tok_counts: List[int]   # = downsampled_length(t_i)
+
+
+def plan_frame_pack(
+    frame_counts: Sequence[int], t_pad: int, bucket: int = 1024
+) -> FramePack:
+    """Lay utterances' valid (post-LFR) frames into the packed timeline."""
+    allocs = [-(-int(t) // ALIGN) * ALIGN + ALIGN for t in frame_counts]
+    total = sum(allocs)
+    tt = max(bucket, -(-total // bucket) * bucket)
+    seg = np.full(tt, -1, np.int32)
+    pos = np.zeros(tt, np.int32)
+    src = np.zeros(tt, np.int32)
+    m1 = np.zeros(tt // 2, np.float32)
+    m2 = np.zeros(tt // 4, np.float32)
+    starts, tok_starts, tok_counts = [], [], []
+    off = 0
+    for i, t in enumerate(int(x) for x in frame_counts):
+        starts.append(off)
+        seg[off : off + t] = i
+        pos[off : off + t] = np.arange(t)
+        src[off : off + t] = i * t_pad + np.arange(t)
+        o1 = 1 + (t - 1) // 2
+        m1[off // 2 : off // 2 + o1] = 1.0
+        o2 = 1 + (o1 - 1) // 2
+        m2[off // 4 : off // 4 + o2] = 1.0
+        tok_starts.append(off // 8)
+        tok_counts.append(downsampled_length(t))
+        off += allocs[i]
+    return FramePack(tt, seg, pos, src, m1[:, None], m2[:, None],
+                     starts, tok_starts, tok_counts)
+
+
+@dataclasses.dataclass
+class PromptPack:
+    ttp: int
+    seg_ids: np.ndarray    # [ttp]
+    pos_ids: np.ndarray    # [ttp] within-prompt position
+    emb_src: np.ndarray    # [ttp] into [prefix(P); suffix(Q); zero; audio]
+    write_blocks: np.ndarray
+    write_offsets: np.ndarray
+    last_idx: np.ndarray   # [B]
+    prompt_lens: np.ndarray  # [B]
+
+
+def plan_prompt_pack(
+    p: int,
+    q: int,
+    tok_starts: Sequence[int],
+    tok_counts: Sequence[int],
+    block_tables: np.ndarray,  # [B, MB] this wave's page allocation
+    block_size: int,
+    bucket: int = 512,
+) -> PromptPack:
+    """Lay [prefix ⧺ audio_i ⧺ suffix] prompts into the packed axis and
+    precompute each token's KV page destination (gaps → garbage block 0)."""
+    b = len(tok_counts)
+    lens = [p + int(c) + q for c in tok_counts]
+    allocs = [-(-L // ALIGN) * ALIGN for L in lens]
+    total = sum(allocs)
+    ttp = max(bucket, -(-total // bucket) * bucket)
+    seg = np.full(ttp, -1, np.int32)
+    pos = np.zeros(ttp, np.int32)
+    zero_row = p + q
+    audio_base = p + q + 1
+    emb = np.full(ttp, zero_row, np.int32)
+    wb = np.zeros(ttp, np.int32)
+    wo = np.zeros(ttp, np.int32)
+    last = np.zeros(b, np.int32)
+    off = 0
+    for i, L in enumerate(lens):
+        c = int(tok_counts[i])
+        seg[off : off + L] = i
+        pp = np.arange(L)
+        pos[off : off + L] = pp
+        emb[off : off + p] = np.arange(p)
+        emb[off + p : off + p + c] = audio_base + int(tok_starts[i]) + np.arange(c)
+        emb[off + p + c : off + L] = p + np.arange(q)
+        wb[off : off + L] = block_tables[i][pp // block_size]
+        wo[off : off + L] = pp % block_size
+        last[i] = off + L - 1
+        off += allocs[i]
+    return PromptPack(ttp, seg, pos, emb, wb, wo, last,
+                      np.asarray(lens, np.int64))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("enc_cfg", "ad_cfg", "llm_cfg", "num_steps",
+                     "frame_length", "frame_shift", "n_mels", "window_type",
+                     "fs", "lfr_m", "lfr_n", "early_exit", "decode_only_prefill"),
+    donate_argnames=("k_cache", "v_cache"),
+)
+def fused_encode_prefill_decode_packed(
+    enc_params: Dict,
+    ad_params: Dict,
+    llm_params: Dict,
+    enc_cfg: encoder_mod.SANMEncoderConfig,
+    ad_cfg: adaptor_mod.NanoAdaptorConfig,
+    llm_cfg: Qwen3Config,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    speech: jax.Array,          # [B, N] f32 int16-scale (padded batch)
+    frame_src: jax.Array,       # FramePack arrays …
+    frame_seg: jax.Array,
+    frame_pos: jax.Array,
+    m1: jax.Array,
+    m2: jax.Array,
+    emb_src: jax.Array,         # PromptPack arrays …
+    p_seg: jax.Array,
+    p_pos: jax.Array,
+    write_blocks: jax.Array,
+    write_offsets: jax.Array,
+    last_idx: jax.Array,
+    prefix: jax.Array,          # [P, H]
+    suffix: jax.Array,          # [Q, H]
+    prompt_lengths: jax.Array,  # [B] true prompt lengths
+    block_tables: jax.Array,    # [B, MB]
+    num_steps: int = 16,
+    frame_length: int = 400,
+    frame_shift: int = 160,
+    n_mels: int = 80,
+    window_type: str = "hamming",
+    fs: int = 16000,
+    lfr_m: int = 1,
+    lfr_n: int = 1,
+    cmvn=None,
+    pre_lfr_frames=None,
+    eos_ids=None,
+    early_exit: bool = False,
+    decode_only_prefill: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """ONE dispatch: fbank → packed encoder → packed adaptor → packed
+    prompt assembly → ragged prefill → K fused greedy decode steps.
+    → (tokens [num_steps+1, B], k_cache, v_cache); with
+    `decode_only_prefill`, tokens is [1, B] (first ids only)."""
+    feats = fbank_jax(
+        speech.astype(jnp.float32), frame_length=frame_length,
+        frame_shift=frame_shift, n_mels=n_mels, window_type=window_type,
+        fs=fs,
+    )
+    if lfr_m != 1 or lfr_n != 1:
+        feats = _lfr_jax(feats, lfr_m, lfr_n, pre_lfr_frames)
+    if cmvn is not None:
+        add, scale = cmvn
+        feats = (feats + add) * scale
+    b, t_pad, d_in = feats.shape
+    flat = feats.reshape(b * t_pad, d_in)
+    x = flat[frame_src] * (frame_seg >= 0)[:, None].astype(flat.dtype)
+    enc = encoder_mod.encode_packed(
+        enc_params, enc_cfg, x, frame_seg, frame_pos
+    )
+    audio = adaptor_mod.forward_packed(ad_params, ad_cfg, enc, m1, m2)
+    h = audio.shape[-1]
+    table = jnp.concatenate(
+        [prefix.astype(audio.dtype), suffix.astype(audio.dtype),
+         jnp.zeros((1, h), audio.dtype), audio], axis=0
+    )
+    embeds = table[emb_src]  # [TTP, H]
+    (_logits, first_ids), k_cache, v_cache = _prefill_core_packed(
+        llm_params, llm_cfg, k_cache, v_cache, embeds, p_pos, p_seg,
+        write_blocks, write_offsets, last_idx,
+        use_flash=llm_cfg.use_flash,
+    )
+    if decode_only_prefill:
+        return first_ids[None], k_cache, v_cache
+    active = jnp.ones((speech.shape[0],), bool)
+    steps_tokens, k_cache, v_cache = _burst_core(
+        llm_params, llm_cfg, k_cache, v_cache,
+        first_ids, prompt_lengths, block_tables, prompt_lengths + 1,
+        active, num_steps=num_steps, eos_ids=eos_ids, early_exit=early_exit,
+    )
+    tokens = jnp.concatenate([first_ids[None], steps_tokens], axis=0)
+    return tokens, k_cache, v_cache

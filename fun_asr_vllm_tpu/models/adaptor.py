@@ -92,6 +92,35 @@ def _strided_conv(x: jax.Array, w: jax.Array, b: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def forward_packed(
+    params: Dict,
+    cfg: NanoAdaptorConfig,
+    x: jax.Array,    # [TT, encoder_dim] packed encoder states
+    m1: jax.Array,   # [TT/2, 1] validity after conv1 (host-computed)
+    m2: jax.Array,   # [TT/4, 1] validity after conv2
+) -> jax.Array:
+    """Packed-timeline adaptor → [TT/8, llm_dim] audio tokens.
+
+    Segments are 16-frame-aligned with ≥16-frame zero gaps
+    (engine/packed.py), so each strided conv's cross-boundary taps read
+    zeros or masked-garbage-zeroed slots — numerics match `forward`'s
+    per-utterance p=1 zero padding exactly. Utterance i's tokens land at
+    packed positions [start_i/8, start_i/8 + downsampled_length(t_i))."""
+    if cfg.use_low_frame_rate:
+        x = _strided_conv(x[None], params["conv1_w"], params["conv1_b"])
+        x = x * m1[None].astype(x.dtype)
+        x = _strided_conv(x, params["conv2_w"], params["conv2_b"])
+        x = x * m2[None].astype(x.dtype)
+        x = x[0, ::2]
+        m3 = m2[::2]
+    else:
+        m3 = m1
+    h = jax.nn.relu(x @ params["w1"] + params["b1"])
+    out = h @ params["w2"] + params["b2"]
+    return out * m3.astype(out.dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def forward(
     params: Dict,
     cfg: NanoAdaptorConfig,

@@ -102,3 +102,36 @@ def full_attention(
 ) -> jax.Array:
     """Bidirectional (encoder) attention with optional length masking."""
     return gqa_attention(q, k, v, causal=False, kv_lengths=kv_lengths, scale=scale)
+
+
+def segment_attention_xla(
+    q2: jax.Array,       # [TT, Nq*D] packed tokens
+    k2: jax.Array,       # [TT, Nkv*D]
+    v2: jax.Array,
+    seg_ids: jax.Array,  # [TT] int32: segment id, -1 = gap
+    nq: int,
+    d: int,
+    causal: bool = False,
+) -> jax.Array:
+    """XLA reference for segment-masked (block-diagonal) attention over
+    a PACKED sequence — materializes the [TT, TT] mask, so CPU tests /
+    small TT only; `ops.flash_attention.flash_attention_segmented` is
+    the TPU implementation. → [TT, Nq*D]. Gap rows (seg -1) → zeros."""
+    tt = q2.shape[0]
+    nkv = k2.shape[1] // d
+    n_rep = nq // nkv
+    q = q2.reshape(tt, nkv, n_rep, d).astype(jnp.float32) * (d ** -0.5)
+    k = k2.reshape(tt, nkv, d).astype(jnp.float32)
+    v = v2.reshape(tt, nkv, d).astype(jnp.float32)
+    logits = jnp.einsum("qgrd,kgd->grqk", q, k)
+    mask = jnp.logical_and(
+        seg_ids[:, None] == seg_ids[None, :], seg_ids[:, None] >= 0
+    )
+    if causal:
+        pos = jnp.arange(tt)
+        mask = jnp.logical_and(mask, pos[None, :] <= pos[:, None])
+    logits = jnp.where(mask[None, None], logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(mask[None, None], probs, 0.0)
+    out = jnp.einsum("grqk,kgd->qgrd", probs, v)
+    return out.reshape(tt, nq * d).astype(q2.dtype)

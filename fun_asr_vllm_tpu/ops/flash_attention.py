@@ -167,6 +167,185 @@ def _flash_kernel_cb(
     )
 
 
+def _flash_kernel_seg(
+    q_lo_ref, q_hi_ref, k_lo_ref, k_hi_ref,  # scalar prefetch: per-block
+    seg_q_ref,     # [1, 8, BQ] int32 segment id per q row (row-major dup)
+    seg_k_ref,     # [1, 8, BK]
+    q_ref,         # [1, BQ, D]
+    k_ref,         # [1, BK, D]
+    v_ref,         # [1, BK, D]
+    out_ref,       # [1, BQ, D]
+    acc_ref, m_ref, l_ref,
+    *,
+    block_q: int,
+    block_k: int,
+    causal: bool,
+    scale: float,
+):
+    """Packed/varlen grid: (Nq, T/BQ, S/BK) over [1, T, N*D] with
+    per-token SEGMENT IDS — attention is block-diagonal over segments
+    (gap tokens carry seg id -1 and match nothing). Host-computed
+    per-block segment ranges (min/max valid id per q/k block) skip
+    whole tiles with no overlapping segment: for the ~670-frame mean
+    utterance mix packed into one ~11k-frame sequence, that's the
+    difference between O(sum t_i²) and O((sum t_i)²) work."""
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+    nk = pl.num_programs(2)
+    q_start = qi * block_q
+    k_start = kj * block_k
+
+    @pl.when(kj == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # skip tiles whose q/k blocks contain no common segment
+    in_range = jnp.logical_and(
+        q_lo_ref[qi] <= k_hi_ref[kj], k_lo_ref[kj] <= q_hi_ref[qi]
+    )
+    if causal:
+        in_range = jnp.logical_and(in_range,
+                                   k_start <= q_start + block_q - 1)
+
+    @pl.when(in_range)
+    def _process():
+        q = q_ref[0]
+        if scale != 1.0:
+            q = q * jnp.asarray(scale, q.dtype)
+        k = k_ref[0]
+        v = v_ref[0]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK]
+        seg_q = seg_q_ref[0, 0, :]  # [BQ]
+        seg_k = seg_k_ref[0, 0, :]  # [BK]
+        mask = jnp.logical_and(
+            seg_q[:, None] == seg_k[None, :], seg_q[:, None] >= 0
+        )
+        if causal:
+            kpos = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            qpos = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            mask = jnp.logical_and(mask, kpos <= qpos)
+        scores = jnp.where(mask, scores, _NEG_INF)
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(scores - m_new)
+        # fully-masked rows (gap q tokens): exp(-1e30 - max) can still
+        # be 1.0 when the whole row is -1e30; zero those contributions
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(kj == nk - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0] = (acc_ref[:] / safe_l).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nq", "nkv", "d", "causal", "block_q", "block_k",
+                     "interpret"),
+)
+def flash_attention_segmented(
+    q2: jax.Array,       # [T, Nq*D] packed tokens (all segments)
+    k2: jax.Array,       # [T, Nkv*D]
+    v2: jax.Array,
+    seg_ids: jax.Array,  # [T] int32: 0..n_seg-1 valid, -1 gap
+    *,
+    nq: int,
+    nkv: int,
+    d: int,
+    causal: bool = False,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Segment-masked (block-diagonal) flash attention over a PACKED
+    token sequence → [T, Nq*D]. T must be a multiple of the block sizes
+    (the packer aligns to 16-frame boundaries and buckets T). Per-block
+    segment ranges are computed in-graph (cheap [T]-sized reductions)
+    and prefetched so disjoint tiles never run."""
+    t = q2.shape[0]
+    n_rep = nq // nkv
+    block_q = min(block_q, t)
+    block_k = min(block_k, t)
+    seg_ids = seg_ids.astype(jnp.int32)
+
+    big = jnp.int32(2**30)
+    segq = seg_ids.reshape(t // block_q, block_q)
+    segk = seg_ids.reshape(t // block_k, block_k)
+    # valid-only min (gaps = -1 → +inf for min); max over raw ids is fine
+    q_lo = jnp.min(jnp.where(segq >= 0, segq, big), axis=1)
+    q_hi = jnp.max(segq, axis=1)
+    k_lo = jnp.min(jnp.where(segk >= 0, segk, big), axis=1)
+    k_hi = jnp.max(segk, axis=1)
+
+    # seg ids as [1, 8, T] so (1, 8, B*) blocks are (sublane, lane)-tiled
+    seg_row = jnp.broadcast_to(seg_ids[None, None, :], (1, 8, t))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nq, t // block_q, t // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 8, block_q),
+                         lambda h, qi, kj, *_: (0, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_k),
+                         lambda h, qi, kj, *_: (0, 0, kj),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d),
+                         lambda h, qi, kj, *_: (0, qi, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d),
+                         lambda h, qi, kj, *_: (0, kj, h // n_rep),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d),
+                         lambda h, qi, kj, *_: (0, kj, h // n_rep),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda h, qi, kj, *_: (0, qi, h),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _flash_kernel_seg, block_q=block_q, block_k=block_k, causal=causal,
+        scale=d ** -0.5,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, t, nq * d), q2.dtype),
+        interpret=interpret,
+    )(q_lo, q_hi, k_lo, k_hi, seg_row, seg_row,
+      q2[None], k2[None], v2[None])
+    return out[0]
+
+
 def _divisor_block(t: int, cap: int, unit: int) -> int | None:
     """Largest divisor of `t` that is a multiple of `unit` and ≤ cap."""
     best = None

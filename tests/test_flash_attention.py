@@ -139,3 +139,83 @@ class TestFlashAttentionColumnBlock:
                 np.asarray(fast)[b, :n], np.asarray(legacy)[b, :n],
                 atol=2e-5, rtol=1e-4,
             )
+
+
+class TestFlashAttentionSegmented:
+    """Packed/varlen kernel vs per-utterance reference attention."""
+
+    def _pack(self, lens, align=16, t_total=None):
+        starts, seg = [], []
+        off = 0
+        for i, n in enumerate(lens):
+            starts.append(off)
+            seg += [i] * n
+            alloc = -(-n // align) * align + align
+            seg += [-1] * (alloc - n)
+            off += alloc
+        if t_total:
+            seg += [-1] * (t_total - len(seg))
+        return starts, np.asarray(seg, np.int32)
+
+    def test_full_matches_per_utt(self):
+        from fun_asr_vllm_tpu.ops.flash_attention import (
+            flash_attention_segmented,
+        )
+
+        rng = np.random.default_rng(20)
+        lens = [50, 33, 70]
+        starts, seg = self._pack(lens, t_total=256)
+        t, nq, nkv, d = 256, 4, 4, 128
+        q = rng.normal(size=(t, nq, d)).astype(np.float32)
+        k = rng.normal(size=(t, nkv, d)).astype(np.float32)
+        v = rng.normal(size=(t, nkv, d)).astype(np.float32)
+        got = flash_attention_segmented(
+            jnp.asarray(q.reshape(t, -1)), jnp.asarray(k.reshape(t, -1)),
+            jnp.asarray(v.reshape(t, -1)), jnp.asarray(seg),
+            nq=nq, nkv=nkv, d=d, block_q=64, block_k=64, interpret=True,
+        )
+        got = np.asarray(got).reshape(t, nq, d)
+        for i, n in enumerate(lens):
+            s = starts[i]
+            ref = gqa_attention(
+                jnp.asarray(q[None, s : s + n]),
+                jnp.asarray(k[None, s : s + n]),
+                jnp.asarray(v[None, s : s + n]),
+                causal=False,
+            )
+            np.testing.assert_allclose(
+                got[s : s + n], np.asarray(ref)[0], atol=2e-5, rtol=1e-4
+            )
+        # gap rows finalize to zeros
+        np.testing.assert_array_equal(got[seg < 0], 0.0)
+
+    def test_causal_gqa_matches_per_utt(self):
+        from fun_asr_vllm_tpu.ops.flash_attention import (
+            flash_attention_segmented,
+        )
+
+        rng = np.random.default_rng(21)
+        lens = [40, 61]
+        starts, seg = self._pack(lens, t_total=192)
+        t, nq, nkv, d = 192, 8, 2, 128
+        q = rng.normal(size=(t, nq, d)).astype(np.float32)
+        k = rng.normal(size=(t, nkv, d)).astype(np.float32)
+        v = rng.normal(size=(t, nkv, d)).astype(np.float32)
+        got = flash_attention_segmented(
+            jnp.asarray(q.reshape(t, -1)), jnp.asarray(k.reshape(t, -1)),
+            jnp.asarray(v.reshape(t, -1)), jnp.asarray(seg),
+            nq=nq, nkv=nkv, d=d, causal=True, block_q=64, block_k=64,
+            interpret=True,
+        )
+        got = np.asarray(got).reshape(t, nq, d)
+        for i, n in enumerate(lens):
+            s = starts[i]
+            ref = gqa_attention(
+                jnp.asarray(q[None, s : s + n]),
+                jnp.asarray(k[None, s : s + n]),
+                jnp.asarray(v[None, s : s + n]),
+                causal=True,
+            )
+            np.testing.assert_allclose(
+                got[s : s + n], np.asarray(ref)[0], atol=2e-5, rtol=1e-4
+            )
