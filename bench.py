@@ -55,6 +55,10 @@ def main():
                     help="write a jax.profiler trace of the timed epoch")
     ap.add_argument("--no_prefetch", action="store_true")
     ap.add_argument("--pipeline_depth", type=int, default=1)
+    ap.add_argument("--packed", action="store_true",
+                    help="ragged mode: pack valid frames/tokens along one "
+                         "axis (engine/packed.py) instead of padding each "
+                         "wave to its max bucket")
     ap.add_argument("--sort_by_duration", action="store_true",
                     help="length-sort utterances before batching (tighter "
                          "padding buckets per wave; a scheduling freedom "
@@ -135,6 +139,7 @@ def main():
         # now the burst reads a hoisted gather instead (see BENCH_NOTES)
         pipeline_depth=args.pipeline_depth,
         quantize=args.quantize,
+        packed_prefill=args.packed,
     )
 
     # 4 s length buckets bound the number of compiled encoder shapes

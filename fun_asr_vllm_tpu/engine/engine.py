@@ -177,8 +177,13 @@ class LLM:
         single_shot_burst_cap: int = 32,
         pipeline_depth: int = 1,
         quantize: Optional[str] = None,
+        packed_prefill: bool = False,
         **_ignored,
     ) -> None:
+        # ragged mode: generate_fused packs all valid frames/tokens along
+        # one axis (engine/packed.py) instead of padding to the wave max.
+        # Greedy single-shot waves only; mesh waves use the padded path.
+        self.packed_prefill = packed_prefill
         self.decode_burst_size = max(1, decode_burst_size)
         # the fused single-shot program sizes its in-graph burst to cover
         # sampling_params.max_tokens (snapped to 8 to bound compile
@@ -748,20 +753,63 @@ class LLM:
                 mbu = min(self.cache_cfg.max_blocks_per_seq,
                           -(-need // 8) * 8)
                 t0 = time.perf_counter()
-                tokens, self.k_cache, self.v_cache = fused_encode_prefill_decode(
-                    enc_params, ad_params, self.params,
-                    enc_cfg, ad_cfg, self.cfg,
-                    self.k_cache, self.v_cache,
-                    self._dp_shard(speech[start:stop]), jnp.asarray(frames),
-                    prefix_embeds, suffix_embeds,
-                    jnp.asarray(prompt_lens.astype(np.int32)),
-                    jnp.asarray(tables[:, :mbu]),
-                    t_bucket=tb, num_steps=k, use_pallas=self.use_pallas_burst,
-                    eos_ids=(self._eos_arr if self.early_exit_bursts
-                             else None),
-                    early_exit=self.early_exit_bursts,
-                    **fe_kw,
-                )
+                if self.packed_prefill and self.mesh is None:
+                    from .packed import (
+                        fused_encode_prefill_decode_packed,
+                        plan_frame_pack,
+                        plan_prompt_pack,
+                    )
+
+                    t_pad_feat = frontend.frame_count(speech.shape[1])
+                    if lfr_n != 1:
+                        t_pad_feat = -(-t_pad_feat // lfr_n)
+                    fp = plan_frame_pack(frames, t_pad_feat)
+                    ppk = plan_prompt_pack(
+                        p, q, fp.tok_starts, fp.tok_counts, tables, bs_blk
+                    )
+                    tokens, self.k_cache, self.v_cache = (
+                        fused_encode_prefill_decode_packed(
+                            enc_params, ad_params, self.params,
+                            enc_cfg, ad_cfg, self.cfg,
+                            self.k_cache, self.v_cache,
+                            speech[start:stop],
+                            jnp.asarray(fp.src_idx),
+                            jnp.asarray(fp.seg_ids),
+                            jnp.asarray(fp.pos_ids),
+                            jnp.asarray(fp.m1), jnp.asarray(fp.m2),
+                            jnp.asarray(ppk.emb_src),
+                            jnp.asarray(ppk.seg_ids),
+                            jnp.asarray(ppk.pos_ids),
+                            jnp.asarray(ppk.write_blocks),
+                            jnp.asarray(ppk.write_offsets),
+                            jnp.asarray(ppk.last_idx),
+                            prefix_embeds, suffix_embeds,
+                            jnp.asarray(prompt_lens.astype(np.int32)),
+                            jnp.asarray(tables[:, :mbu]),
+                            num_steps=k,
+                            eos_ids=(self._eos_arr if self.early_exit_bursts
+                                     else None),
+                            early_exit=self.early_exit_bursts,
+                            frame_k_window=fp.k_window,
+                            prompt_k_window=ppk.k_window,
+                            **fe_kw,
+                        )
+                    )
+                else:
+                    tokens, self.k_cache, self.v_cache = fused_encode_prefill_decode(
+                        enc_params, ad_params, self.params,
+                        enc_cfg, ad_cfg, self.cfg,
+                        self.k_cache, self.v_cache,
+                        self._dp_shard(speech[start:stop]), jnp.asarray(frames),
+                        prefix_embeds, suffix_embeds,
+                        jnp.asarray(prompt_lens.astype(np.int32)),
+                        jnp.asarray(tables[:, :mbu]),
+                        t_bucket=tb, num_steps=k, use_pallas=self.use_pallas_burst,
+                        eos_ids=(self._eos_arr if self.early_exit_bursts
+                                 else None),
+                        early_exit=self.early_exit_bursts,
+                        **fe_kw,
+                    )
                 self.stats["t_dispatch"] += time.perf_counter() - t0
                 # the dispatch above is async — with pipeline_depth ≥ 2
                 # (disjoint slots/blocks for two waves) process the

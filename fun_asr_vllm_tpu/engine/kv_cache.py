@@ -495,6 +495,7 @@ def _prefill_core_packed(
     write_offsets: jax.Array,   # [TTP]
     last_idx: jax.Array,        # [B] packed index of each prompt's last token
     use_flash: bool = False,
+    k_window: int = 0,
 ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array, jax.Array]:
     """Ragged/varlen prefill: every sequence's prompt tokens packed
     along ONE time axis (segment-block-diagonal causal attention) —
@@ -527,9 +528,12 @@ def _prefill_core_packed(
         if use_flash:
             from ..ops.flash_attention import flash_attention_segmented
 
+            # bq=256 keeps the head-batched block set (q/out at Nq·D=2048
+            # wide, f32 acc, double-buffered) inside VMEM
             att = flash_attention_segmented(
                 q.reshape(ttp, -1), k.reshape(ttp, -1), v.reshape(ttp, -1),
                 seg_ids, nq=nq, nkv=nkv, d=d, causal=True,
+                block_q=256, block_k=512, k_window=k_window,
             )
         else:
             from ..ops.attention import segment_attention_xla
@@ -555,7 +559,7 @@ def _prefill_core_packed(
 
 prefill_step_packed = partial(
     jax.jit,
-    static_argnames=("cfg", "use_flash"),
+    static_argnames=("cfg", "use_flash", "k_window"),
     donate_argnames=("k_cache", "v_cache"),
 )(_prefill_core_packed)
 

@@ -40,6 +40,31 @@ from ..models.qwen3 import Qwen3Config
 from .kv_cache import _burst_core, _prefill_core_packed
 
 ALIGN = 16  # frame segment alignment; gap ≥ ALIGN zeros between segments
+PACK_BLOCK = 512        # prompt-level segmented-kernel tile (ttp bucket)
+FRAME_BLOCK = 1024      # frame-level segmented-kernel tile (tt bucket)
+
+
+def _k_window(seg: np.ndarray, block: int = PACK_BLOCK) -> int:
+    """Width (in k-blocks) of the widest q-block's segment span — the
+    static W for flash_attention_segmented's windowed grid. Snapped to
+    even values to bound compile variants."""
+    t = len(seg)
+    nb = max(1, t // block)
+    starts: Dict[int, int] = {}
+    ends: Dict[int, int] = {}
+    for i, s in enumerate(seg.tolist()):
+        if s >= 0:
+            starts.setdefault(s, i)
+            ends[s] = i
+    width = 1
+    for b in range(nb):
+        blk = seg[b * block : (b + 1) * block]
+        valid = blk[blk >= 0]
+        if valid.size == 0:
+            continue
+        lo, hi = int(valid.min()), int(valid.max())
+        width = max(width, ends[hi] // block - starts[lo] // block + 1)
+    return min(nb, -(-width // 2) * 2)
 
 
 @dataclasses.dataclass
@@ -53,6 +78,7 @@ class FramePack:
     starts: List[int]
     tok_starts: List[int]   # audio-token start per utt (= start//8)
     tok_counts: List[int]   # = downsampled_length(t_i)
+    k_window: int = 0       # static W for the windowed segmented kernel
 
 
 def plan_frame_pack(
@@ -75,14 +101,22 @@ def plan_frame_pack(
         pos[off : off + t] = np.arange(t)
         src[off : off + t] = i * t_pad + np.arange(t)
         o1 = 1 + (t - 1) // 2
-        m1[off // 2 : off // 2 + o1] = 1.0
+        # keep ONE slot past conv1's valid range: the padded-batch
+        # adaptor (funasr semantics, models/adaptor.forward) lets conv2's
+        # last valid output read conv1-out[o1] — a boundary value built
+        # from the zeroed encoder tail, not conv2's own zero padding.
+        # Including that slot makes packed ≡ padded bit-for-bit; the
+        # NEXT segment's conv2 still sees a zero at its left edge
+        # because the remaining gap slots stay masked.
+        m1[off // 2 : off // 2 + o1 + 1] = 1.0
         o2 = 1 + (o1 - 1) // 2
         m2[off // 4 : off // 4 + o2] = 1.0
         tok_starts.append(off // 8)
         tok_counts.append(downsampled_length(t))
         off += allocs[i]
     return FramePack(tt, seg, pos, src, m1[:, None], m2[:, None],
-                     starts, tok_starts, tok_counts)
+                     starts, tok_starts, tok_counts,
+                     _k_window(seg, FRAME_BLOCK))
 
 
 @dataclasses.dataclass
@@ -95,6 +129,7 @@ class PromptPack:
     write_offsets: np.ndarray
     last_idx: np.ndarray   # [B]
     prompt_lens: np.ndarray  # [B]
+    k_window: int = 0      # static W for the windowed segmented kernel
 
 
 def plan_prompt_pack(
@@ -135,14 +170,16 @@ def plan_prompt_pack(
         last[i] = off + L - 1
         off += allocs[i]
     return PromptPack(ttp, seg, pos, emb, wb, wo, last,
-                      np.asarray(lens, np.int64))
+                      np.asarray(lens, np.int64), _k_window(seg))
 
 
 @partial(
     jax.jit,
     static_argnames=("enc_cfg", "ad_cfg", "llm_cfg", "num_steps",
                      "frame_length", "frame_shift", "n_mels", "window_type",
-                     "fs", "lfr_m", "lfr_n", "early_exit", "decode_only_prefill"),
+                     "fs", "lfr_m", "lfr_n", "early_exit",
+                     "decode_only_prefill", "frame_k_window",
+                     "prompt_k_window"),
     donate_argnames=("k_cache", "v_cache"),
 )
 def fused_encode_prefill_decode_packed(
@@ -183,6 +220,8 @@ def fused_encode_prefill_decode_packed(
     eos_ids=None,
     early_exit: bool = False,
     decode_only_prefill: bool = False,
+    frame_k_window: int = 0,
+    prompt_k_window: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """ONE dispatch: fbank → packed encoder → packed adaptor → packed
     prompt assembly → ragged prefill → K fused greedy decode steps.
@@ -202,7 +241,8 @@ def fused_encode_prefill_decode_packed(
     flat = feats.reshape(b * t_pad, d_in)
     x = flat[frame_src] * (frame_seg >= 0)[:, None].astype(flat.dtype)
     enc = encoder_mod.encode_packed(
-        enc_params, enc_cfg, x, frame_seg, frame_pos
+        enc_params, enc_cfg, x, frame_seg, frame_pos,
+        k_window=frame_k_window,
     )
     audio = adaptor_mod.forward_packed(ad_params, ad_cfg, enc, m1, m2)
     h = audio.shape[-1]
@@ -214,7 +254,7 @@ def fused_encode_prefill_decode_packed(
     (_logits, first_ids), k_cache, v_cache = _prefill_core_packed(
         llm_params, llm_cfg, k_cache, v_cache, embeds, p_pos, p_seg,
         write_blocks, write_offsets, last_idx,
-        use_flash=llm_cfg.use_flash,
+        use_flash=llm_cfg.use_flash, k_window=prompt_k_window,
     )
     if decode_only_prefill:
         return first_ids[None], k_cache, v_cache

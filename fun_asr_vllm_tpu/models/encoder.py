@@ -222,6 +222,7 @@ def _sanm_attention_packed(
     x: jax.Array,        # [TT, in_dim] packed tokens
     seg_ids: jax.Array,  # [TT]
     gap_mask: jax.Array,  # [TT, 1] 1.0 valid / 0.0 gap
+    k_window: int = 0,
 ) -> jax.Array:
     d = cfg.output_size
     h = cfg.attention_heads
@@ -236,8 +237,13 @@ def _sanm_attention_packed(
     if cfg.use_flash:
         from ..ops.flash_attention import flash_attention_segmented
 
+        # 512×1024 tiles: fewer grid programs than 512² at the bench's
+        # ~11k-frame packing (per-tile setup overhead, not FLOPs or
+        # bytes, dominates); bq capped at 512 to fit VMEM with the
+        # head-batched block layout + double buffering
         att = flash_attention_segmented(
             q2, k2, v2, seg_ids, nq=h, nkv=h, d=d // h,
+            block_q=512, block_k=1024, k_window=k_window,
         )
     else:
         from ..ops.attention import segment_attention_xla
@@ -253,21 +259,23 @@ def _encoder_layer_packed(
     seg_ids: jax.Array,
     gap_mask: jax.Array,
     residual_attn: bool = True,
+    k_window: int = 0,
 ) -> jax.Array:
     h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
-    att = _sanm_attention_packed(lp, cfg, h, seg_ids, gap_mask)
+    att = _sanm_attention_packed(lp, cfg, h, seg_ids, gap_mask, k_window)
     x = x + att if residual_attn else att
     h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
     return x + _ffn(lp, h)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "k_window"))
 def encode_packed(
     params: Dict,
     cfg: SANMEncoderConfig,
     speech: jax.Array,   # [TT, input_size] packed valid frames (+ gaps)
     seg_ids: jax.Array,  # [TT] int32: utterance id, -1 = gap
     pos_ids: jax.Array,  # [TT] int32: frame position WITHIN its utterance
+    k_window: int = 0,
 ) -> jax.Array:
     """Packed (ragged) encoder forward → [TT, output_size].
 
@@ -290,11 +298,14 @@ def encode_packed(
     x = _encoder_layer_packed(
         params["layer0"], cfg, x, seg_ids, gap_mask,
         residual_attn=(cfg.input_size == cfg.output_size),
+        k_window=k_window,
     )
 
     def body(carry, lp):
         return (
-            _encoder_layer_packed(lp, cfg, carry, seg_ids, gap_mask), None
+            _encoder_layer_packed(lp, cfg, carry, seg_ids, gap_mask,
+                                  k_window=k_window),
+            None,
         )
 
     x, _ = jax.lax.scan(body, x, params["layers"])

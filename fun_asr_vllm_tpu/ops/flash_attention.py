@@ -168,58 +168,58 @@ def _flash_kernel_cb(
 
 
 def _flash_kernel_seg(
-    q_lo_ref, q_hi_ref, k_lo_ref, k_hi_ref,  # scalar prefetch: per-block
+    kmin_ref, kmax_ref,  # scalar prefetch: k-block window per q-block
     seg_q_ref,     # [1, 8, BQ] int32 segment id per q row (row-major dup)
     seg_k_ref,     # [1, 8, BK]
-    q_ref,         # [1, BQ, D]
-    k_ref,         # [1, BK, D]
-    v_ref,         # [1, BK, D]
-    out_ref,       # [1, BQ, D]
-    acc_ref, m_ref, l_ref,
+    q_ref,         # [1, BQ, Nq*D] ALL heads
+    k_ref,         # [1, BK, Nkv*D]
+    v_ref,         # [1, BK, Nkv*D]
+    out_ref,       # [1, BQ, Nq*D]
+    acc_ref,       # [BQ, Nq*D] f32
+    m_ref,         # [BQ, 128] f32 — column h holds head h's running max
+    l_ref,         # [BQ, 128] f32
     *,
+    nq: int,
+    n_rep: int,
+    d: int,
     block_q: int,
     block_k: int,
     causal: bool,
     scale: float,
 ):
-    """Packed/varlen grid: (Nq, T/BQ, S/BK) over [1, T, N*D] with
+    """Packed/varlen HEAD-BATCHED grid: (T/BQ, W) over [1, T, N*D] with
     per-token SEGMENT IDS — attention is block-diagonal over segments
-    (gap tokens carry seg id -1 and match nothing). Host-computed
-    per-block segment ranges (min/max valid id per q/k block) skip
-    whole tiles with no overlapping segment: for the ~670-frame mean
-    utterance mix packed into one ~11k-frame sequence, that's the
-    difference between O(sum t_i²) and O((sum t_i)²) work."""
-    qi = pl.program_id(1)
-    kj = pl.program_id(2)
-    nk = pl.num_programs(2)
+    (gap tokens carry seg id -1 and match nothing).
+
+    - The k grid dim is a WINDOW of W k-blocks anchored at kmin[qi]
+      (each q-block's segments are contiguous, so their keys span few
+      k-blocks): out-of-window tiles pay neither compute nor DMA — a
+      dense (T/BQ)×(T/BK) grid still fetches blocks for skipped tiles,
+      which measured ~2× the useful work at the bench's 11k-frame pack.
+    - ALL heads process inside one program (an unrolled loop over
+      D-wide column slices): ~Nq× fewer grid programs, one mask
+      computation per tile instead of per (head, tile) — per-program
+      setup overhead, not FLOPs, dominated the per-head variant."""
+    qi = pl.program_id(0)
+    w = pl.program_id(1)
+    nw = pl.num_programs(1)
+    kj = kmin_ref[qi] + w
     q_start = qi * block_q
     k_start = kj * block_k
 
-    @pl.when(kj == 0)
+    @pl.when(w == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    # skip tiles whose q/k blocks contain no common segment
-    in_range = jnp.logical_and(
-        q_lo_ref[qi] <= k_hi_ref[kj], k_lo_ref[kj] <= q_hi_ref[qi]
-    )
+    in_range = kj <= kmax_ref[qi]
     if causal:
         in_range = jnp.logical_and(in_range,
                                    k_start <= q_start + block_q - 1)
 
     @pl.when(in_range)
     def _process():
-        q = q_ref[0]
-        if scale != 1.0:
-            q = q * jnp.asarray(scale, q.dtype)
-        k = k_ref[0]
-        v = v_ref[0]
-        scores = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [BQ, BK]
         seg_q = seg_q_ref[0, 0, :]  # [BQ]
         seg_k = seg_k_ref[0, 0, :]  # [BK]
         mask = jnp.logical_and(
@@ -233,37 +233,57 @@ def _flash_kernel_seg(
                 jnp.int32, (block_q, block_k), 0
             )
             mask = jnp.logical_and(mask, kpos <= qpos)
-        scores = jnp.where(mask, scores, _NEG_INF)
-        m_prev = m_ref[:, :1]
-        l_prev = l_ref[:, :1]
-        m_cur = jnp.max(scores, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(scores - m_new)
-        # fully-masked rows (gap q tokens): exp(-1e30 - max) can still
-        # be 1.0 when the whole row is -1e30; zero those contributions
-        p = jnp.where(mask, p, 0.0)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[:] = acc_ref[:] * alpha + pv
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
-    @pl.when(kj == nk - 1)
+        for h in range(nq):
+            g = h // n_rep
+            q = q_ref[0, :, h * d : (h + 1) * d]
+            if scale != 1.0:
+                q = q * jnp.asarray(scale, q.dtype)
+            k = k_ref[0, :, g * d : (g + 1) * d]
+            v = v_ref[0, :, g * d : (g + 1) * d]
+            scores = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BQ, BK]
+            scores = jnp.where(mask, scores, _NEG_INF)
+            m_prev = m_ref[:, h : h + 1]
+            l_prev = l_ref[:, h : h + 1]
+            m_cur = jnp.max(scores, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(scores - m_new)
+            # fully-masked rows (gap q tokens): exp(-1e30 - max) can
+            # still be 1.0 when the whole row is -1e30; zero them
+            p = jnp.where(mask, p, 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[:, h * d : (h + 1) * d] = (
+                acc_ref[:, h * d : (h + 1) * d] * alpha + pv
+            )
+            m_ref[:, h : h + 1] = m_new
+            l_ref[:, h : h + 1] = l_new
+
+    @pl.when(w == nw - 1)
     def _finalize():
-        l = l_ref[:, :1]
+        acc = acc_ref[:].reshape(block_q, nq, d)
+        l = l_ref[:, :nq][:, :, None]
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        out_ref[0] = (acc_ref[:] / safe_l).astype(out_ref.dtype)
+        out_ref[0] = (acc / safe_l).reshape(block_q, nq * d).astype(
+            out_ref.dtype
+        )
+
+
+_MAX_SEGMENTS = 1024  # scatter-table cap for in-graph segment ranges
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("nq", "nkv", "d", "causal", "block_q", "block_k",
-                     "interpret"),
+                     "k_window", "interpret"),
 )
 def flash_attention_segmented(
     q2: jax.Array,       # [T, Nq*D] packed tokens (all segments)
@@ -277,63 +297,97 @@ def flash_attention_segmented(
     causal: bool = False,
     block_q: int = 512,
     block_k: int = 512,
+    k_window: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Segment-masked (block-diagonal) flash attention over a PACKED
     token sequence → [T, Nq*D]. T must be a multiple of the block sizes
-    (the packer aligns to 16-frame boundaries and buckets T). Per-block
-    segment ranges are computed in-graph (cheap [T]-sized reductions)
-    and prefetched so disjoint tiles never run."""
+    (the packer aligns to 16-frame boundaries and buckets T).
+
+    The grid is (Nq, T/BQ, W): for each q-block, only the W k-blocks
+    spanned by its segments are visited (anchored at an in-graph
+    computed kmin per q-block) — out-of-window tiles pay neither
+    compute nor DMA. `k_window=0` sizes W from the longest segment
+    (ceil(max_seg_len/block_k) + 1); pass a wave-constant explicitly to
+    bound compile variants."""
     t = q2.shape[0]
     n_rep = nq // nkv
     block_q = min(block_q, t)
     block_k = min(block_k, t)
     seg_ids = seg_ids.astype(jnp.int32)
+    nkb = t // block_k
 
     big = jnp.int32(2**30)
+    # per-segment [start, end] positions via scatter-min/max, then per
+    # q-block k-window [kmin, kmax] from its segment range. Cheap [T]
+    # reductions, fully in-graph (no layout recompiles).
+    segc = jnp.where(seg_ids >= 0, seg_ids, 0)
+    seg_start = jnp.full((_MAX_SEGMENTS,), big, jnp.int32).at[segc].min(
+        jnp.where(seg_ids >= 0, jnp.arange(t, dtype=jnp.int32), big)
+    )
+    seg_end = jnp.zeros((_MAX_SEGMENTS,), jnp.int32).at[segc].max(
+        jnp.where(seg_ids >= 0, jnp.arange(t, dtype=jnp.int32), 0)
+    )
     segq = seg_ids.reshape(t // block_q, block_q)
-    segk = seg_ids.reshape(t // block_k, block_k)
-    # valid-only min (gaps = -1 → +inf for min); max over raw ids is fine
     q_lo = jnp.min(jnp.where(segq >= 0, segq, big), axis=1)
     q_hi = jnp.max(segq, axis=1)
-    k_lo = jnp.min(jnp.where(segk >= 0, segk, big), axis=1)
-    k_hi = jnp.max(segk, axis=1)
+    empty = q_hi < 0
+    kmin = jnp.where(
+        empty, 0, seg_start[jnp.clip(q_lo, 0, _MAX_SEGMENTS - 1)] // block_k
+    ).astype(jnp.int32)
+    kmax = jnp.where(
+        empty, -1, seg_end[jnp.clip(q_hi, 0, _MAX_SEGMENTS - 1)] // block_k
+    ).astype(jnp.int32)
+    kmin = jnp.clip(kmin, 0, nkb - 1)
+
+    if k_window <= 0:
+        # W must be static: size for the worst case (one segment spanning
+        # everything). Callers with layout knowledge pass a tight W.
+        k_window = nkb
+    k_window = min(k_window, nkb)
 
     # seg ids as [1, 8, T] so (1, 8, B*) blocks are (sublane, lane)-tiled
     seg_row = jnp.broadcast_to(seg_ids[None, None, :], (1, 8, t))
 
+    def k_block(qi, w, kmin_ref):
+        return jnp.minimum(kmin_ref[qi] + w, nkb - 1)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(nq, t // block_q, t // block_k),
+        num_scalar_prefetch=2,
+        grid=(t // block_q, k_window),
         in_specs=[
             pl.BlockSpec((1, 8, block_q),
-                         lambda h, qi, kj, *_: (0, 0, qi),
+                         lambda qi, w, *_: (0, 0, qi),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, block_k),
-                         lambda h, qi, kj, *_: (0, 0, kj),
+                         lambda qi, w, kmin_ref, kmax_ref: (
+                             0, 0, k_block(qi, w, kmin_ref)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d),
-                         lambda h, qi, kj, *_: (0, qi, h),
+            pl.BlockSpec((1, block_q, nq * d),
+                         lambda qi, w, *_: (0, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d),
-                         lambda h, qi, kj, *_: (0, kj, h // n_rep),
+            pl.BlockSpec((1, block_k, nkv * d),
+                         lambda qi, w, kmin_ref, kmax_ref: (
+                             0, k_block(qi, w, kmin_ref), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d),
-                         lambda h, qi, kj, *_: (0, kj, h // n_rep),
+            pl.BlockSpec((1, block_k, nkv * d),
+                         lambda qi, w, kmin_ref, kmax_ref: (
+                             0, k_block(qi, w, kmin_ref), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda h, qi, kj, *_: (0, qi, h),
+            (1, block_q, nq * d), lambda qi, w, *_: (0, qi, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, nq * d), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
     )
     kernel = functools.partial(
-        _flash_kernel_seg, block_q=block_q, block_k=block_k, causal=causal,
+        _flash_kernel_seg, nq=nq, n_rep=n_rep, d=d,
+        block_q=block_q, block_k=block_k, causal=causal,
         scale=d ** -0.5,
     )
     out = pl.pallas_call(
@@ -341,8 +395,7 @@ def flash_attention_segmented(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, t, nq * d), q2.dtype),
         interpret=interpret,
-    )(q_lo, q_hi, k_lo, k_hi, seg_row, seg_row,
-      q2[None], k2[None], v2[None])
+    )(kmin, kmax, seg_row, seg_row, q2[None], k2[None], v2[None])
     return out[0]
 
 

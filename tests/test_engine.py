@@ -251,6 +251,49 @@ class TestSingleShot:
 
         assert run(2) == run(1)
 
+    def test_generate_fused_packed_matches_padded(self, setup):
+        """packed_prefill=True (ragged pipeline: packed encoder + adaptor
+        + varlen prefill, engine/packed.py) must produce the same token
+        streams as the padded fused path, including continuations."""
+        import jax.numpy as jnp
+
+        from fun_asr_vllm_tpu.audio.frontend import WavFrontend
+        from fun_asr_vllm_tpu.models import adaptor as adaptor_mod
+        from fun_asr_vllm_tpu.models import encoder as encoder_mod
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        enc_cfg = encoder_mod.SANMEncoderConfig(
+            input_size=80, output_size=32, attention_heads=4,
+            linear_units=64, num_blocks=2, dtype=jnp.float32,
+        )
+        ad_cfg = adaptor_mod.NanoAdaptorConfig(
+            encoder_dim=32, llm_dim=h, ffn_dim=64, dtype=jnp.float32
+        )
+        key = jax.random.PRNGKey(3)
+        enc_params = encoder_mod.init_params(enc_cfg, key)
+        ad_params = adaptor_mod.init_params(ad_cfg, key)
+        fe = WavFrontend(dither=0.0)
+        rng = np.random.default_rng(7)
+        wavs = [rng.normal(scale=0.05, size=n).astype(np.float32)
+                for n in (16000, 9000, 12000, 7000, 20000)]
+        pcm, frames = fe.batchify(wavs)
+        prefix = jnp.asarray(rng.normal(scale=0.3, size=(3, h)), jnp.float32)
+        suffix = jnp.asarray(rng.normal(scale=0.3, size=(2, h)), jnp.float32)
+        sp = SamplingParams(temperature=0.0, max_tokens=5)
+
+        def run(packed):
+            llm = make_llm(params, cfg, max_num_seqs=3,
+                           decode_burst_size=8, packed_prefill=packed)
+            outs = llm.generate_fused(
+                pcm, frames, enc_params, enc_cfg, ad_params, ad_cfg, fe,
+                prefix, suffix, sp,
+            )
+            assert len(llm._free_blocks) == llm.cache_cfg.num_blocks - 1
+            return [o.outputs[0].token_ids for o in outs]
+
+        assert run(True) == run(False)
+
     def test_generate_fused_with_lfr_cmvn(self, setup):
         """The fused program must apply LFR + CMVN in-graph, matching the
         multi-dispatch frontend.extract → encoder → adaptor path under the

@@ -219,3 +219,37 @@ class TestFlashAttentionSegmented:
             np.testing.assert_allclose(
                 got[s : s + n], np.asarray(ref)[0], atol=2e-5, rtol=1e-4
             )
+
+    def test_tight_k_window(self):
+        """Explicit k_window smaller than the dense grid must still
+        cover every segment's keys."""
+        from fun_asr_vllm_tpu.ops.flash_attention import (
+            flash_attention_segmented,
+        )
+
+        rng = np.random.default_rng(22)
+        lens = [60, 50, 45]
+        starts, seg = self._pack(lens, t_total=256)
+        t, nq, nkv, d = 256, 4, 4, 128
+        q = rng.normal(size=(t, nq, d)).astype(np.float32)
+        k = rng.normal(size=(t, nkv, d)).astype(np.float32)
+        v = rng.normal(size=(t, nkv, d)).astype(np.float32)
+        # block 64, segments ≤ 60+pad → span ≤ 2 blocks → W=3 is safe
+        got = flash_attention_segmented(
+            jnp.asarray(q.reshape(t, -1)), jnp.asarray(k.reshape(t, -1)),
+            jnp.asarray(v.reshape(t, -1)), jnp.asarray(seg),
+            nq=nq, nkv=nkv, d=d, block_q=64, block_k=64, k_window=3,
+            interpret=True,
+        )
+        got = np.asarray(got).reshape(t, nq, d)
+        for i, n in enumerate(lens):
+            s = starts[i]
+            ref = gqa_attention(
+                jnp.asarray(q[None, s : s + n]),
+                jnp.asarray(k[None, s : s + n]),
+                jnp.asarray(v[None, s : s + n]),
+                causal=False,
+            )
+            np.testing.assert_allclose(
+                got[s : s + n], np.asarray(ref)[0], atol=2e-5, rtol=1e-4
+            )

@@ -92,30 +92,37 @@ class TestEncodePacked:
             )
 
     def test_adaptor_packed_matches(self):
+        """Packed adaptor ≡ the PADDED-BATCH adaptor (funasr batched
+        semantics, incl. the conv1 boundary slot the last conv2 output
+        reads past each utterance's valid range)."""
         rng = np.random.default_rng(1)
         cfg = adaptor_mod.NanoAdaptorConfig(
             encoder_dim=64, llm_dim=48, ffn_dim=96, dtype=jnp.float32
         )
         params = adaptor_mod.init_params(cfg, jax.random.PRNGKey(1))
         fp = plan_frame_pack(FRAMES, T_PAD, bucket=256)
-        enc = rng.normal(size=(fp.tt, 64)).astype(np.float32)
-        enc *= (fp.seg_ids >= 0)[:, None]  # encoder zeroes gaps
+        # encoder output: valid frames random, padding/gaps zero (the
+        # encoder masks its output) — SAME values laid out both ways
+        enc_b = np.zeros((len(FRAMES), T_PAD, 64), np.float32)
+        for i, t in enumerate(FRAMES):
+            enc_b[i, :t] = rng.normal(size=(t, 64)) * 0.5
+        enc = np.zeros((fp.tt, 64), np.float32)
+        for i, t in enumerate(FRAMES):
+            enc[fp.starts[i] : fp.starts[i] + t] = enc_b[i, :t]
         packed = np.asarray(adaptor_mod.forward_packed(
             params, cfg, jnp.asarray(enc), jnp.asarray(fp.m1),
             jnp.asarray(fp.m2),
         ))
-        # reference: per-utt padded forward
-        for i, t in enumerate(FRAMES):
-            s = fp.starts[i]
-            ref, ref_lens = adaptor_mod.forward(
-                params, cfg, jnp.asarray(enc[None, s : s + t]),
-                jnp.asarray([t], np.int32),
-            )
-            n = int(ref_lens[0])
+        ref, ref_lens = adaptor_mod.forward(
+            params, cfg, jnp.asarray(enc_b),
+            jnp.asarray(np.asarray(FRAMES, np.int32)),
+        )
+        for i in range(len(FRAMES)):
+            n = int(ref_lens[i])
             assert n == fp.tok_counts[i]
             np.testing.assert_allclose(
                 packed[fp.tok_starts[i] : fp.tok_starts[i] + n],
-                np.asarray(ref)[0, :n], atol=2e-4, rtol=1e-3,
+                np.asarray(ref)[i, :n], atol=2e-4, rtol=1e-3,
             )
 
 
