@@ -55,6 +55,10 @@ def main():
                     help="write a jax.profiler trace of the timed epoch")
     ap.add_argument("--no_prefetch", action="store_true")
     ap.add_argument("--pipeline_depth", type=int, default=1)
+    ap.add_argument("--kv_cache_dtype", type=str, default=None,
+                    choices=(None, "int8"),
+                    help="int8-paged KV cache (halved paged-attention "
+                         "reads; approximate — logits perturbed)")
     ap.add_argument("--packed", action="store_true",
                     help="ragged mode: pack valid frames/tokens along one "
                          "axis (engine/packed.py) instead of padding each "
@@ -140,6 +144,7 @@ def main():
         pipeline_depth=args.pipeline_depth,
         quantize=args.quantize,
         packed_prefill=args.packed,
+        kv_cache_dtype=args.kv_cache_dtype,
     )
 
     # 4 s length buckets bound the number of compiled encoder shapes

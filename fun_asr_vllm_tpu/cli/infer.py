@@ -40,6 +40,9 @@ def get_args():
     p.add_argument("--quantize", type=str, default=None,
                    choices=(None, "int8"),
                    help="opt-in weight-only int8 decoder")
+    p.add_argument("--packed", action="store_true",
+                   help="ragged mode: pack valid frames/tokens along one "
+                        "axis instead of padding each wave (engine/packed.py)")
     p.add_argument("--max_num_seqs", type=int, default=None)
     return p.parse_args()
 
@@ -82,7 +85,7 @@ def main():
         args.model_dir, dtype=args.dtype,
         enable_engine=not args.disable_engine,
         max_num_seqs=args.max_num_seqs or args.batch_size,
-        quantize=args.quantize,
+        quantize=args.quantize, packed=args.packed,
     )
 
     dataset = hf_datasets.load_dataset(

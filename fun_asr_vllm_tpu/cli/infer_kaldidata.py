@@ -56,6 +56,9 @@ def get_args():
     p.add_argument("--quantize", type=str, default=None,
                    choices=(None, "int8"),
                    help="opt-in weight-only int8 decoder")
+    p.add_argument("--packed", action="store_true",
+                   help="ragged mode: pack valid frames/tokens along one "
+                        "axis instead of padding each wave (engine/packed.py)")
     p.add_argument("--max_tokens", type=int, default=500)
     p.add_argument("--disable_engine", action="store_true")
     return p.parse_args()
@@ -166,6 +169,7 @@ def main():
         enable_engine=not args.disable_engine,
         max_num_seqs=args.batch_size, itn=args.itn, language=args.language,
         max_tokens=args.max_tokens, mesh=mesh, quantize=args.quantize,
+        packed=args.packed,
     )
 
     if args.distributed:

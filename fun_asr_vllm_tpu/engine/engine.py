@@ -178,6 +178,7 @@ class LLM:
         pipeline_depth: int = 1,
         quantize: Optional[str] = None,
         packed_prefill: bool = False,
+        kv_cache_dtype: Optional[str] = None,
         **_ignored,
     ) -> None:
         # ragged mode: generate_fused packs all valid frames/tokens along
@@ -227,9 +228,14 @@ class LLM:
         if num_blocks is None:
             # enough pages for all slots at max length, + slack + garbage blk
             num_blocks = self.n_slots * mb + mb + 1
+        if kv_cache_dtype not in (None, "auto", "int8"):
+            raise ValueError(f"unknown kv_cache_dtype {kv_cache_dtype!r}")
+        kv_quant = kv_cache_dtype == "int8"
+        if kv_quant and mesh is not None:
+            raise NotImplementedError("int8 KV cache with mesh not wired")
         self.cache_cfg = CacheConfig(
             num_blocks=num_blocks, block_size=block_size,
-            max_blocks_per_seq=mb, dtype=jdtype,
+            max_blocks_per_seq=mb, dtype=jdtype, kv_quant=kv_quant,
         )
         self.k_cache, self.v_cache = init_cache(config, self.cache_cfg)
         self._dp = 1
@@ -269,6 +275,11 @@ class LLM:
                 and config.head_dim % 128 == 0
                 and config.num_attention_heads >= 8
             )
+        if kv_quant:
+            # int8 pages dequantize after the XLA gather; the Pallas
+            # decode kernels read bf16 pages directly
+            use_pallas = False
+            use_pallas_burst = False
         self.use_pallas = use_pallas
         # A/B at flagship shapes (BENCH_NOTES round 2): the XLA live-width
         # gather beats the per-(seq,page) Pallas kernel inside the burst
@@ -942,9 +953,11 @@ class LLM:
 
 
 @partial(jax.jit, donate_argnames=("cache",))
-def _copy_block(cache: jax.Array, src: jax.Array, dst: jax.Array):
+def _copy_block(cache, src: jax.Array, dst: jax.Array):
     """Copy one KV page across all layers (boundary-block isolation for
-    PromptSession suffix decodes)."""
+    PromptSession suffix decodes). Handles int8-paged pytree caches."""
+    if isinstance(cache, dict):
+        return {k: v.at[:, dst].set(v[:, src]) for k, v in cache.items()}
     return cache.at[:, dst].set(cache[:, src])
 
 

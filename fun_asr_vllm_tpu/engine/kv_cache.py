@@ -40,23 +40,75 @@ class CacheConfig:
     block_size: int = 16
     max_blocks_per_seq: int = 128  # → max seq len = 2048 tokens by default
     dtype: "jnp.dtype" = jnp.bfloat16
+    kv_quant: bool = False  # int8 pages + per-(token, head) f32 scales
 
     @property
     def max_model_len(self) -> int:
         return self.max_blocks_per_seq * self.block_size
 
 
-def init_cache(cfg: Qwen3Config, cc: CacheConfig) -> Tuple[jax.Array, jax.Array]:
+def init_cache(cfg: Qwen3Config, cc: CacheConfig):
+    """→ (k_cache, v_cache). Each is a plain array, or — with
+    `kv_quant` — a pytree ``{"q": int8 [L,NB,BS,Nkv,D], "s": f32
+    [L,NB,BS,Nkv,1]}`` (symmetric per-token-per-head scales): halves the
+    paged-attention HBM reads, the decode bottleneck at long contexts.
+    jit/donation handle the pytree transparently."""
     shape = (
         cfg.num_hidden_layers, cc.num_blocks, cc.block_size,
         cfg.num_key_value_heads, cfg.head_dim,
     )
+    if cc.kv_quant:
+        def one():
+            return {"q": jnp.zeros(shape, jnp.int8),
+                    "s": jnp.zeros((*shape[:-1], 1), jnp.float32)}
+
+        return one(), one()
     return jnp.zeros(shape, cc.dtype), jnp.zeros(shape, cc.dtype)
 
 
-def _gather_pages(cache_l: jax.Array, block_tables: jax.Array) -> jax.Array:
-    """cache_l [NB, BS, Nkv, D], block_tables [S, MB] → [S, MB*BS, Nkv, D]."""
+def cache_block_size(cache) -> int:
+    return (cache["q"] if isinstance(cache, dict) else cache).shape[2]
+
+
+def _quantize_kv(x: jax.Array):
+    """[..., D] → (int8 [..., D], f32 scale [..., 1]); symmetric."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _cache_layer(cache, lid):
+    if isinstance(cache, dict):
+        return {"q": cache["q"][lid], "s": cache["s"][lid]}
+    return cache[lid]
+
+
+def _cache_write(cache, idx, values, dtype):
+    """Scatter `values` [..., D] at cache[idx] (idx = tuple of index
+    arrays addressing [..., D] slots), quantizing when the cache is
+    int8-paged."""
+    if isinstance(cache, dict):
+        q, s = _quantize_kv(values)
+        return {"q": cache["q"].at[idx].set(q),
+                "s": cache["s"].at[idx].set(s)}
+    return cache.at[idx].set(values.astype(dtype))
+
+
+def _gather_pages(cache_l, block_tables: jax.Array,
+                  out_dtype=None) -> jax.Array:
+    """cache_l [NB, BS, Nkv, D] (or int8+scale pytree), block_tables
+    [S, MB] → [S, MB*BS, Nkv, D]; int8 pages dequantize AFTER the
+    gather, so the HBM read is half-width."""
     s, mb = block_tables.shape
+    if isinstance(cache_l, dict):
+        nb, bs, nkv, d = cache_l["q"].shape
+        q = jnp.take(cache_l["q"], block_tables.reshape(-1), axis=0)
+        sc = jnp.take(cache_l["s"], block_tables.reshape(-1), axis=0)
+        out = q.astype(jnp.float32) * sc
+        return out.reshape(s, mb * bs, nkv, d).astype(
+            out_dtype or jnp.bfloat16
+        )
     nb, bs, nkv, d = cache_l.shape
     pages = jnp.take(cache_l, block_tables.reshape(-1), axis=0)
     return pages.reshape(s, mb * bs, nkv, d)
@@ -119,7 +171,7 @@ def _decode_core(
     rows must point at 0); callers ignore their logits.
     """
     s = token_ids.shape[0]
-    bs = k_cache.shape[2]
+    bs = cache_block_size(k_cache)
     mb = block_tables.shape[1]
     x = qwen3.embed_tokens(params, token_ids).astype(cfg.dtype)  # [S, H]
 
@@ -155,9 +207,10 @@ def _decode_core(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        kc = kc.at[lid, write_blocks, write_offsets].set(k.astype(kc.dtype))
-        vc = vc.at[lid, write_blocks, write_offsets].set(v.astype(vc.dtype))
-        att = attn_impl(q, kc[lid], vc[lid], block_tables, seq_lens)
+        kc = _cache_write(kc, (lid, write_blocks, write_offsets), k, cfg.dtype)
+        vc = _cache_write(vc, (lid, write_blocks, write_offsets), v, cfg.dtype)
+        att = attn_impl(q, _cache_layer(kc, lid), _cache_layer(vc, lid),
+                        block_tables, seq_lens)
         xc = xc + qwen3.mm(att.reshape(s, -1), lp["wo"])
         h = rms_norm(xc, lp["post_ln"], cfg.rms_norm_eps)
         xc = xc + qwen3._layer_mlp(lp, h)
@@ -218,10 +271,14 @@ def _burst_core(
     s = token_ids.shape[0]
     nq, nkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
                   cfg.head_dim)
-    bs = k_cache.shape[2]
+    bs = cache_block_size(k_cache)
     K = num_steps
     # cached region length per seq (excludes the pending token)
     cached_lens = seq_lens - 1
+    if use_pallas and isinstance(k_cache, dict):
+        raise NotImplementedError(
+            "int8 KV cache uses the XLA gather path (use_pallas=False)"
+        )
     if use_pallas:
         from ..ops.paged_attention import paged_attention_pallas_stats
 
@@ -237,12 +294,12 @@ def _burst_core(
         # read+write+reread (3× the window bytes) per layer per step;
         # hoisted, the copy is paid once per burst and each step streams
         # the contiguous window (the irreducible attention read).
-        k_gathered = jax.vmap(_gather_pages, in_axes=(0, None))(
-            k_cache, block_tables
-        )
-        v_gathered = jax.vmap(_gather_pages, in_axes=(0, None))(
-            v_cache, block_tables
-        )
+        k_gathered = jax.vmap(
+            lambda c, bt: _gather_pages(c, bt, cfg.dtype), in_axes=(0, None)
+        )(k_cache, block_tables)
+        v_gathered = jax.vmap(
+            lambda c, bt: _gather_pages(c, bt, cfg.dtype), in_axes=(0, None)
+        )(v_cache, block_tables)
 
     k_recent0 = jnp.zeros((L, K, s, nkv, d), cfg.dtype)
     v_recent0 = jnp.zeros((L, K, s, nkv, d), cfg.dtype)
@@ -334,11 +391,12 @@ def _burst_core(
         0,
     ).reshape(-1)
     offsets = (tok_pos % bs).reshape(-1)
-    k_cache = k_cache.at[:, blocks, offsets].set(
-        k_recent.reshape(L, K * s, nkv, d).astype(k_cache.dtype)
+    idx = (slice(None), blocks, offsets)
+    k_cache = _cache_write(
+        k_cache, idx, k_recent.reshape(L, K * s, nkv, d), cfg.dtype
     )
-    v_cache = v_cache.at[:, blocks, offsets].set(
-        v_recent.reshape(L, K * s, nkv, d).astype(v_cache.dtype)
+    v_cache = _cache_write(
+        v_cache, idx, v_recent.reshape(L, K * s, nkv, d), cfg.dtype
     )
     return tokens, k_cache, v_cache
 
@@ -438,7 +496,7 @@ def _prefill_core(
     sequence-at-a-time CUDA-graph prefills; padding positions are masked
     out of attention and their KV routes to garbage block 0."""
     b, t, _ = inputs_embeds.shape
-    bs = k_cache.shape[2]
+    bs = cache_block_size(k_cache)
     pos = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
     hidden, kvs = qwen3.forward_hidden(
         params, cfg, inputs_embeds.astype(cfg.dtype), pos,
@@ -459,12 +517,9 @@ def _prefill_core(
     l = k_new.shape[0]
     k_flat = k_new.reshape(l, b * t, *k_new.shape[3:])
     v_flat = v_new.reshape(l, b * t, *v_new.shape[3:])
-    k_cache = k_cache.at[:, flat_blocks, flat_offsets].set(
-        k_flat.astype(k_cache.dtype)
-    )
-    v_cache = v_cache.at[:, flat_blocks, flat_offsets].set(
-        v_flat.astype(v_cache.dtype)
-    )
+    idx = (slice(None), flat_blocks, flat_offsets)
+    k_cache = _cache_write(k_cache, idx, k_flat, cfg.dtype)
+    v_cache = _cache_write(v_cache, idx, v_flat, cfg.dtype)
 
     last_hidden = jnp.take_along_axis(
         hidden, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
@@ -523,8 +578,8 @@ def _prefill_core_packed(
         k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        kc = kc.at[lid, write_blocks, write_offsets].set(k.astype(kc.dtype))
-        vc = vc.at[lid, write_blocks, write_offsets].set(v.astype(vc.dtype))
+        kc = _cache_write(kc, (lid, write_blocks, write_offsets), k, cfg.dtype)
+        vc = _cache_write(vc, (lid, write_blocks, write_offsets), v, cfg.dtype)
         if use_flash:
             from ..ops.flash_attention import flash_attention_segmented
 
@@ -583,7 +638,7 @@ def _extend_core(
     This is the incremental-prefill primitive behind PromptSession
     (append-only prompts: streaming audio tokens, chat history)."""
     b, t, _ = inputs_embeds.shape
-    bs = k_cache.shape[2]
+    bs = cache_block_size(k_cache)
     nq, nkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
                   cfg.head_dim)
     x = inputs_embeds.astype(cfg.dtype)
@@ -616,15 +671,14 @@ def _extend_core(
         k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        kc = kc.at[lid, write_blocks, write_offsets].set(
-            k.reshape(b * t, nkv, d).astype(kc.dtype)
-        )
-        vc = vc.at[lid, write_blocks, write_offsets].set(
-            v.reshape(b * t, nkv, d).astype(vc.dtype)
-        )
+        kc = _cache_write(kc, (lid, write_blocks, write_offsets),
+                          k.reshape(b * t, nkv, d), cfg.dtype)
+        vc = _cache_write(vc, (lid, write_blocks, write_offsets),
+                          v.reshape(b * t, nkv, d), cfg.dtype)
         # combined attention: [cached pages ⧺ chunk] with causal masking
-        kcached = _gather_pages(kc[lid], block_tables)  # [B, Tc, nkv, d]
-        vcached = _gather_pages(vc[lid], block_tables)
+        kcached = _gather_pages(_cache_layer(kc, lid),
+                                block_tables)  # [B, Tc, nkv, d]
+        vcached = _gather_pages(_cache_layer(vc, lid), block_tables)
         tc = kcached.shape[1]
         n_rep = nq // nkv
         qf = (q.astype(jnp.float32) * (d ** -0.5)).reshape(

@@ -37,6 +37,8 @@ class BatchPipeline:
         gpu_memory_utilization: float = 0.4,  # accepted for CLI parity
         mesh=None,
         quantize=None,
+        packed: bool = False,
+        kv_cache_dtype=None,
     ) -> None:
         self.model, self.kwargs = FunASRNano.from_pretrained(
             model=model_dir, dtype=dtype
@@ -50,7 +52,8 @@ class BatchPipeline:
                 dtype=dtype, max_num_seqs=max_num_seqs,
                 max_model_len=max_model_len,
                 gpu_memory_utilization=gpu_memory_utilization,
-                mesh=mesh, quantize=quantize,
+                mesh=mesh, quantize=quantize, packed_prefill=packed,
+                kv_cache_dtype=kv_cache_dtype,
             )
             m.vllm_sampling_params = SamplingParams(
                 top_p=top_p, max_tokens=max_tokens

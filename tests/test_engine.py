@@ -453,6 +453,73 @@ class TestInt8Quantization:
             make_llm(params, cfg, quantize="int4")
 
 
+class TestInt8KVCache:
+    def test_quantize_roundtrip_error_bound(self):
+        from fun_asr_vllm_tpu.engine.kv_cache import _quantize_kv
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(scale=2.0, size=(64, 4, 32)), jnp.float32)
+        q, s = _quantize_kv(x)
+        back = np.asarray(q, np.float32) * np.asarray(s)
+        err = np.abs(back - np.asarray(x))
+        # symmetric 8-bit: error bounded by half a quantization step
+        bound = np.asarray(s) * 0.5 + 1e-6
+        assert (err <= bound).all()
+
+    def test_generate_matches_fp_cache_first_tokens(self, setup):
+        """int8-paged KV: same API, token streams stay close to the fp
+        cache at tiny scale (first token equal; decode plausible)."""
+        params, cfg = setup
+        sp = SamplingParams(temperature=0.0, max_tokens=6)
+        embeds = [rand_embeds(70 + i, 5 + i, cfg.hidden_size)
+                  for i in range(3)]
+        llm_fp = make_llm(params, cfg)
+        want = [o.outputs[0].token_ids for o in llm_fp.generate(
+            [{"prompt_embeds": e} for e in embeds], sp)]
+        llm_q = make_llm(params, cfg, kv_cache_dtype="int8")
+        got = [o.outputs[0].token_ids for o in llm_q.generate(
+            [{"prompt_embeds": e} for e in embeds], sp)]
+        assert [g[0] for g in got] == [w[0] for w in want]
+        assert all(len(g) == len(w) for g, w in zip(got, want))
+        # block accounting unaffected
+        assert len(llm_q._free_blocks) == llm_q.cache_cfg.num_blocks - 1
+
+    def test_generate_fused_runs_with_int8_kv(self, setup):
+        """The fused single-shot path works end-to-end on an int8 cache."""
+        import jax.numpy as jnp
+
+        from fun_asr_vllm_tpu.audio.frontend import WavFrontend
+        from fun_asr_vllm_tpu.models import adaptor as adaptor_mod
+        from fun_asr_vllm_tpu.models import encoder as encoder_mod
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        enc_cfg = encoder_mod.SANMEncoderConfig(
+            input_size=80, output_size=32, attention_heads=4,
+            linear_units=64, num_blocks=2, dtype=jnp.float32,
+        )
+        ad_cfg = adaptor_mod.NanoAdaptorConfig(
+            encoder_dim=32, llm_dim=h, ffn_dim=64, dtype=jnp.float32
+        )
+        key = jax.random.PRNGKey(3)
+        enc_params = encoder_mod.init_params(enc_cfg, key)
+        ad_params = adaptor_mod.init_params(ad_cfg, key)
+        fe = WavFrontend(dither=0.0)
+        rng = np.random.default_rng(9)
+        wavs = [rng.normal(scale=0.05, size=n).astype(np.float32)
+                for n in (9000, 14000)]
+        pcm, frames = fe.batchify(wavs)
+        prefix = jnp.asarray(rng.normal(scale=0.3, size=(3, h)), jnp.float32)
+        suffix = jnp.asarray(rng.normal(scale=0.3, size=(2, h)), jnp.float32)
+        llm = make_llm(params, cfg, kv_cache_dtype="int8")
+        outs = llm.generate_fused(
+            pcm, frames, enc_params, enc_cfg, ad_params, ad_cfg, fe,
+            prefix, suffix, SamplingParams(temperature=0.0, max_tokens=5),
+        )
+        assert len(outs) == 2
+        assert all(len(o.outputs[0].token_ids) == 5 for o in outs)
+
+
 class TestIncrementalDetok:
     def test_detokenizer_multibyte_holdback(self):
         """Partial UTF-8 sequences are held back until complete."""
