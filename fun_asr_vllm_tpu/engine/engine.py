@@ -751,6 +751,15 @@ class LLM:
             prompt_lens = np.array(
                 [p + downsampled_length(int(f)) + q for f in frames], np.int64
             )
+            if int(prompt_lens.max()) + 1 > self.cache_cfg.max_model_len:
+                # explicit rejection beats silently clamping audio tokens
+                # (vLLM also rejects prompts over max_model_len)
+                raise ValueError(
+                    f"prompt length {int(prompt_lens.max())} (+1 decode "
+                    f"slot) exceeds max_model_len "
+                    f"{self.cache_cfg.max_model_len} — raise max_model_len "
+                    "or shorten/segment the audio"
+                )
             tb = _bucket_len(int(prompt_lens.max()))
             reqs, tables = self._admit_direct(
                 prompt_lens, sp, extra=k if single_shot else 0
