@@ -276,18 +276,24 @@ def _fbank_np_int16(wav_int16_scale, fs, n_mels, frame_length_ms, frame_shift_ms
     )
 
 
-@partial(jax.jit, static_argnames=("n_samples",))
-def unpack_pairs_f32(packed: jax.Array, n_samples: int) -> jax.Array:
-    """Device-side unpack of `batchify_packed` uploads: uint32 [B, N/2]
-    → float32 [B, n_samples] at int16 scale. Two arithmetic shifts —
-    all int32, TPU-native. Run inside an upload/prefetch thread so the
-    wire carries half the bytes and the (tiny) unpack op overlaps the
-    current batch's compute."""
+def unpack_pairs(packed: jax.Array) -> jax.Array:
+    """In-graph unpack of `batchify_packed` uploads: uint32 [B, N/2] →
+    float32 [B, N] at int16 scale (two arithmetic shifts, all int32 —
+    TPU-native). The single definition of the packing format; any
+    change to `batchify_packed` pairs with this."""
     i = jax.lax.bitcast_convert_type(packed, jnp.int32)
     lo = jnp.right_shift(jnp.left_shift(i, 16), 16)
     hi = jnp.right_shift(i, 16)
     flat = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)
-    return flat[:, :n_samples].astype(jnp.float32)
+    return flat.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def unpack_pairs_f32(packed: jax.Array, n_samples: int) -> jax.Array:
+    """`unpack_pairs` sliced to the true padded length — run inside an
+    upload/prefetch thread so the wire carries half the bytes and the
+    (tiny) unpack op overlaps the current batch's compute."""
+    return unpack_pairs(packed)[:, :n_samples]
 
 
 @partial(jax.jit, static_argnames=("lfr_m", "lfr_n"))

@@ -735,6 +735,24 @@ class LLM:
         # LFR stacking shortens the feature sequence (frontend.extract
         # semantics): the encoder sees ceil(frames / lfr_n) frames
         lfr_n = frontend.lfr_n
+        # validate EVERY prompt before any wave dispatches — a mid-loop
+        # failure would leak already-admitted waves' slots/blocks and
+        # drop completed waves' results
+        all_plens = [
+            p + downsampled_length(-(-int(f) // lfr_n)) + q
+            for f in wav_frames
+        ]
+        if max(all_plens) + 1 > self.cache_cfg.max_model_len:
+            # explicit rejection beats silently clamping audio tokens
+            # (vLLM also rejects prompts over max_model_len)
+            raise ValueError(
+                f"prompt length {max(all_plens)} (+1 decode slot) exceeds "
+                f"max_model_len {self.cache_cfg.max_model_len} — raise "
+                "max_model_len or shorten/segment the audio"
+            )
+        # packed mode assumptions: single chip, 8× downsampling adaptor
+        packed_ok = (self.packed_prefill and self.mesh is None
+                     and ad_cfg.use_low_frame_rate)
         pending = None  # (reqs, tokens device array) awaiting host fetch
         for start in range(0, b, self.max_num_seqs):
             stop = min(start + self.max_num_seqs, b)
@@ -751,15 +769,6 @@ class LLM:
             prompt_lens = np.array(
                 [p + downsampled_length(int(f)) + q for f in frames], np.int64
             )
-            if int(prompt_lens.max()) + 1 > self.cache_cfg.max_model_len:
-                # explicit rejection beats silently clamping audio tokens
-                # (vLLM also rejects prompts over max_model_len)
-                raise ValueError(
-                    f"prompt length {int(prompt_lens.max())} (+1 decode "
-                    f"slot) exceeds max_model_len "
-                    f"{self.cache_cfg.max_model_len} — raise max_model_len "
-                    "or shorten/segment the audio"
-                )
             tb = _bucket_len(int(prompt_lens.max()))
             reqs, tables = self._admit_direct(
                 prompt_lens, sp, extra=k if single_shot else 0
@@ -773,14 +782,18 @@ class LLM:
                 mbu = min(self.cache_cfg.max_blocks_per_seq,
                           -(-need // 8) * 8)
                 t0 = time.perf_counter()
-                if self.packed_prefill and self.mesh is None:
+                if packed_ok:
                     from .packed import (
                         fused_encode_prefill_decode_packed,
                         plan_frame_pack,
                         plan_prompt_pack,
                     )
 
-                    t_pad_feat = frontend.frame_count(speech.shape[1])
+                    n_samples = speech.shape[1]
+                    if speech.dtype == np.uint32:
+                        # bit-packed int16 pairs: half the columns
+                        n_samples *= 2
+                    t_pad_feat = frontend.frame_count(n_samples)
                     if lfr_n != 1:
                         t_pad_feat = -(-t_pad_feat // lfr_n)
                     fp = plan_frame_pack(frames, t_pad_feat)
@@ -806,7 +819,7 @@ class LLM:
                             prefix_embeds, suffix_embeds,
                             jnp.asarray(prompt_lens.astype(np.int32)),
                             jnp.asarray(tables[:, :mbu]),
-                            num_steps=k,
+                            num_steps=k, use_pallas=self.use_pallas_burst,
                             eos_ids=(self._eos_arr if self.early_exit_bursts
                                      else None),
                             early_exit=self.early_exit_bursts,

@@ -147,12 +147,10 @@ def _fused_prefill(
 ):
     if speech.dtype == jnp.uint32:
         # int16 sample pairs bit-packed on the host (frontend
-        # batchify_packed): lossless half-bandwidth upload, unpacked here
-        # with two arithmetic shifts (all int32 — TPU-native)
-        i = jax.lax.bitcast_convert_type(speech, jnp.int32)
-        lo = jnp.right_shift(jnp.left_shift(i, 16), 16)
-        hi = jnp.right_shift(i, 16)
-        speech = jnp.stack([lo, hi], axis=-1).reshape(speech.shape[0], -1)
+        # batchify_packed): lossless half-bandwidth upload
+        from ..audio.frontend import unpack_pairs
+
+        speech = unpack_pairs(speech)
     feats = fbank_jax(
         speech.astype(jnp.float32), frame_length=frame_length,
         frame_shift=frame_shift, n_mels=n_mels, window_type=window_type,

@@ -179,7 +179,7 @@ def plan_prompt_pack(
                      "frame_length", "frame_shift", "n_mels", "window_type",
                      "fs", "lfr_m", "lfr_n", "early_exit",
                      "decode_only_prefill", "frame_k_window",
-                     "prompt_k_window"),
+                     "prompt_k_window", "use_pallas"),
     donate_argnames=("k_cache", "v_cache"),
 )
 def fused_encode_prefill_decode_packed(
@@ -222,11 +222,17 @@ def fused_encode_prefill_decode_packed(
     decode_only_prefill: bool = False,
     frame_k_window: int = 0,
     prompt_k_window: int = 0,
+    use_pallas: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """ONE dispatch: fbank → packed encoder → packed adaptor → packed
     prompt assembly → ragged prefill → K fused greedy decode steps.
     → (tokens [num_steps+1, B], k_cache, v_cache); with
     `decode_only_prefill`, tokens is [1, B] (first ids only)."""
+    if speech.dtype == jnp.uint32:
+        # bit-packed int16-pair upload (frontend.batchify_packed)
+        from ..audio.frontend import unpack_pairs
+
+        speech = unpack_pairs(speech)
     feats = fbank_jax(
         speech.astype(jnp.float32), frame_length=frame_length,
         frame_shift=frame_shift, n_mels=n_mels, window_type=window_type,
@@ -262,7 +268,8 @@ def fused_encode_prefill_decode_packed(
     steps_tokens, k_cache, v_cache = _burst_core(
         llm_params, llm_cfg, k_cache, v_cache,
         first_ids, prompt_lengths, block_tables, prompt_lengths + 1,
-        active, num_steps=num_steps, eos_ids=eos_ids, early_exit=early_exit,
+        active, num_steps=num_steps, use_pallas=use_pallas,
+        eos_ids=eos_ids, early_exit=early_exit,
     )
     tokens = jnp.concatenate([first_ids[None], steps_tokens], axis=0)
     return tokens, k_cache, v_cache

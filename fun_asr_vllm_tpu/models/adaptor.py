@@ -106,15 +106,19 @@ def forward_packed(
     zeros or masked-garbage-zeroed slots — numerics match `forward`'s
     per-utterance p=1 zero padding exactly. Utterance i's tokens land at
     packed positions [start_i/8, start_i/8 + downsampled_length(t_i))."""
-    if cfg.use_low_frame_rate:
-        x = _strided_conv(x[None], params["conv1_w"], params["conv1_b"])
-        x = x * m1[None].astype(x.dtype)
-        x = _strided_conv(x, params["conv2_w"], params["conv2_b"])
-        x = x * m2[None].astype(x.dtype)
-        x = x[0, ::2]
-        m3 = m2[::2]
-    else:
-        m3 = m1
+    if not cfg.use_low_frame_rate:
+        # the packed frame layout hard-codes the 8× downsample token
+        # placement (engine/packed.plan_frame_pack tok_starts = start//8);
+        # the engine falls back to the padded path for this config
+        raise NotImplementedError(
+            "forward_packed requires use_low_frame_rate=True"
+        )
+    x = _strided_conv(x[None], params["conv1_w"], params["conv1_b"])
+    x = x * m1[None].astype(x.dtype)
+    x = _strided_conv(x, params["conv2_w"], params["conv2_b"])
+    x = x * m2[None].astype(x.dtype)
+    x = x[0, ::2]
+    m3 = m2[::2]
     h = jax.nn.relu(x @ params["w1"] + params["b1"])
     out = h @ params["w2"] + params["b2"]
     return out * m3.astype(out.dtype)

@@ -294,6 +294,18 @@ class TestSingleShot:
 
         assert run(True) == run(False)
 
+        # packed-upload (uint32 int16-pairs) through the packed program
+        # must match the f32 upload token-for-token (in-graph unpack +
+        # halved t_pad_feat accounting)
+        pcm_u32, frames_u32 = fe.batchify_packed(wavs)
+        llm = make_llm(params, cfg, max_num_seqs=3,
+                       decode_burst_size=8, packed_prefill=True)
+        outs = llm.generate_fused(
+            pcm_u32, frames_u32, enc_params, enc_cfg, ad_params, ad_cfg,
+            fe, prefix, suffix, sp,
+        )
+        assert [o.outputs[0].token_ids for o in outs] == run(True)
+
     def test_generate_fused_with_lfr_cmvn(self, setup):
         """The fused program must apply LFR + CMVN in-graph, matching the
         multi-dispatch frontend.extract → encoder → adaptor path under the
