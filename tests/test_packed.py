@@ -203,3 +203,54 @@ class TestPrefillPacked:
                     np.asarray(kc_p)[:, blk, o], np.asarray(kc_ref)[:, blk, o],
                     atol=1e-4, rtol=1e-3,
                 )
+
+
+class TestPlanProperties:
+    def test_random_lengths_invariants(self):
+        """Planner invariants over random utterance mixes: 16-aligned
+        non-overlapping segments, >=16 gap frames, mask spans exactly
+        [o1+1]/[o2] slots, token regions disjoint, prompt pack covers
+        every token with correct page destinations."""
+        rng = np.random.default_rng(0)
+        for trial in range(25):
+            n = int(rng.integers(1, 9))
+            frames = [int(rng.integers(1, 400)) for _ in range(n)]
+            t_pad = max(frames)
+            fp = plan_frame_pack(frames, t_pad, bucket=256)
+            assert fp.tt % 256 == 0
+            prev_end = None
+            for i, t in enumerate(frames):
+                s = fp.starts[i]
+                assert s % 16 == 0
+                if prev_end is not None:
+                    assert s - prev_end >= 16  # gap
+                assert (fp.seg_ids[s : s + t] == i).all()
+                prev_end = s + t
+                o1 = 1 + (t - 1) // 2
+                o2 = 1 + (o1 - 1) // 2
+                # m1 covers o1 valid slots + ONE boundary slot
+                m1 = fp.m1[:, 0]
+                assert m1[s // 2 : s // 2 + o1 + 1].all()
+                if s // 2 + o1 + 1 < len(m1):
+                    nxt = fp.starts[i + 1] // 2 if i + 1 < n else len(m1)
+                    assert not m1[s // 2 + o1 + 1 : nxt].any()
+                m2 = fp.m2[:, 0]
+                assert m2[s // 4 : s // 4 + o2].all()
+                assert fp.tok_counts[i] == downsampled_length(t)
+            # token regions disjoint and ordered
+            for i in range(1, n):
+                assert (fp.tok_starts[i]
+                        >= fp.tok_starts[i - 1] + fp.tok_counts[i - 1])
+
+            tables = np.arange(1, 1 + n * 64).reshape(n, 64)
+            pp = plan_prompt_pack(3, 2, fp.tok_starts, fp.tok_counts,
+                                  tables, block_size=4, bucket=128)
+            off = 0
+            for i, c in enumerate(fp.tok_counts):
+                L = 3 + c + 2
+                assert (pp.seg_ids[off : off + L] == i).all()
+                assert (pp.write_blocks[off : off + L]
+                        == tables[i][np.arange(L) // 4]).all()
+                assert pp.last_idx[i] == off + L - 1
+                off += -(-L // 16) * 16
+            assert (pp.write_blocks[pp.seg_ids < 0] == 0).all()
