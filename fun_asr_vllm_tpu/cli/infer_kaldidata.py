@@ -56,6 +56,10 @@ def get_args():
     p.add_argument("--quantize", type=str, default=None,
                    choices=(None, "int8"),
                    help="opt-in weight-only int8 decoder")
+    p.add_argument("--sort_by_duration", action="store_true",
+                   help="length-sort utterances before batching (tighter "
+                        "padding buckets, ~+20%% RTFx; outputs stay "
+                        "key-sorted)")
     p.add_argument("--packed", action="store_true",
                    help="ragged mode: pack valid frames/tokens along one "
                         "axis instead of padding each wave (engine/packed.py)")
@@ -64,7 +68,8 @@ def get_args():
     return p.parse_args()
 
 
-def run_shard(pipe, shard, texts, out_dir, batch_size, itn):
+def run_shard(pipe, shard, texts, out_dir, batch_size, itn,
+              sort_by_duration=False):
     """Decode one scp shard → per-shard output files
     (reference run_inference_on_process, infer_kaldidata.py:618-824)."""
     import numpy as np
@@ -77,6 +82,17 @@ def run_shard(pipe, shard, texts, out_dir, batch_size, itn):
     from ..text.zh_itn import inverse_normalize_text
 
     os.makedirs(out_dir, exist_ok=True)
+    if sort_by_duration:
+        # tight per-wave padding buckets (BENCH_NOTES: +~20% RTFx);
+        # output rows are keyed and written sorted, so batch order is
+        # semantically free. File size is a cheap duration proxy.
+        def _sz(item):
+            try:
+                return os.path.getsize(item[1])
+            except OSError:
+                return 0
+
+        shard = sorted(shard, key=_sz)
     hyp_rows, itn_rows, tn_rows, results = [], [], [], []
     t_start = time.time()
     audio_seconds = 0.0
@@ -118,6 +134,7 @@ def run_shard(pipe, shard, texts, out_dir, batch_size, itn):
     elapsed = time.time() - t_start
     audio_seconds = dur_box[0]
 
+    hyp_rows.sort(); itn_rows.sort(); tn_rows.sort(); results.sort()
     write_scp(os.path.join(out_dir, "text"), hyp_rows)
     write_scp(os.path.join(out_dir, "text_itn"), itn_rows)
     write_scp(os.path.join(out_dir, "text_tn"), tn_rows)
@@ -179,7 +196,8 @@ def main():
         n, pid = jax.process_count(), jax.process_index()
         shards = split_scp(scp, n)
         d = os.path.join(args.output_dir, f"process_{pid}")
-        run_shard(pipe, shards[pid], texts, d, args.batch_size, args.itn)
+        run_shard(pipe, shards[pid], texts, d, args.batch_size, args.itn,
+                  args.sort_by_duration)
         # every host must finish its shard before process 0 merges
         multihost_utils.sync_global_devices("infer_kaldidata_shards_done")
         if pid == 0:
@@ -195,14 +213,16 @@ def main():
         part_dirs = []
         for i, shard in enumerate(shards):
             d = os.path.join(args.output_dir, f"process_{i}")
-            run_shard(pipe, shard, texts, d, args.batch_size, args.itn)
+            run_shard(pipe, shard, texts, d, args.batch_size, args.itn,
+                  args.sort_by_duration)
             part_dirs.append(d)
         merge_results(
             part_dirs, args.output_dir,
             filenames=("text", "text_itn", "text_tn", "hypos.txt"),
         )
     else:
-        run_shard(pipe, scp, texts, args.output_dir, args.batch_size, args.itn)
+        run_shard(pipe, scp, texts, args.output_dir, args.batch_size, args.itn,
+                  args.sort_by_duration)
     print(f"done → {args.output_dir}")
 
 
