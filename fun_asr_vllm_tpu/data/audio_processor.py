@@ -423,3 +423,74 @@ class SimpleAudioProcessor:
         # flat keys kept for backwards compatibility with round-1 callers
         s["effective_ratio"] = report["summary"]["effective_ratio"]
         return s
+
+
+def main(argv=None):
+    """CLI matching the reference's simple_audio_processor surface
+    (reference simple_audio_processor.py:1347-1400): batch-process
+    device-recorded *.zip packages into a training corpus."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Zip-package audio processor (NLMS echo cancel + VAD "
+                    "segmentation + ASR + filtering + reports)"
+    )
+    p.add_argument("--data_dir", default="./data")
+    p.add_argument("--output_dir", default="./simple_results")
+    p.add_argument("--asr_model", default=None,
+                   help="Fun-ASR model dir for transcription (engine-"
+                        "backed); omit to skip transcription")
+    p.add_argument("--vad_model", default="fsmn-vad",
+                   help="fsmn-vad (weights via --vad_model_dir), "
+                        "fireredvad, or energy")
+    p.add_argument("--vad_model_dir", default=None)
+    p.add_argument("--device", default=None,
+                   help="kept for reference-CLI parity (TPU selection is "
+                        "via FUN_ASR_PLATFORM)")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=("float16", "bfloat16", "float32"))
+    p.add_argument("--no_progress", action="store_true")
+    p.add_argument("--keep_empty", action="store_true")
+    p.add_argument("--no_consolidate", action="store_true")
+    p.add_argument("--disable_filter", action="store_true")
+    p.add_argument("--min_chars", type=int, default=2)
+    p.add_argument("--similarity", type=float, default=0.6)
+    p.add_argument("--no_echo_cancel", action="store_true")
+    p.add_argument(
+        "--package_filter", action="append", default=None,
+        metavar="DEVICE:START:END",
+        help="process only matching packages; repeatable. Format: "
+             "deviceID:YYYYMMDD:YYYYMMDD (inclusive)",
+    )
+    args = p.parse_args(argv)
+
+    transcribe_fn = None
+    if args.asr_model:
+        from ..pipeline import BatchPipeline
+
+        pipe = BatchPipeline(args.asr_model, dtype=args.dtype)
+        transcribe_fn = pipe.transcribe_batch
+
+    pkg_filter = None
+    if args.package_filter:
+        filters = [PackageFilter.parse(s) for s in args.package_filter]
+
+        class _Any:
+            def matches(self, filename):
+                return any(f.matches(filename) for f in filters)
+
+        pkg_filter = _Any()
+
+    proc = SimpleAudioProcessor(
+        args.output_dir,
+        transcribe_fn=transcribe_fn,
+        echo_cancel=not args.no_echo_cancel,
+        vad_model_dir=args.vad_model_dir,
+        sim_threshold=0.0 if args.disable_filter else args.similarity,
+    )
+    summary = proc.batch_process(args.data_dir, package_filter=pkg_filter)
+    print(json.dumps(summary, ensure_ascii=False, default=str))
+
+
+if __name__ == "__main__":
+    main()

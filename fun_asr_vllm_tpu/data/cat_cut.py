@@ -82,48 +82,79 @@ def stage1_concat(
     wav_scp: Sequence[Tuple[str, str]],
     out_dir: str,
     max_seconds_per_file: float = 12 * 3600,
+    text_tn: Optional[Dict[str, str]] = None,
+    text_itn: Optional[Dict[str, str]] = None,
+    wav2dur: Optional[Dict[str, str]] = None,
+    sample_rate: int = FS,
 ) -> List[str]:
-    """→ list of manifest paths; each manifest row:
-    {key, class_s, offset_s, dur_s, wav}."""
+    """Group utterances by duration class, pad each to the class length,
+    concat into ~12 h WAVs at −5 dBFS peak (reference
+    run_audio_cat_cut.py:210-274). Emits per concat file:
+    `{cls}s_{idx:02d}.wav` + `…_tn.txt` / `…_itn.txt` text lists
+    (utt_id<TAB>text — the inputs stage 3's text restore consumes) +
+    a `….jsonl` manifest ({key, class_s, offset_s, dur_s, wav}).
+    → list of manifest paths.
+
+    With `wav2dur` (utt → seconds), grouping avoids decoding every file
+    up front; otherwise durations come from the audio itself."""
     os.makedirs(out_dir, exist_ok=True)
-    groups: Dict[int, List[Tuple[str, np.ndarray]]] = {c: [] for c in
-                                                       DURATION_CLASSES}
-    for key, path in wav_scp:
+    text_tn = text_tn or {}
+    text_itn = text_itn or {}
+    sr_out = int(sample_rate)
+
+    def _load(path: str) -> np.ndarray:
         x, sr = read_wav(path)
         if x.ndim > 1:
             x = x.mean(axis=1)
-        if sr != FS:
+        if sr != sr_out:
             from ..audio.io import resample
 
-            x = resample(x, sr, FS)
-        dur = len(x) / FS
+            x = resample(x, sr, sr_out)
+        return x
+
+    groups: Dict[int, List[Tuple[str, str]]] = {c: [] for c in
+                                                DURATION_CLASSES}
+    for key, path in wav_scp:
+        if wav2dur is not None and key in wav2dur:
+            dur = float(wav2dur[key])
+        else:
+            x0, sr0 = read_wav(path)
+            dur = (x0.shape[0] if x0.ndim else len(x0)) / sr0
         cls = next((c for c in DURATION_CLASSES if dur <= c), None)
         if cls is None:
             logger.warning("skip %s: %.1fs exceeds max class", key, dur)
             continue
-        groups[cls].append((key, x))
+        groups[cls].append((key, path))
 
     manifests = []
     for cls, items in groups.items():
         if not items:
             continue
-        per_file = int(max_seconds_per_file // cls)
+        per_file = max(1, int(max_seconds_per_file // cls))
         for fidx in range(0, len(items), per_file):
             chunk = items[fidx : fidx + per_file]
-            buf = np.zeros(len(chunk) * cls * FS, dtype=np.float32)
+            buf = np.zeros(len(chunk) * cls * sr_out, dtype=np.float32)
             rows = []
-            for i, (key, x) in enumerate(chunk):
-                off = i * cls * FS
-                buf[off : off + len(x)] = x
+            tn_rows, itn_rows = [], []
+            for i, (key, path) in enumerate(chunk):
+                x = _load(path)
+                off = i * cls * sr_out
+                n = min(len(x), cls * sr_out)
+                buf[off : off + n] = x[:n]
                 rows.append(
                     {"key": key, "class_s": cls, "offset_s": i * cls,
-                     "dur_s": len(x) / FS}
+                     "dur_s": len(x) / sr_out}
                 )
+                tn_rows.append((key, text_tn.get(key, "")))
+                itn_rows.append((key, text_itn.get(key, "")))
             buf = peak_normalize(buf)
-            wav_path = os.path.join(
-                out_dir, f"concat_{cls}s_{fidx // per_file:03d}.wav"
-            )
-            write_wav(wav_path, buf, FS)
+            base = f"{cls}s_{fidx // per_file + 1:02d}"
+            wav_path = os.path.join(out_dir, f"{base}.wav")
+            write_wav(wav_path, buf, sr_out)
+            _write_text_list(os.path.join(out_dir, f"{base}_tn.txt"),
+                             tn_rows)
+            _write_text_list(os.path.join(out_dir, f"{base}_itn.txt"),
+                             itn_rows)
             man_path = wav_path.replace(".wav", ".jsonl")
             with open(man_path, "w", encoding="utf-8") as f:
                 for r in rows:
@@ -647,7 +678,13 @@ def parse_args(argv=None):
 
     p1 = sub.add_parser("concat", help="Stage 1: group by duration, concat")
     p1.add_argument("--wav_scp", required=True)
+    p1.add_argument("--text_tn", default=None,
+                    help="utt→text_tn map; emitted as per-file *_tn.txt")
+    p1.add_argument("--text_itn", default=None)
+    p1.add_argument("--wav2dur", default=None,
+                    help="utt→seconds map (skips decoding for grouping)")
     p1.add_argument("--output_dir", required=True)
+    p1.add_argument("--sr", type=int, default=24000)
 
     p2 = sub.add_parser("align", help="Stage 2: align recorded PCM (1+4ch)")
     p2.add_argument("--concat_wav", required=True)
@@ -709,9 +746,15 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
     if args.stage == "concat":
-        from .kaldi import read_scp
+        from .kaldi import read_scp, read_scp_dict
 
-        stage1_concat(read_scp(args.wav_scp), args.output_dir)
+        stage1_concat(
+            read_scp(args.wav_scp), args.output_dir,
+            text_tn=read_scp_dict(args.text_tn) if args.text_tn else None,
+            text_itn=read_scp_dict(args.text_itn) if args.text_itn else None,
+            wav2dur=read_scp_dict(args.wav2dur) if args.wav2dur else None,
+            sample_rate=args.sr,
+        )
     elif args.stage == "align":
         stage2_align(args.concat_wav, args.recorded_1ch, args.recorded_4ch,
                      args.output_1ch, args.output_4ch,

@@ -136,6 +136,32 @@ class TestCatCut:
                                  {"u0": "文本", "u1": "文本"})
         assert all(os.path.exists(p) for _, p in rows)
 
+    def test_stage1_emits_text_lists_for_stage3(self, tmp_path):
+        """Reference parity: stage1 writes per-concat-file *_tn.txt /
+        *_itn.txt (run_audio_cat_cut.py:267-268) — the inputs stage3's
+        text restore consumes."""
+        from fun_asr_vllm_tpu.data.cat_cut import stage1_concat
+
+        rng = np.random.default_rng(2)
+        scp = []
+        for i in range(3):
+            p = tmp_path / f"u{i}.wav"
+            write_wav(p, rng.normal(scale=0.1, size=16000 * 2).astype(
+                np.float32), 16000)
+            scp.append((f"u{i}", str(p)))
+        tn = {f"u{i}": f"tn{i}" for i in range(3)}
+        itn = {f"u{i}": f"itn{i}" for i in range(3)}
+        dur = {f"u{i}": "2.0" for i in range(3)}
+        out = tmp_path / "c2"
+        manifests = stage1_concat(scp, str(out), text_tn=tn, text_itn=itn,
+                                  wav2dur=dur, sample_rate=16000)
+        assert manifests
+        base = manifests[0][:-len(".jsonl")]
+        tn_lines = open(base + "_tn.txt").read().splitlines()
+        itn_lines = open(base + "_itn.txt").read().splitlines()
+        assert tn_lines == [f"u{i}\ttn{i}" for i in range(3)]
+        assert itn_lines == [f"u{i}\titn{i}" for i in range(3)]
+
     def test_xcorr_alignment(self):
         from fun_asr_vllm_tpu.data.cat_cut import find_offset_xcorr
 
