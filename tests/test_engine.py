@@ -750,6 +750,61 @@ class TestRandomizedSchedules:
             assert len(llm._free_blocks) == llm.cache_cfg.num_blocks - 1
 
 
+class TestPackedFuzz:
+    def test_fuzzed_wave_mixes_packed_matches_padded(self, setup):
+        """Property test: random utterance mixes (counts, durations,
+        token budgets, multiple waves) through the PACKED fused program
+        must be token-exact vs the padded fused program — covers the
+        frame/prompt planners, segmented attention, page scatter and
+        burst continuation interplay."""
+        import random
+
+        import jax.numpy as jnp
+
+        from fun_asr_vllm_tpu.audio.frontend import WavFrontend
+        from fun_asr_vllm_tpu.models import adaptor as adaptor_mod
+        from fun_asr_vllm_tpu.models import encoder as encoder_mod
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        enc_cfg = encoder_mod.SANMEncoderConfig(
+            input_size=80, output_size=32, attention_heads=4,
+            linear_units=64, num_blocks=2, dtype=jnp.float32,
+        )
+        ad_cfg = adaptor_mod.NanoAdaptorConfig(
+            encoder_dim=32, llm_dim=h, ffn_dim=64, dtype=jnp.float32
+        )
+        key = jax.random.PRNGKey(3)
+        enc_params = encoder_mod.init_params(enc_cfg, key)
+        ad_params = adaptor_mod.init_params(ad_cfg, key)
+        fe = WavFrontend(dither=0.0)
+        nrng = np.random.default_rng(5)
+        prefix = jnp.asarray(nrng.normal(scale=0.3, size=(3, h)), jnp.float32)
+        suffix = jnp.asarray(nrng.normal(scale=0.3, size=(2, h)), jnp.float32)
+        rng = random.Random(1)
+        for trial in range(3):
+            n = rng.randint(1, 5)
+            wavs = [nrng.normal(
+                scale=0.05, size=rng.randint(4000, 24000)
+            ).astype(np.float32) for _ in range(n)]
+            pcm, frames = fe.batchify(wavs)
+            sp = SamplingParams(temperature=0.0,
+                                max_tokens=rng.randint(2, 7))
+
+            def run(packed):
+                llm = make_llm(params, cfg, max_num_seqs=2,
+                               decode_burst_size=4, packed_prefill=packed)
+                outs = llm.generate_fused(
+                    pcm, frames, enc_params, enc_cfg, ad_params, ad_cfg,
+                    fe, prefix, suffix, sp,
+                )
+                assert (len(llm._free_blocks)
+                        == llm.cache_cfg.num_blocks - 1)
+                return [o.outputs[0].token_ids for o in outs]
+
+            assert run(True) == run(False), trial
+
+
 class TestAsyncSoak:
     def test_many_threads_many_submits(self, setup):
         """Soak: concurrent submitters from several threads; every result
