@@ -72,7 +72,8 @@ def main():
                     help="weight-only int8 for the decoder (opt-in; "
                          "perturbs logits — CER must be validated)")
     ap.add_argument("--upload", type=str, default="packed_prefetch",
-                    choices=("packed", "f32", "int16", "packed_prefetch"),
+                    choices=("packed", "f32", "int16", "packed_prefetch",
+                             "sample_packed"),
                     help="f32 measures fastest end-to-end; packed (int16 "
                          "pairs in uint32, lossless half bytes) loses more "
                          "to the in-graph interleave than the bytes save; "
@@ -200,6 +201,21 @@ def main():
         batches = []
         for i in range(0, len(utt_list), args.batch_size):
             batch = utt_list[i : i + args.batch_size]
+            mean_dur = np.mean([len(b) for b in batch]) / 16000.0
+            if args.upload == "sample_packed":
+                # ragged sample-level upload: only valid samples ride
+                # the wire, fbank runs without padding (requires --packed)
+                from fun_asr_vllm_tpu.engine.packed import plan_frame_pack
+
+                frames = np.asarray(
+                    [frontend.frame_count(len(b)) for b in batch], np.int32
+                )
+                plan = plan_frame_pack(frames, 0)
+                pcm = frontend.batchify_sample_packed(
+                    batch, plan.starts, plan.tt
+                )
+                batches.append((pcm, frames, mean_dur, None, plan))
+                continue
             batchify = {
                 "packed": frontend.batchify_packed,
                 "packed_prefetch": frontend.batchify_packed,
@@ -207,10 +223,9 @@ def main():
                 "f32": frontend.batchify,
             }[args.upload]
             pcm, frames = batchify(batch)
-            mean_dur = np.mean([len(b) for b in batch]) / 16000.0
             n_f32 = (frontend.padded_samples(max(len(b) for b in batch))
                      if args.upload == "packed_prefetch" else None)
-            batches.append((pcm, frames, mean_dur, n_f32))
+            batches.append((pcm, frames, mean_dur, n_f32, None))
         tm["batchify"] += time.time() - t_b
         # submit EVERY wave's upload immediately (workload HBM cost is
         # tiny — ~15 MB/wave): a one-ahead prefetch measured 0.8 s of
@@ -221,7 +236,7 @@ def main():
         futs = (None if args.no_prefetch
                 else [uploader.submit(_force_upload, b[0], b[3])
                       for b in batches])
-        for i, (pcm, frames, mean_dur, _n) in enumerate(batches):
+        for i, (pcm, frames, mean_dur, _n, plan) in enumerate(batches):
             t_s = time.time()
             cur = pcm if args.no_prefetch else futs[i].result()
             tm["upload_wait"] += time.time() - t_s
@@ -230,7 +245,7 @@ def main():
             t_s = time.time()
             outs = llm.generate_fused(
                 cur, frames, enc_params, enc_cfg, ad_params, ad_cfg,
-                frontend, prefix_dev, suffix_dev, sp,
+                frontend, prefix_dev, suffix_dev, sp, frame_plan=plan,
             )
             tm["generate"] += time.time() - t_s
             t_s = time.time()

@@ -224,6 +224,30 @@ class WavFrontend:
         packed = i16.reshape(i16.shape[0], -1, 2).view("<u4")[:, :, 0]
         return np.ascontiguousarray(packed), frame_counts
 
+    def batchify_sample_packed(
+        self, wavs: Sequence[np.ndarray], frame_starts: Sequence[int],
+        total_frames: int,
+    ) -> np.ndarray:
+        """Sample-level ragged packing: place wav i at sample offset
+        ``frame_starts[i] * frame_shift`` in ONE row covering
+        `total_frames` frames → uint32 int16-pairs [1, NS/2]. Paired
+        with engine/packed.plan_frame_pack's layout (16-frame-aligned
+        segments, ≥16-frame zero gaps ≥ the 240-sample window overlap),
+        fbank over the packed row produces every utterance's frames at
+        its planned positions — no padded fbank compute, and the wire
+        carries only valid samples."""
+        fs_, fl = self._frame_shift_samp, self._frame_len_samp
+        ns = (int(total_frames) - 1) * fs_ + fl
+        buf = np.zeros(ns + (ns % 2), np.float32)
+        for w, st in zip(wavs, frame_starts):
+            o = int(st) * fs_
+            n = min(len(w), ns - o)
+            buf[o : o + n] = np.asarray(w, np.float32).reshape(-1)[:n]
+        buf *= _INT16_SCALE
+        i16 = np.clip(buf, -32768, 32767).astype("<i2")
+        packed = i16.reshape(1, -1, 2).view("<u4")[:, :, 0]
+        return np.ascontiguousarray(packed)
+
     def extract(
         self, wavs: Sequence[np.ndarray]
     ) -> Tuple[jax.Array, jax.Array]:

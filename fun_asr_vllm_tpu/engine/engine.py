@@ -698,11 +698,17 @@ class LLM:
         prefix_embeds: jax.Array,  # [P, H]
         suffix_embeds: jax.Array,  # [Q, H]
         sampling_params: Optional[SamplingParams] = None,
+        frame_plan=None,  # FramePack for sample-level ragged uploads
     ) -> List[RequestOutput]:
         """Whole-batch fast path: ONE dispatch runs fbank → encoder →
         adaptor → prompt assembly → prefill (engine/fused.py), then fused
         decode bursts. Prompt lengths come from the deterministic frame
-        math so block allocation happens before the dispatch."""
+        math so block allocation happens before the dispatch.
+
+        With `frame_plan` (packed_prefill only, one wave, lfr off),
+        `speech` is ONE sample-level packed row laid out in the plan's
+        frame geometry (frontend.batchify_sample_packed) — fbank runs
+        without padding and the upload carries only valid samples."""
         from ..models.adaptor import downsampled_length
         from .fused import fused_encode_prefill
 
@@ -711,7 +717,9 @@ class LLM:
         sp = sampling_params or SamplingParams()
         self._cur_sampling = sp
         p, q = prefix_embeds.shape[0], suffix_embeds.shape[0]
-        b = speech.shape[0]
+        # with a sample-packed row, speech is [1, NS] — the true batch
+        # size is the number of frame counts
+        b = len(wav_frames)
         # size the in-program burst to COVER the token budget (snapped to
         # 8 to bound recompiles and keep sublane-friendly ring shapes),
         # capped at single_shot_burst_cap: a burst that falls short of
@@ -753,6 +761,14 @@ class LLM:
         # packed mode assumptions: single chip, 8× downsampling adaptor
         packed_ok = (self.packed_prefill and self.mesh is None
                      and ad_cfg.use_low_frame_rate)
+        sample_packed = (frame_plan is not None and packed_ok
+                         and lfr_n == 1 and frontend.lfr_m == 1
+                         and b <= self.max_num_seqs)
+        if frame_plan is not None and not sample_packed:
+            raise ValueError(
+                "frame_plan requires packed_prefill, lfr off and a "
+                "single wave (batch <= max_num_seqs)"
+            )
         pending = None  # (reqs, tokens device array) awaiting host fetch
         for start in range(0, b, self.max_num_seqs):
             stop = min(start + self.max_num_seqs, b)
@@ -789,14 +805,19 @@ class LLM:
                         plan_prompt_pack,
                     )
 
-                    n_samples = speech.shape[1]
-                    if speech.dtype == np.uint32:
-                        # bit-packed int16 pairs: half the columns
-                        n_samples *= 2
-                    t_pad_feat = frontend.frame_count(n_samples)
-                    if lfr_n != 1:
-                        t_pad_feat = -(-t_pad_feat // lfr_n)
-                    fp = plan_frame_pack(frames, t_pad_feat)
+                    if sample_packed:
+                        fp = frame_plan
+                        speech_arg = speech  # [1, NS(/2)] packed row
+                    else:
+                        n_samples = speech.shape[1]
+                        if speech.dtype == np.uint32:
+                            # bit-packed int16 pairs: half the columns
+                            n_samples *= 2
+                        t_pad_feat = frontend.frame_count(n_samples)
+                        if lfr_n != 1:
+                            t_pad_feat = -(-t_pad_feat // lfr_n)
+                        fp = plan_frame_pack(frames, t_pad_feat)
+                        speech_arg = speech[start:stop]
                     ppk = plan_prompt_pack(
                         p, q, fp.tok_starts, fp.tok_counts, tables, bs_blk
                     )
@@ -805,7 +826,7 @@ class LLM:
                             enc_params, ad_params, self.params,
                             enc_cfg, ad_cfg, self.cfg,
                             self.k_cache, self.v_cache,
-                            speech[start:stop],
+                            speech_arg,
                             jnp.asarray(fp.src_idx),
                             jnp.asarray(fp.seg_ids),
                             jnp.asarray(fp.pos_ids),
@@ -825,6 +846,7 @@ class LLM:
                             early_exit=self.early_exit_bursts,
                             frame_k_window=fp.k_window,
                             prompt_k_window=ppk.k_window,
+                            sample_packed=sample_packed,
                             **fe_kw,
                         )
                     )

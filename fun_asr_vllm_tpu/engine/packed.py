@@ -179,7 +179,7 @@ def plan_prompt_pack(
                      "frame_length", "frame_shift", "n_mels", "window_type",
                      "fs", "lfr_m", "lfr_n", "early_exit",
                      "decode_only_prefill", "frame_k_window",
-                     "prompt_k_window", "use_pallas"),
+                     "prompt_k_window", "use_pallas", "sample_packed"),
     donate_argnames=("k_cache", "v_cache"),
 )
 def fused_encode_prefill_decode_packed(
@@ -223,6 +223,7 @@ def fused_encode_prefill_decode_packed(
     frame_k_window: int = 0,
     prompt_k_window: int = 0,
     use_pallas: bool = False,
+    sample_packed: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """ONE dispatch: fbank → packed encoder → packed adaptor → packed
     prompt assembly → ragged prefill → K fused greedy decode steps.
@@ -243,9 +244,18 @@ def fused_encode_prefill_decode_packed(
     if cmvn is not None:
         add, scale = cmvn
         feats = (feats + add) * scale
-    b, t_pad, d_in = feats.shape
-    flat = feats.reshape(b * t_pad, d_in)
-    x = flat[frame_src] * (frame_seg >= 0)[:, None].astype(flat.dtype)
+    gap = (frame_seg >= 0)[:, None]
+    if sample_packed:
+        # speech was ONE sample-level packed row laid out in the plan's
+        # frame geometry (frontend.batchify_sample_packed): fbank already
+        # produced every utterance's frames in place — no per-utterance
+        # padded compute and no gather. Gap-region frames are
+        # fbank-of-silence; mask to the exact zeros the layout expects.
+        x = feats[0, : frame_seg.shape[0]] * gap.astype(feats.dtype)
+    else:
+        b, t_pad, d_in = feats.shape
+        flat = feats.reshape(b * t_pad, d_in)
+        x = flat[frame_src] * gap.astype(flat.dtype)
     enc = encoder_mod.encode_packed(
         enc_params, enc_cfg, x, frame_seg, frame_pos,
         k_window=frame_k_window,
@@ -264,7 +274,7 @@ def fused_encode_prefill_decode_packed(
     )
     if decode_only_prefill:
         return first_ids[None], k_cache, v_cache
-    active = jnp.ones((speech.shape[0],), bool)
+    active = jnp.ones((prompt_lengths.shape[0],), bool)
     steps_tokens, k_cache, v_cache = _burst_core(
         llm_params, llm_cfg, k_cache, v_cache,
         first_ids, prompt_lengths, block_tables, prompt_lengths + 1,

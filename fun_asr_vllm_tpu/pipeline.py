@@ -74,24 +74,45 @@ class BatchPipeline:
                                           "generate": 0.0}
 
     def _prep_upload(self, wavs: Sequence[np.ndarray], upload: str = "packed"):
-        """Host prep + forced upload for one batch → (device f32 pcm,
-        frame_counts). `packed` ships uint32 int16-pairs (half the wire
-        bytes, lossless) and unpacks on device; device_put is lazy on
-        RPC transports, so blocking here (from a prefetch thread) is
-        what actually overlaps the transfer with compute."""
+        """Host prep + forced upload for one batch → (device pcm,
+        frame_counts, frame_plan|None). `packed` ships uint32 int16-pairs
+        (half the wire bytes, lossless) and unpacks on device; device_put
+        is lazy on RPC transports, so blocking here (from a prefetch
+        thread) is what actually overlaps the transfer with compute.
+
+        When the engine runs the ragged pipeline (packed_prefill) at
+        lfr=1 and the batch fits one wave, samples are packed at the
+        FramePack layout instead — fbank runs without padding and the
+        wire carries only valid samples."""
         import jax
         from .audio.frontend import unpack_pairs_f32
 
-        fe = self.model.frontend
+        m = self.model
+        fe = m.frontend
+        llm = m.vllm
+        wavs = list(wavs)
+        if (llm is not None and getattr(llm, "packed_prefill", False)
+                and llm.mesh is None and fe.lfr_m == 1 and fe.lfr_n == 1
+                and m.adaptor_cfg.use_low_frame_rate
+                and len(wavs) <= llm.max_num_seqs):
+            from .engine.packed import plan_frame_pack
+
+            frames = np.asarray([fe.frame_count(len(w)) for w in wavs],
+                                np.int32)
+            plan = plan_frame_pack(frames, 0)
+            packed = fe.batchify_sample_packed(wavs, plan.starts, plan.tt)
+            dev = jax.device_put(packed)
+            dev.block_until_ready()
+            return dev, frames, plan
         if upload == "packed":
-            packed, frames = fe.batchify_packed(list(wavs))
+            packed, frames = fe.batchify_packed(wavs)
             n = fe.padded_samples(max(len(w) for w in wavs))
             dev = unpack_pairs_f32(jax.device_put(packed), n)
         else:
-            pcm, frames = fe.batchify(list(wavs))
+            pcm, frames = fe.batchify(wavs)
             dev = jax.device_put(pcm)
         dev.block_until_ready()
-        return dev, frames
+        return dev, frames, None
 
     def transcribe_many(self, batches, *, upload: str = "packed"):
         """Iterator of wav-batches → yields one list of texts per batch.
@@ -124,7 +145,7 @@ class BatchPipeline:
                 res = fut.result()
                 if res is None:
                     return
-                dev, frames = res
+                dev, frames, plan = res
                 fut = ex.submit(task)  # prep the next batch now
                 t0 = time.perf_counter()
                 outs = m.vllm.generate_fused(
@@ -133,6 +154,7 @@ class BatchPipeline:
                     m.adaptor_params, m.adaptor_cfg, m.frontend,
                     self._prefix_dev, self._suffix_dev,
                     m.vllm_sampling_params or self.sampling,
+                    frame_plan=plan,
                 )
                 self.timings["generate"] += time.perf_counter() - t0
                 yield [o.outputs[0].text for o in outs]

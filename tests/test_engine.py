@@ -306,6 +306,30 @@ class TestSingleShot:
         )
         assert [o.outputs[0].token_ids for o in outs] == run(True)
 
+        # sample-level ragged upload (one wave): fbank over ONE packed
+        # row must be token-exact vs the padded batch
+        from fun_asr_vllm_tpu.engine.packed import plan_frame_pack
+
+        sub = wavs[:3]
+        frames3 = np.asarray([fe.frame_count(len(w)) for w in sub],
+                             np.int32)
+        plan = plan_frame_pack(frames3, 0)
+        row = fe.batchify_sample_packed(sub, plan.starts, plan.tt)
+        llm = make_llm(params, cfg, max_num_seqs=3,
+                       decode_burst_size=8, packed_prefill=True)
+        outs_sp = llm.generate_fused(
+            row, frames3, enc_params, enc_cfg, ad_params, ad_cfg,
+            fe, prefix, suffix, sp, frame_plan=plan,
+        )
+        pcm3, f3 = fe.batchify(sub)
+        llm = make_llm(params, cfg, max_num_seqs=3, decode_burst_size=8)
+        outs_pad = llm.generate_fused(
+            pcm3, f3, enc_params, enc_cfg, ad_params, ad_cfg,
+            fe, prefix, suffix, sp,
+        )
+        assert ([o.outputs[0].token_ids for o in outs_sp]
+                == [o.outputs[0].token_ids for o in outs_pad])
+
     def test_generate_fused_with_lfr_cmvn(self, setup):
         """The fused program must apply LFR + CMVN in-graph, matching the
         multi-dispatch frontend.extract → encoder → adaptor path under the

@@ -146,3 +146,11 @@ class TestTranscribeMany:
         # f32 upload mode too
         got_f32 = list(pipe.transcribe_many(iter(batches), upload="f32"))
         assert got_f32 == want
+        # packed engine: transcribe_many auto-uses sample-level ragged
+        # uploads (one packed row per batch) — same texts
+        pipe_p = BatchPipeline(
+            str(model_dir), dtype="float32", enable_engine=True,
+            max_num_seqs=2, max_tokens=4, max_model_len=512, packed=True,
+        )
+        got_p = list(pipe_p.transcribe_many(iter(batches)))
+        assert got_p == want
