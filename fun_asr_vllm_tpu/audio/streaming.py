@@ -63,6 +63,7 @@ class StreamingEncoder:
         # slide the window start so the live region stays bounded —
         # but only to frame-aligned positions so frozen frames stay put
         hop = self.frontend._frame_shift_samp * self.frontend.lfr_n
+        live = None
         if total - self._window_start > self.window_samples:
             new_start = (total - self.window_samples) // hop * hop
             if new_start > self._window_start:
@@ -75,8 +76,14 @@ class StreamingEncoder:
                                 else np.concatenate([self._frozen, take]))
                 self._frozen_upto += freeze_frames
                 self._window_start += freeze_frames * hop
+                # reuse this encode's tail as the live region: its frames
+                # saw equal-or-longer left context than a re-encode from
+                # the advanced window start would — re-encoding here
+                # doubled steady-state per-partial encoder cost
+                live = live[freeze_frames:]
 
-        live = self._encode(self._samples[self._window_start:])
+        if live is None:
+            live = self._encode(self._samples[self._window_start:])
         if self._frozen is None:
             return live
         return np.concatenate([self._frozen, live])

@@ -15,6 +15,7 @@ requests should use the synchronous `LLM.generate` instead.
 from __future__ import annotations
 
 import threading
+import time
 from collections import deque
 from concurrent.futures import Future
 from typing import List, Optional
@@ -79,7 +80,9 @@ class AsyncLLM:
         self._shutdown = False
         # observability: number of live slots at each decode burst — tests
         # assert concurrent sessions actually share bursts
-        self.wave_sizes: List[int] = []
+        # recent burst widths (observability + tests); bounded — a
+        # long-lived server steps bursts continuously
+        self.wave_sizes: "deque[int]" = deque(maxlen=1024)
         self._thread = threading.Thread(
             target=self._loop, name="asr-engine-stepper", daemon=True
         )
@@ -153,6 +156,15 @@ class AsyncLLM:
                     return
             try:
                 self._step()
+                with self._cv:
+                    stalled = (self._waiting
+                               and all(r is None for r in llm._slots))
+                if stalled:
+                    # the step admitted nothing and nothing is live (KV
+                    # blocks exhausted, e.g. held by PromptSessions): a
+                    # tight retry would peg a core and starve the lock
+                    # holders whose progress frees blocks
+                    time.sleep(0.005)
             except Exception as e:  # fail every in-flight future, keep serving
                 with self._cv:
                     futs = list(self._futures.values())

@@ -119,7 +119,7 @@ class ASRServer:
             with self._decode_lock:
                 ids = qwen3_mod.greedy_decode_simple(
                     m.llm_params, m.llm_cfg, jnp.asarray(embeds)[None],
-                    max_new_tokens=max_tokens or 64,
+                    max_new_tokens=max_tokens or self.max_tokens,
                 )
             text = m.tokenizer.decode(ids.tolist(), skip_special_tokens=True)
         from ..text.normalize import clean_response
@@ -128,6 +128,12 @@ class ASRServer:
         if hs.itn:
             text = inverse_normalize_text(text)
         return text
+
+    def partial_token_cap(self, audio_seconds: float) -> int:
+        """Partial-decode token budget: grows with the audio so long
+        utterances' streaming text doesn't silently stop at a fixed cap,
+        bounded by the configured max_tokens."""
+        return int(min(self.max_tokens, max(64, audio_seconds * 4)))
 
     def decode_encoder_frames(self, enc_frames: np.ndarray, hs: Handshake,
                               max_tokens: int = 64) -> str:
@@ -190,8 +196,6 @@ class ASRServer:
         chunked prefill instead of re-prefilling the whole prompt."""
 
         def __init__(self, server: "ASRServer", hs: Handshake):
-            import jax.numpy as jnp
-
             self.server = server
             self.hs = hs
             self.enc = server.make_streaming_encoder()
@@ -219,7 +223,6 @@ class ASRServer:
 
             from ..engine import SamplingParams
             from ..engine.engine import PromptSession
-            from ..models.adaptor import downsampled_length
             from ..text.normalize import clean_response
             from ..text.zh_itn import inverse_normalize_text
 
@@ -270,6 +273,7 @@ class ASRServer:
         emitted_upto = 0.0  # seconds of audio already partial-decoded
         stream_enc = None   # windowed incremental encoder (online/2pass)
         stream_fed = 0      # samples already pushed into stream_enc
+        last_partial = ""   # cumulative text already sent as partials
         loop = asyncio.get_running_loop()
         try:
             async for message in websocket:
@@ -295,7 +299,11 @@ class ASRServer:
                                 # resampled length shifts; restream fully
                                 stream_fed = 0
                                 if stream_enc is not None:
-                                    stream_enc.reset()
+                                    # off the event loop: reset may wait
+                                    # on the engine lock mid-decode
+                                    await loop.run_in_executor(
+                                        None, stream_enc.reset
+                                    )
                             if stream_enc is None:
                                 stream_enc = (
                                     self._OnlineSession(self, hs)
@@ -303,7 +311,9 @@ class ASRServer:
                                     else self.make_streaming_encoder()
                                 )
 
-                            def _partial(part=part):
+                            cap = self.partial_token_cap(dur)
+
+                            def _partial(part=part, cap=cap):
                                 nonlocal stream_fed
                                 new = part[stream_fed:]
                                 stream_fed = len(part)
@@ -312,18 +322,29 @@ class ASRServer:
                                     # with stable audio tokens; only the
                                     # live tail + suffix prefill per
                                     # partial
-                                    return stream_enc.partial(new, 64)
+                                    return stream_enc.partial(new, cap)
                                 frames = stream_enc.push(new)
                                 return self.decode_encoder_frames(
-                                    frames, hs, 64
+                                    frames, hs, cap
                                 )
 
                             text = await loop.run_in_executor(None, _partial)
-                            mode = ("2pass-online" if hs.mode == "2pass"
-                                    else "online")
-                            await websocket.send(
-                                result_message(mode, hs.wav_name, text, False)
-                            )
+                            # the protocol's streaming consumers APPEND
+                            # partial chunks (reference client
+                            # ASR_client_api.py:186-197) — send the DELTA
+                            # of the cumulative transcript, not the whole
+                            if text.startswith(last_partial):
+                                delta = text[len(last_partial):]
+                            else:  # decode revised earlier text
+                                delta = text
+                            last_partial = text
+                            if delta:
+                                mode = ("2pass-online" if hs.mode == "2pass"
+                                        else "online")
+                                await websocket.send(
+                                    result_message(mode, hs.wav_name, delta,
+                                                   False)
+                                )
                     continue
                 # JSON control message
                 data = json.loads(message)
@@ -356,14 +377,20 @@ class ASRServer:
                     )
                     mode = ("2pass-offline" if hs.mode == "2pass"
                             else hs.mode)
+                    if hs.mode == "online":
+                        # streaming consumers APPEND online-mode text —
+                        # the final must be a delta like the partials
+                        text = (text[len(last_partial):]
+                                if text.startswith(last_partial) else text)
                     await websocket.send(
                         result_message(mode, hs.wav_name, text, True)
                     )
                     buf = np.zeros(0, dtype=np.float32)
                     emitted_upto = 0.0
                     stream_fed = 0
+                    last_partial = ""
                     if stream_enc is not None:
-                        stream_enc.reset()
+                        await loop.run_in_executor(None, stream_enc.reset)
                     hs.is_speaking = True  # allow another utterance
         except Exception as e:
             logger.warning("session ended: %s", e)
