@@ -763,11 +763,13 @@ class LLM:
                      and ad_cfg.use_low_frame_rate)
         sample_packed = (frame_plan is not None and packed_ok
                          and lfr_n == 1 and frontend.lfr_m == 1
-                         and b <= self.max_num_seqs)
+                         and b <= self.max_num_seqs and sp.is_greedy)
         if frame_plan is not None and not sample_packed:
+            # a [1, NS] packed row misparses as a padded batch on any
+            # other path — refuse loudly rather than decode garbage
             raise ValueError(
-                "frame_plan requires packed_prefill, lfr off and a "
-                "single wave (batch <= max_num_seqs)"
+                "frame_plan requires packed_prefill, greedy sampling, "
+                "lfr off and a single wave (batch <= max_num_seqs)"
             )
         pending = None  # (reqs, tokens device array) awaiting host fetch
         for start in range(0, b, self.max_num_seqs):

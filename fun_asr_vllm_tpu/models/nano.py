@@ -52,7 +52,16 @@ logger = logging.getLogger(__name__)
 SPEECH_SPAN_RE = re.compile(r"(<\|startofspeech\|>.*?<\|endofspeech\|>)")
 
 _DTYPES = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
-           "float32": jnp.float32, "fp32": jnp.float32, "fp16": jnp.bfloat16}
+           "float32": jnp.float32, "fp32": jnp.float32}
+
+
+def _resolve_dtype(name: str):
+    if name in ("fp16", "float16"):
+        # TPUs compute in bfloat16; aliasing silently would change
+        # rounding behavior vs a true-fp16 reference, so say so
+        logger.warning("float16 is not supported on TPU — using bfloat16")
+        return jnp.bfloat16
+    return _DTYPES[name]
 
 
 class FunASRNano:
@@ -215,6 +224,12 @@ class FunASRNano:
                 user.append(content)
             elif role == "assistant":
                 assistant.append(content)
+        if user and not system:
+            # `system * len(user)` is the reference's own construction
+            # (model.py:283-289); with no system turn it would zip to
+            # ZERO turns and silently produce an empty prompt — default
+            # the system prompt instead
+            system = ["You are a helpful assistant."]
         return {
             "system": system * len(user),
             "user": user,
@@ -311,6 +326,17 @@ class FunASRNano:
                         adaptor_mod.downsampled_length(frames)
                         if self.use_low_frame_rate else frames
                     )
+                    if fbank_beg_i >= 0:
+                        # the reference records ONE (fbank_beg,
+                        # fake_token_len) per turn (model.py:403-404),
+                        # so a second span in the same turn mis-splices
+                        # there too — surface it instead of silently
+                        # matching that corruption
+                        logger.warning(
+                            "multiple audio spans in one turn: only the "
+                            "last span's position is spliced "
+                            "(reference model.py:403-404 semantics)"
+                        )
                     fbank_beg_i = len(turn_ids)
                     turn_ids += [0] * fake_len_i
                     wavs.append(wav)
@@ -325,7 +351,9 @@ class FunASRNano:
             labels = labels + [-100] * len(turn_ids) + target_ids
 
         speech = speech_lengths = None
-        if wavs:
+        precomputed = ("audio_embedding" in kwargs
+                       and "audio_embedding_lens" in kwargs)
+        if wavs and not precomputed:
             t1 = time.perf_counter()
             speech, speech_lengths = fe.extract(wavs)
             t_feat += time.perf_counter() - t1
@@ -333,6 +361,12 @@ class FunASRNano:
                 float(jnp.sum(speech_lengths)) * fe.frame_shift
                 * fe.lfr_n / 1000
             )
+        elif wavs:
+            # precomputed adaptor output: skip the fbank entirely — the
+            # whole point of the audio_embedding kwargs path
+            meta_data["batch_data_time"] = sum(
+                len(w) for w in wavs
+            ) / fe.fs
         meta_data["load_data"] = f"{t_load:0.3f}"
         meta_data["extract_feat"] = f"{t_feat:0.3f}"
         return {
@@ -374,7 +408,8 @@ class FunASRNano:
                else output["source_ids"])
         embeds = np.array(self.embed_ids(np.maximum(ids, 0)))  # [T, H] f32
 
-        if output["speech"] is not None:
+        has_spans = bool((np.asarray(output["fbank_beg"]) >= 0).any())
+        if has_spans:
             if ("audio_embedding" in kwargs
                     and "audio_embedding_lens" in kwargs):
                 # precomputed adaptor output (reference model.py:477-480)
@@ -462,6 +497,9 @@ class FunASRNano:
                 -(tok_lp * jnp.asarray(valid)).sum() / max(valid.sum(), 1)
             )
             preds = np.asarray(jnp.argmax(logits, axis=-1))
+            # reference parity: model.py:677 slices preds[:, len(source):]
+            # (logits[len(source)-1] — the first target prediction — is
+            # deliberately excluded there too)
             preds = preds[len(source_ids):]
             response = self.tokenizer.decode(
                 preds.tolist(), skip_special_tokens=True
@@ -557,7 +595,7 @@ class FunASRNano:
         Returns (model, kwargs) with tokenizer/frontend like the reference's
         AutoModel.build_model contract (reference model.py:710-718). Missing
         weights random-initialize with a warning (benchmark/test mode)."""
-        jdtype = _DTYPES[dtype]
+        jdtype = _resolve_dtype(dtype)
         cfg = NanoModelConfig.from_dir(model)
         enc_cfg = encoder_mod.SANMEncoderConfig.from_conf(
             cfg.audio_encoder_conf, input_size=cfg.input_size, dtype=jdtype

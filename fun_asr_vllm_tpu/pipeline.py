@@ -91,10 +91,12 @@ class BatchPipeline:
         fe = m.frontend
         llm = m.vllm
         wavs = list(wavs)
+        sp = m.vllm_sampling_params or self.sampling
         if (llm is not None and getattr(llm, "packed_prefill", False)
                 and llm.mesh is None and fe.lfr_m == 1 and fe.lfr_n == 1
                 and m.adaptor_cfg.use_low_frame_rate
-                and len(wavs) <= llm.max_num_seqs):
+                and len(wavs) <= llm.max_num_seqs
+                and sp.is_greedy):  # plan only feeds the single-shot path
             from .engine.packed import plan_frame_pack
 
             frames = np.asarray([fe.frame_count(len(w)) for w in wavs],
@@ -189,36 +191,30 @@ class BatchPipeline:
         enc_out, enc_lens = m.audio_encoder(speech, speech_lengths)
         audio, audio_lens = m.audio_adaptor(enc_out, enc_lens)
         t2 = time.perf_counter()
-        if m.vllm is not None:
-            # device-resident fast path: audio embeddings never leave HBM
-            outs = m.vllm.generate_from_audio(
-                audio, audio_lens,
-                self._prefix_dev, self._suffix_dev,
-                m.vllm_sampling_params or self.sampling,
+        # engine-less (enable_engine=False) fallback: per-utterance
+        # greedy decode — when the engine exists the fused branch above
+        # always returns first
+        audio_np = np.asarray(audio, dtype=np.float32)
+        lens_np = np.asarray(audio_lens)
+        embeds = [
+            np.concatenate(
+                [self._prefix, audio_np[i, : int(lens_np[i])],
+                 self._suffix]
             )
-            texts = [o.outputs[0].text for o in outs]
-        else:
-            audio_np = np.asarray(audio, dtype=np.float32)
-            lens_np = np.asarray(audio_lens)
-            embeds = [
-                np.concatenate(
-                    [self._prefix, audio_np[i, : int(lens_np[i])],
-                     self._suffix]
-                )
-                for i in range(len(wavs))
-            ]
-            from .models import qwen3 as qwen3_mod
-            import jax.numpy as jnp
+            for i in range(len(wavs))
+        ]
+        from .models import qwen3 as qwen3_mod
+        import jax.numpy as jnp
 
-            texts = []
-            for e in embeds:
-                ids = qwen3_mod.greedy_decode_simple(
-                    m.llm_params, m.llm_cfg, jnp.asarray(e)[None],
-                    max_new_tokens=min(self.sampling.max_tokens, 128),
-                )
-                texts.append(
-                    m.tokenizer.decode(ids.tolist(), skip_special_tokens=True)
-                )
+        texts = []
+        for e in embeds:
+            ids = qwen3_mod.greedy_decode_simple(
+                m.llm_params, m.llm_cfg, jnp.asarray(e)[None],
+                max_new_tokens=self.sampling.max_tokens,
+            )
+            texts.append(
+                m.tokenizer.decode(ids.tolist(), skip_special_tokens=True)
+            )
         t3 = time.perf_counter()
         self.timings["fbank"] += t1 - t0
         self.timings["encode"] += t2 - t1
