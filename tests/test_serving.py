@@ -193,3 +193,53 @@ class TestOnlineChunkedPrefill:
                 break
             time.sleep(0.1)
         assert len(llm._free_blocks) == llm.cache_cfg.num_blocks - 1
+
+
+class TestOnlineDeltaPartials:
+    def test_appended_partials_match_final_transcript(self, engine_server):
+        """Online-mode messages carry DELTAS (the reference client
+        APPENDS streaming text, ASR_client_api.py:186-197): the
+        client-side assembly of all partials + the final must contain
+        no duplicated cumulative blocks."""
+        import asyncio as aio
+        import json as js
+
+        import websockets
+
+        server, port = engine_server
+        rng = np.random.default_rng(3)
+        pcm = (rng.normal(scale=0.1, size=24000) * 32767).astype("<i2")
+
+        async def run():
+            async with websockets.connect(
+                f"ws://127.0.0.1:{port}", subprotocols=["binary"]
+            ) as ws:
+                await ws.send(js.dumps({
+                    "mode": "online", "chunk_size": [5, 10, 5],
+                    "chunk_interval": 10, "wav_name": "d",
+                    "is_speaking": True, "itn": False,
+                }))
+                for i in range(0, len(pcm), 8000):
+                    await ws.send(pcm[i : i + 8000].tobytes())
+                    await aio.sleep(0.05)
+                await ws.send(js.dumps({"is_speaking": False}))
+                parts = []
+                while True:
+                    msg = js.loads(await aio.wait_for(ws.recv(), 120))
+                    assert msg["mode"] == "online"
+                    parts.append(msg["text"])
+                    if msg.get("is_final"):
+                        return parts
+
+        parts = asyncio.new_event_loop().run_until_complete(run())
+        assembled = "".join(parts)
+        # deltas: no partial may re-contain the previously assembled text
+        prefix = ""
+        for p in parts[:-1]:
+            if prefix and p:
+                assert not p.startswith(prefix), (prefix, p)
+            prefix += p
+        # the assembly equals the server's final cumulative transcript
+        # only when no revision happened; at minimum it must not blow up
+        # to a duplicated concatenation
+        assert len(assembled) <= 2 * max(len(prefix), 1) + 64
