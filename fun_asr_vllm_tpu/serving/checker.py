@@ -42,6 +42,12 @@ class ASR_Checker:
         transcript = asyncio.run(client.transcribe(audio_path))
         result = compute_wer_line(text, transcript, tochar=True)
         wer = result["stats"]["wer"] / 100.0
+        if result["stats"]["all"] == 0:
+            # an empty-tokenizing reference yields wer=0 regardless of
+            # the hypothesis (reference compute_wer_line.py:330 parity)
+            # — that would auto-pass ANY transcript, defeating the gate
+            logger.warning("asr_check: reference tokenized empty — fail")
+            return False, wer, transcript
         passed = wer < self.wer_threshold
         logger.info(
             "asr_check lang=%s wer=%.3f passed=%s", lang, wer, passed

@@ -15,6 +15,10 @@ from typing import Dict, Iterable, List, TextIO, Tuple
 from .wer import align
 
 ERR = "*"
+# alignment epsilon: a PRIVATE-USE char so a literal '*' in ref/hyp text
+# cannot collide with the gap sentinel (icefall/kaldialign use '*' and
+# miscount matched '*' tokens as ins+del); ERR stays the DISPLAY marker
+_EPS = "\ue000"
 
 
 def store_transcripts(
@@ -41,8 +45,8 @@ def _combine_successive_errors(
             groups[i] = [[], []]
     out: List[Tuple[str, str]] = []
     for refs, hyps in groups:
-        refs = [a for a in refs if a != ERR]
-        hyps = [a for a in hyps if a != ERR]
+        refs = [a for a in refs if a != _EPS]
+        hyps = [a for a in hyps if a != _EPS]
         if not refs and not hyps:
             continue
         out.append(
@@ -69,13 +73,13 @@ def write_error_stats(
     num_corr = 0
     alis: List[List[Tuple[str, str]]] = []
     for _cut_id, ref, hyp in results:
-        ali = align(ref, hyp, ERR)
+        ali = align(ref, hyp, _EPS)
         alis.append(ali)
         for ref_word, hyp_word in ali:
-            if ref_word == ERR:
+            if ref_word == _EPS:
                 ins[hyp_word] += 1
                 words[hyp_word][3] += 1
-            elif hyp_word == ERR:
+            elif hyp_word == _EPS:
                 dels[ref_word] += 1
                 words[ref_word][4] += 1
             elif hyp_word != ref_word:

@@ -19,8 +19,12 @@ def _zh_normalizer():
     try:  # pragma: no cover - depends on env
         from tn.chinese.normalizer import Normalizer as WeZhNormalizer
 
+        import os
+
         return WeZhNormalizer(
-            cache_dir="./cache",
+            # per-user cache: a cwd-relative "./cache" rebuilds the FSTs
+            # (tens of seconds) and litters a dir in every working dir
+            cache_dir=os.path.expanduser("~/.cache/fun_asr_vllm_tpu/tn"),
             remove_erhua=False,
             remove_interjections=False,
             remove_puncts=True,
@@ -37,7 +41,12 @@ def _en_normalizer():
     try:  # pragma: no cover - depends on env
         from tn.english.normalizer import Normalizer as WeEnNormalizer
 
-        return WeEnNormalizer(cache_dir="./cache", overwrite_cache=False)
+        import os
+
+        return WeEnNormalizer(
+            cache_dir=os.path.expanduser("~/.cache/fun_asr_vllm_tpu/tn"),
+            overwrite_cache=False,
+        )
     except Exception:
         from .en_tn import EnNormalizer
 

@@ -48,17 +48,34 @@ class ZhInverseNormalizer:
         self.enable_0_to_9 = enable_0_to_9
 
     def normalize(self, text: str) -> str:
+        # percent first: 百分之五 → 5%, 百分之五点五 → 5.5% (the hanzi
+        # value inside always digitizes, matching WeTextProcessing)
+        def pct_repl(m: re.Match) -> str:
+            inner = m.group(1)
+            formatted = _format_number(inner, True)
+            return formatted + "%" if formatted != inner else m.group(0)
+
+        text = re.sub(
+            "百分之([" + "".join(sorted(NUM_CHARS | {"点"})) + "]+)",
+            pct_repl, text,
+        )
+
         def repl(m: re.Match) -> str:
             run = m.group(0)
-            # pure unit chars ("万一", "千万") in idioms: require a digit char
-            if not any(c in VALUE_OF for c in run):
+            # leading big unit = lexical idiom (万一, 亿万, 万万), never a
+            # spoken number — a value always precedes 万/亿
+            if run[0] in BIG_UNITS:
                 return run
-            # strip leading/trailing lone units that are likely lexical
-            return _format_number(run.rstrip("点"), self.enable_0_to_9) + \
-                ("点" * (len(run) - len(run.rstrip("点"))) if run.endswith("点") else "")
+            # otherwise require a digit char, except 十-leading readings
+            # (十三 has one; bare 十 = 10 converts under enable_0_to_9=False)
+            if not any(c in VALUE_OF for c in run) and run[0] != "十":
+                return run
+            trail = len(run) - len(run.rstrip("点"))
+            return (_format_number(run.rstrip("点"), self.enable_0_to_9)
+                    + "点" * trail)
 
         out = _NUM_RUN_RE.sub(repl, text)
-        # percent: 百分之X (already digitized above) → X%
+        # percent over already-digitized values: 百分之32 → 32%
         out = re.sub(r"百分之(\d+(?:\.\d+)?)", r"\1%", out)
         return out
 
@@ -71,7 +88,13 @@ def inverse_normalize_text(text: str, language: str = "auto") -> str:
     lang = detect_language(text) if language == "auto" else language
     if lang == "zh":
         return ZhInverseNormalizer().normalize(text)
-    # en: collapse space before punctuation, ensure one after
-    out = re.sub(r"\s+([,.!?;:])", r"\1", text)
-    out = re.sub(r"([,.!?;:])(?=\S)", r"\1 ", out)
+    # en: the reference's punctuation-spacing rules verbatim
+    # (kaldi_text_itn.py:50-58) — the digit lookarounds protect decimals
+    # like 3.14, the bracket guard avoids "). " splits
+    import unicodedata
+
+    out = unicodedata.normalize("NFKC", text)
+    out = re.sub(r"\s+([,.!?;:])(?!\d)", r"\1", out)
+    out = re.sub(r"([,.!?;:])(?=\S)(?<!\d[.,])(?!\s*[\)\]’”])", r"\1 ", out)
+    out = re.sub(r"(\w)\s*-\s*(\w)", r"\1-\2", out)
     return out

@@ -112,7 +112,7 @@ def parse_hanzi_number(s: str) -> Tuple[int, bool]:
     # digit-by-digit reading: all plain digits, len > 1, e.g. 二零二四 / 幺三九
     if len(s) > 1 and all(c in VALUE_OF for c in s):
         return int("".join(str(VALUE_OF[c]) for c in s)), True
-    total = 0
+    total = 0    # completed value across big-unit boundaries
     section = 0  # accumulated value below the next big unit
     num = 0      # pending digit value
     for ch in s:
@@ -126,7 +126,14 @@ def parse_hanzi_number(s: str) -> Tuple[int, bool]:
             num = 0
         elif ch in BIG_UNITS:
             unit = BIG_UNITS[ch]
-            total += (section + num) * unit
+            section += num
+            if unit >= 100_000_000:
+                # 亿 scales EVERYTHING accumulated so far: 三万亿 =
+                # (3·10⁴)·10⁸ = 3·10¹², 五千万亿 = (5·10⁷)·10⁸
+                total = (total + section) * unit
+            else:
+                # 万 scales only the current sub-亿 section
+                total += section * unit
             section = 0
             num = 0
         else:

@@ -311,3 +311,41 @@ class TestWerProperty:
             s = res["stats"]
             want = self._brute_distance(tuple(ref), tuple(hyp))
             assert s["sub"] + s["del"] + s["ins"] == want
+
+
+class TestItnReviewFixes:
+    def test_big_unit_composition(self):
+        from fun_asr_vllm_tpu.text.zh_num import (
+            int_to_hanzi, parse_hanzi_number,
+        )
+
+        assert parse_hanzi_number("三万亿")[0] == 3_000_000_000_000
+        assert parse_hanzi_number("五千万亿")[0] == 5_000_000_000_000_000
+        assert parse_hanzi_number("三亿五千万")[0] == 350_000_000
+        assert parse_hanzi_number("十二万三千四百五十六")[0] == 123456
+        for v in (3_000_000_000_000, 123456, 100001, 200500):
+            assert parse_hanzi_number(int_to_hanzi(v))[0] == v
+
+    def test_idioms_and_units(self):
+        from fun_asr_vllm_tpu.text.zh_itn import inverse_normalize_text
+
+        assert inverse_normalize_text("万一下雨怎么办", "zh") == "万一下雨怎么办"
+        assert inverse_normalize_text("十个人", "zh") == "10个人"
+        assert inverse_normalize_text("百分之五十", "zh") == "50%"
+        assert inverse_normalize_text("百分之五点五", "zh") == "5.5%"
+
+    def test_en_decimal_and_hyphen(self):
+        from fun_asr_vllm_tpu.text.zh_itn import inverse_normalize_text
+
+        assert (inverse_normalize_text("the value is 3.14 , ok", "en")
+                == "the value is 3.14, ok")
+        assert (inverse_normalize_text("well - known fact", "en")
+                == "well-known fact")
+
+    def test_literal_star_not_miscounted(self):
+        import io
+
+        from fun_asr_vllm_tpu.text.error_stats import write_error_stats
+
+        f = io.StringIO()
+        assert write_error_stats(f, "t", [("u1", "a*b", "a*b")]) == 0.0
