@@ -268,19 +268,26 @@ def adaptor_from_funasr_sd(
     return params
 
 
-def nano_from_funasr(
-    model_dir: str, enc_cfg, ad_cfg, llm_cfg, dtype=jnp.bfloat16
+def nano_from_funasr_sd(
+    sd: Mapping[str, np.ndarray], enc_cfg, ad_cfg, llm_cfg
 ) -> Tuple[Dict, Dict, Dict]:
-    """Combined funasr FunASRNano model.pt → (enc, adaptor, llm) trees.
+    """Combined funasr FunASRNano state_dict → (enc, adaptor, llm) trees.
 
     The ModelScope checkpoint stores everything under `audio_encoder.*`,
     `audio_adaptor.*`, `llm.*` (HF naming below `llm.`,
     reference model.py:25-130 attribute names)."""
-    sd = load_state_dict(model_dir)
     enc = encoder_from_funasr_sd(sd, enc_cfg, prefix="audio_encoder.")
     ad = adaptor_from_funasr_sd(sd, ad_cfg, prefix="audio_adaptor.")
     llm = qwen3_from_state_dict(sd, llm_cfg, prefix="llm.")
     return enc, ad, llm
+
+
+def nano_from_funasr(
+    model_dir: str, enc_cfg, ad_cfg, llm_cfg, dtype=jnp.bfloat16
+) -> Tuple[Dict, Dict, Dict]:
+    """`nano_from_funasr_sd` over a checkpoint dir's model.pt."""
+    return nano_from_funasr_sd(load_state_dict(model_dir), enc_cfg, ad_cfg,
+                               llm_cfg)
 
 
 def merge_lora(

@@ -5,6 +5,13 @@ sharding tests can exercise real pjit/shard_map layouts without TPU chips.
 """
 
 import os
+import sys
+
+# tools/ holds shared test support (torch funasr mini-references,
+# checkpoint fabricator) importable by tests
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tools")
+)
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # the env presets JAX_PLATFORMS=axon (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
