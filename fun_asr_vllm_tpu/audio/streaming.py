@@ -91,3 +91,84 @@ class StreamingEncoder:
     @property
     def stream_seconds(self) -> float:
         return len(self._samples) / self.frontend.fs
+
+
+class StreamingResampler:
+    """Incremental polyphase resampler for non-16 kHz online streams.
+
+    `push(new_samples)` emits the next chunk of output samples; the
+    emitted stream is numerically identical to `audio.io.resample` over
+    the whole signal in the already-emitted region (the final
+    `~half_len` filter-edge outputs are withheld until `flush()`), and
+    each push costs O(new + filter_len) — not O(stream) (the round-2
+    server re-resampled the WHOLE buffer per partial, O(T²) summed,
+    ROADMAP Capabilities 5).
+
+    How: scipy's `resample_poly(x, up, down)` output m is a fixed dot
+    product over inputs n with |n·up − m·down| ≤ half_len
+    (half_len = 10·max(up, down), kaiser β=5.0 — the same default
+    filter io.resample uses). Windowing the input at a multiple of
+    `down` keeps the polyphase phase grid aligned with the full-signal
+    computation, so interior outputs are bit-identical; only outputs
+    whose taps would cross the window edges are deferred."""
+
+    def __init__(self, sr_in: int, sr_out: int) -> None:
+        from math import gcd
+
+        g = gcd(sr_in, sr_out)
+        self.up = sr_out // g
+        self.down = sr_in // g
+        self.half_len = 10 * max(self.up, self.down)
+        self._buf = np.zeros((0,), np.float64)  # input tail from _win_start
+        self._win_start = 0   # absolute input index of _buf[0] (mult of down)
+        self._n_in = 0        # total input samples seen
+        self._emitted = 0     # output samples emitted
+
+    def _resample_window(self) -> np.ndarray:
+        from scipy.signal import resample_poly
+
+        return resample_poly(self._buf, self.up, self.down, axis=0)
+
+    def push(self, new_samples: np.ndarray) -> np.ndarray:
+        """Feed raw input samples → newly safe output samples (f32)."""
+        if self.up == self.down:
+            return np.asarray(new_samples, np.float32)
+        new = np.asarray(new_samples, np.float64).reshape(-1)
+        self._buf = np.concatenate([self._buf, new])
+        self._n_in += len(new)
+        # outputs m with (m·down + half_len)/up ≤ n_in − 1 are final
+        m_safe = ((self._n_in - 1) * self.up - self.half_len) // self.down + 1
+        m_safe = max(self._emitted, m_safe)
+        if m_safe == self._emitted:
+            return np.zeros((0,), np.float32)
+        local = self._resample_window()
+        lo = self._emitted - (self._win_start * self.up) // self.down
+        out = local[lo : lo + (m_safe - self._emitted)].astype(np.float32)
+        self._emitted = m_safe
+        # drop input no future output needs, keeping the window start on
+        # a multiple of `down` (phase alignment with the full signal)
+        need_from = (self._emitted * self.down - self.half_len) // self.up
+        a = max(self._win_start, (max(need_from, 0) // self.down) * self.down)
+        self._buf = self._buf[a - self._win_start :]
+        self._win_start = a
+        return out
+
+    def flush(self) -> np.ndarray:
+        """Emit the withheld tail; total output equals
+        `resample(full_signal)` exactly."""
+        if self.up == self.down:
+            return np.zeros((0,), np.float32)
+        total = -(-self._n_in * self.up // self.down)
+        if total <= self._emitted:
+            return np.zeros((0,), np.float32)
+        local = self._resample_window()
+        lo = self._emitted - (self._win_start * self.up) // self.down
+        out = local[lo:].astype(np.float32)[: total - self._emitted]
+        self._emitted = total
+        return out
+
+    def reset(self) -> None:
+        self._buf = np.zeros((0,), np.float64)
+        self._win_start = 0
+        self._n_in = 0
+        self._emitted = 0

@@ -72,6 +72,7 @@ class AsyncLLM:
             top_p=0.001, max_tokens=500
         )
         self._waiting: deque = deque()          # thread-safe append/popleft
+        self._suffix_jobs: deque = deque()      # PromptSession partials
         self._inflight: List[_Request] = []     # every unresolved request
         self._futures = {}                      # rid -> Future, guarded by _cv
         self._streams = {}                      # rid -> (cb, detok, [fed])
@@ -128,6 +129,33 @@ class AsyncLLM:
             self._cv.notify()
         return fut
 
+    def submit_suffix(
+        self,
+        session,
+        suffix_embeds,
+        sampling_params: Optional[SamplingParams] = None,
+    ) -> Future:
+        """Enqueue a PromptSession partial: the stepper prefills
+        [suffix] after the session's cached prompt and decodes the
+        continuation in the SHARED bursts (session.arm_suffix_request),
+        so N streams' partials overlap instead of serializing under the
+        engine lock. Future resolves to the finished _Request.
+
+        The caller must not extend/close `session` until the future
+        resolves (per-connection partials are naturally sequential)."""
+        sp = sampling_params or self._default_sampling
+        if not sp.is_greedy:
+            raise ValueError("AsyncLLM is greedy-only; use LLM.generate")
+        fut: Future = Future()
+        with self._cv:
+            if self._shutdown:
+                raise RuntimeError("AsyncLLM is shut down")
+            self._suffix_jobs.append(
+                (session, _as_numpy_2d(suffix_embeds), sp, fut)
+            )
+            self._cv.notify()
+        return fut
+
     def decode_text(self, prompt_embeds, sampling_params=None) -> str:
         """Blocking convenience: submit + wait + detokenize."""
         req = self.submit(prompt_embeds, sampling_params).result()
@@ -150,14 +178,15 @@ class AsyncLLM:
         while True:
             with self._cv:
                 while (not self._waiting and not self._inflight
-                       and not self._shutdown):
+                       and not self._suffix_jobs and not self._shutdown):
                     self._cv.wait()
-                if self._shutdown and not self._waiting and not self._inflight:
+                if (self._shutdown and not self._waiting
+                        and not self._inflight and not self._suffix_jobs):
                     return
             try:
                 self._step()
                 with self._cv:
-                    stalled = (self._waiting
+                    stalled = ((self._waiting or self._suffix_jobs)
                                and all(r is None for r in llm._slots))
                 if stalled:
                     # the step admitted nothing and nothing is live (KV
@@ -168,9 +197,11 @@ class AsyncLLM:
             except Exception as e:  # fail every in-flight future, keep serving
                 with self._cv:
                     futs = list(self._futures.values())
+                    futs += [j[3] for j in self._suffix_jobs]
                     self._futures.clear()
                     self._waiting.clear()
                     self._inflight.clear()
+                    self._suffix_jobs.clear()
                     self._streams.clear()
                 for r in list(llm._slots):
                     if r is not None:
@@ -190,6 +221,7 @@ class AsyncLLM:
 
     def _step_locked(self) -> None:
         llm = self.llm
+        self._arm_suffix_jobs()
         if self._waiting:
             llm._admit(self._waiting)
         live = [r for r in llm._slots if r is not None]
@@ -200,6 +232,30 @@ class AsyncLLM:
             llm._decode_burst(k)
         self._emit_stream_text()
         self._resolve_done()
+
+    def _arm_suffix_jobs(self) -> None:
+        """Turn queued PromptSession partials into live decode slots."""
+        llm = self.llm
+        while self._suffix_jobs:
+            session, suffix, sp, fut = self._suffix_jobs[0]
+            if fut.cancelled():
+                self._suffix_jobs.popleft()
+                continue
+            try:
+                req = session.arm_suffix_request(suffix, sp)
+            except Exception as e:
+                self._suffix_jobs.popleft()
+                if not fut.done():
+                    fut.set_exception(e)
+                continue
+            if req is None:  # no slot/blocks free — retry next step
+                break
+            self._suffix_jobs.popleft()
+            with self._cv:
+                self._futures[req.rid] = fut
+                self._inflight.append(req)
+            if req.done:  # first token was eos
+                self._resolve_done()
 
     def _emit_stream_text(self) -> None:
         for req in list(self._inflight):

@@ -42,7 +42,8 @@ from .kv_cache import (
     init_cache,
     prefill_step,
 )
-from .sampling import SamplingParams, sample_tokens
+from .sampling import (SamplingParams, sample_tokens,
+                       sample_tokens_per_row)
 
 logger = logging.getLogger(__name__)
 
@@ -113,11 +114,12 @@ class RequestOutput:
 class _Request:
     __slots__ = (
         "rid", "embeds", "prompt_len", "max_tokens", "out_ids", "slot",
-        "blocks", "done", "t_enqueue", "t_first_token", "stop_ids",
+        "blocks", "done", "t_enqueue", "t_first_token", "stop_ids", "sp",
+        "n_session_blocks",
     )
 
     def __init__(self, rid: int, embeds: np.ndarray, max_tokens: int,
-                 stop_ids=None):
+                 stop_ids=None, sp=None):
         self.rid = rid
         self.embeds = embeds
         self.prompt_len = embeds.shape[0]
@@ -129,6 +131,10 @@ class _Request:
         self.t_enqueue = time.perf_counter()
         self.t_first_token = 0.0
         self.stop_ids = stop_ids  # per-request override (async admission)
+        self.sp = sp  # per-request SamplingParams (None → engine current)
+        # leading req.blocks owned by a PromptSession (shared read-only,
+        # NOT freed with the request) — suffix-continuation requests only
+        self.n_session_blocks = 0
 
 
 def _as_numpy_2d(x: Any) -> np.ndarray:
@@ -231,8 +237,6 @@ class LLM:
         if kv_cache_dtype not in (None, "auto", "int8"):
             raise ValueError(f"unknown kv_cache_dtype {kv_cache_dtype!r}")
         kv_quant = kv_cache_dtype == "int8"
-        if kv_quant and mesh is not None:
-            raise NotImplementedError("int8 KV cache with mesh not wired")
         self.cache_cfg = CacheConfig(
             num_blocks=num_blocks, block_size=block_size,
             max_blocks_per_seq=mb, dtype=jdtype, kv_quant=kv_quant,
@@ -275,11 +279,6 @@ class LLM:
                 and config.head_dim % 128 == 0
                 and config.num_attention_heads >= 8
             )
-        if kv_quant:
-            # int8 pages dequantize after the XLA gather; the Pallas
-            # decode kernels read bf16 pages directly
-            use_pallas = False
-            use_pallas_burst = False
         self.use_pallas = use_pallas
         # A/B at flagship shapes (BENCH_NOTES round 2): the XLA live-width
         # gather beats the per-(seq,page) Pallas kernel inside the burst
@@ -305,6 +304,7 @@ class LLM:
         self._last_tokens = np.zeros((s,), dtype=np.int32)
         self._active = np.zeros((s,), dtype=bool)
         self._rng = jax.random.PRNGKey(0)
+        self._all_greedy = True  # whether every live request is greedy
         self._next_rid = 0
         self.stats = {"prefill_tokens": 0, "decode_tokens": 0, "steps": 0,
                       "t_dispatch": 0.0, "t_fetch": 0.0}
@@ -333,7 +333,7 @@ class LLM:
         return [self._free_blocks.popleft() for _ in range(n)]
 
     def _free(self, req: _Request) -> None:
-        self._free_blocks.extend(req.blocks)
+        self._free_blocks.extend(req.blocks[req.n_session_blocks:])
         req.blocks = []
         s = req.slot
         if s >= 0:
@@ -412,8 +412,15 @@ class LLM:
                     self._dp_shard(embeds), jnp.asarray(lengths),
                     jnp.asarray(tables),
                 )
-                firsts = (np.asarray(first_ids) if self._cur_sampling.is_greedy
-                          else self._sample(logits))
+                if self._all_greedy:
+                    firsts = np.asarray(first_ids)
+                else:
+                    row_sps = [
+                        (chunk[j].sp or self._cur_sampling)
+                        if j < len(chunk) else self._cur_sampling
+                        for j in range(bb)
+                    ]
+                    firsts = self._sample_rows(logits, row_sps)
                 now = time.perf_counter()
                 for j, req in enumerate(chunk):
                     t = req.prompt_len
@@ -430,12 +437,31 @@ class LLM:
         return True
 
     def _sample(self, logits: jax.Array) -> np.ndarray:
-        sp = self._cur_sampling
-        if sp.is_greedy:
+        """Sample the decode step's [S, V] logits, slot-aligned: each
+        live slot uses its request's own SamplingParams."""
+        sps = [
+            (r.sp or self._cur_sampling) if r is not None
+            else self._cur_sampling
+            for r in self._slots[: logits.shape[0]]
+        ]
+        return self._sample_rows(logits, sps)
+
+    def _sample_rows(self, logits: jax.Array, sps) -> np.ndarray:
+        """Row-aligned sampling: sps[j] governs logits row j. Uniform
+        batches keep the per-config bucketed kernel; mixed batches run
+        the compile-once vectorized per-row kernel."""
+        if all(s.is_greedy for s in sps):
             return np.asarray(jnp.argmax(logits, axis=-1), dtype=np.int32)
         self._rng, sub = jax.random.split(self._rng)
+        uniq = {(s.temperature, s.top_p, s.top_k) for s in sps}
+        if len(uniq) == 1:
+            t, tp, tk = next(iter(uniq))
+            return np.asarray(sample_tokens(logits, sub, t, tp, tk))
+        temps = jnp.asarray([s.temperature for s in sps], jnp.float32)
+        tps = jnp.asarray([s.top_p for s in sps], jnp.float32)
+        tks = jnp.asarray([s.top_k for s in sps], jnp.int32)
         return np.asarray(
-            sample_tokens(logits, sub, sp.temperature, sp.top_p, sp.top_k)
+            sample_tokens_per_row(logits, sub, temps, tps, tks)
         )
 
     def _handle_token(self, req: _Request, token: int) -> None:
@@ -550,10 +576,11 @@ class LLM:
         (or a raw [T,D] array). Returns outputs in submission order.
 
         `sampling_params` may be a list (one per prompt, the vLLM
-        contract): per-request max_tokens / stop_token_ids are honored;
-        the distribution settings (temperature/top_p/top_k) must agree
-        across the batch — the decode step samples all slots with one
-        configuration."""
+        contract): per-request max_tokens / stop_token_ids AND
+        distribution settings (temperature/top_p/top_k) are honored —
+        mixed batches sample every slot with its own configuration in one
+        vectorized step (sampling.sample_tokens_per_row); all-greedy
+        batches keep the fused in-graph burst fast path."""
         if isinstance(prompts, dict) or (
             hasattr(prompts, "ndim") and getattr(prompts, "ndim", 0) == 2
         ):
@@ -564,20 +591,12 @@ class LLM:
                 raise ValueError(
                     f"{len(sps)} sampling_params for {len(prompts)} prompts"
                 )
-            head = sps[0]
-            for s in sps[1:]:
-                if (s.temperature, s.top_p, s.top_k) != (
-                    head.temperature, head.top_p, head.top_k
-                ):
-                    raise ValueError(
-                        "per-request distribution settings must agree "
-                        "(temperature/top_p/top_k)"
-                    )
-            sp = head
+            sp = sps[0]
         else:
             sp = sampling_params or SamplingParams()
             sps = [sp] * len(prompts)
         self._cur_sampling = sp
+        self._all_greedy = all(s.is_greedy for s in sps)
 
         reqs: List[_Request] = []
         for p, rsp in zip(prompts, sps):
@@ -586,6 +605,7 @@ class LLM:
                 self._next_rid, _as_numpy_2d(embeds), rsp.max_tokens,
                 stop_ids=(self.eos_ids | set(rsp.stop_token_ids or ())
                           if rsp is not sp or rsp.stop_token_ids else None),
+                sp=rsp,
             )
             self._next_rid += 1
             reqs.append(req)
@@ -618,6 +638,8 @@ class LLM:
             req.t_enqueue = time.perf_counter()
             req.t_first_token = 0.0
             req.stop_ids = None
+            req.sp = None
+            req.n_session_blocks = 0
             slot = self._slots.index(None)
             need = min(-(-(req.prompt_len + 1 + extra) // bs),
                        self.cache_cfg.max_blocks_per_seq)
@@ -634,9 +656,11 @@ class LLM:
     def _post_prefill(self, reqs: List[_Request], logits: jax.Array,
                       first_ids=None) -> None:
         """Sample first tokens and arm the decode slots after a prefill."""
+        # fast-path waves are uniform-sp; rows align to `reqs`, not slots
         firsts = (np.asarray(first_ids)
                   if first_ids is not None and self._cur_sampling.is_greedy
-                  else self._sample(logits))
+                  else self._sample_rows(
+                      logits, [self._cur_sampling] * logits.shape[0]))
         now = time.perf_counter()
         for j, req in enumerate(reqs):
             t = req.prompt_len
@@ -666,6 +690,7 @@ class LLM:
         boundary. Processes in waves of max_num_seqs."""
         sp = sampling_params or SamplingParams()
         self._cur_sampling = sp
+        self._all_greedy = sp.is_greedy
         lens_np = np.asarray(audio_lens, dtype=np.int64)
         b = int(audio_embeds.shape[0])
         p, q = prefix_embeds.shape[0], suffix_embeds.shape[0]
@@ -716,6 +741,7 @@ class LLM:
 
         sp = sampling_params or SamplingParams()
         self._cur_sampling = sp
+        self._all_greedy = sp.is_greedy
         p, q = prefix_embeds.shape[0], suffix_embeds.shape[0]
         # with a sample-packed row, speech is [1, NS] — the true batch
         # size is the number of frame counts
@@ -945,7 +971,7 @@ class LLM:
         while done_count < len(reqs):
             self._admit(waiting)
             if any(r is not None for r in self._slots):
-                if sp.is_greedy:
+                if self._all_greedy:
                     # burst size snapped to 8 and capped at
                     # decode_burst_size (≤ decode_burst_size/8 compiled
                     # variants): a continuation for 2-3 remaining tokens
@@ -1162,6 +1188,102 @@ class PromptSession:
             return out
         finally:
             llm._free_blocks.extend(scratch)
+
+    def arm_suffix_request(
+        self,
+        suffix_embeds: np.ndarray,
+        sampling_params: Optional[SamplingParams] = None,
+    ) -> Optional[_Request]:
+        """Prefill [suffix] into scratch blocks and ARM a decode SLOT so
+        the engine's shared bursts advance this partial alongside every
+        other live request — N streams' partials decode at ~1× latency
+        instead of serializing through `decode_with_suffix` (the vLLM
+        continuous-batching behavior the reference relies on).
+
+        Returns the armed request (`req.blocks` prefixed by the session's
+        cached blocks, which `_free` skips via `n_session_blocks`) or
+        None when no slot / blocks are free right now (caller retries).
+        Caller owns engine serialization (the AsyncLLM stepper thread)."""
+        llm = self.llm
+        try:
+            slot = llm._slots.index(None)
+        except ValueError:
+            return None
+        sp = sampling_params or SamplingParams()
+        suffix = _as_numpy_2d(suffix_embeds)
+        q = suffix.shape[0]
+        bs = llm.cache_cfg.block_size
+        # + burst overshoot headroom: fixed-K bursts write up to K-1
+        # positions past the last accepted token
+        total = (self.cached_len + q + sp.max_tokens + 1
+                 + llm.decode_burst_size)
+
+        scratch: List[int] = []
+        blocks = list(self.blocks)
+        n_session = len(blocks)
+        boundary = self.cached_len % bs
+        if boundary and blocks:
+            got = llm._alloc_blocks(1)
+            if got is None:
+                return None
+            scratch.extend(got)
+            llm.k_cache = _copy_block(
+                llm.k_cache, jnp.int32(blocks[-1]), jnp.int32(scratch[-1])
+            )
+            llm.v_cache = _copy_block(
+                llm.v_cache, jnp.int32(blocks[-1]), jnp.int32(scratch[-1])
+            )
+            blocks[-1] = scratch[-1]
+            n_session -= 1
+        need_extra = -(-total // bs) - len(blocks)
+        if need_extra > 0:
+            got = llm._alloc_blocks(need_extra)
+            if got is None:
+                llm._free_blocks.extend(scratch)
+                return None
+            scratch.extend(got)
+            blocks.extend(got)
+
+        tb = _bucket_len(max(q, 1))
+        padded = np.zeros((1, tb, llm.cfg.hidden_size), np.float32)
+        padded[0, :q] = suffix
+        tables = self._table(blocks, total)
+        (_logits, first_ids), llm.k_cache, llm.v_cache = extend_step(
+            llm.params, llm.cfg, llm.k_cache, llm.v_cache,
+            jnp.asarray(padded),
+            jnp.asarray([self.cached_len], jnp.int32),
+            jnp.asarray([q], jnp.int32),
+            jnp.asarray(tables),
+        )
+
+        now = time.perf_counter()
+        req = _Request.__new__(_Request)
+        req.rid = llm._next_rid
+        llm._next_rid += 1
+        req.embeds = None
+        req.prompt_len = self.cached_len + q
+        req.max_tokens = sp.max_tokens
+        req.out_ids = []
+        req.done = False
+        req.t_enqueue = now
+        req.t_first_token = now
+        req.stop_ids = llm.eos_ids | set(sp.stop_token_ids or ())
+        req.sp = sp
+        req.n_session_blocks = n_session
+        req.slot = slot
+        req.blocks = blocks
+        llm._slots[slot] = req
+        mbps = llm.cache_cfg.max_blocks_per_seq
+        llm._block_tables[slot, :] = 0
+        w = min(tables.shape[1], mbps)
+        llm._block_tables[slot, :w] = tables[0, :w]
+        llm._positions[slot] = req.prompt_len
+        llm._seq_lens[slot] = req.prompt_len + 1
+        first = int(np.asarray(first_ids)[0])
+        llm._last_tokens[slot] = first
+        llm._active[slot] = True
+        llm._handle_token(req, first)
+        return req
 
     def close(self) -> None:
         self.llm._free_blocks.extend(self.blocks)

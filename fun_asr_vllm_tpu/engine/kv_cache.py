@@ -33,6 +33,10 @@ import jax.numpy as jnp
 from ..models import qwen3
 from ..models.qwen3 import Qwen3Config, rms_norm, rope_cos_sin, apply_rope
 
+# cap on the burst's hoisted all-layer KV window (k+v, bytes); above it the
+# burst falls back to per-layer gathers to bound live HBM
+_HOIST_GATHER_BYTES_CAP = 512 << 20
+
 
 @dataclasses.dataclass(frozen=True)
 class CacheConfig:
@@ -120,11 +124,12 @@ def paged_attention_xla(
     v_cache_l: jax.Array,
     block_tables: jax.Array,  # [S, MB]
     seq_lens: jax.Array,      # [S] kv length incl. current token
+    out_dtype=None,           # int8-page dequant target (cfg.dtype)
 ) -> jax.Array:
     """Reference paged decode attention (gather + masked softmax). f32 math."""
     s, nq, d = q.shape
-    k = _gather_pages(k_cache_l, block_tables)  # [S, T, Nkv, D]
-    v = _gather_pages(v_cache_l, block_tables)
+    k = _gather_pages(k_cache_l, block_tables, out_dtype)  # [S, T, Nkv, D]
+    v = _gather_pages(v_cache_l, block_tables, out_dtype)
     t = k.shape[1]
     nkv = k.shape[2]
     n_rep = nq // nkv
@@ -189,7 +194,9 @@ def _decode_core(
     if use_pallas:
         from ..ops.paged_attention import paged_attention_pallas as attn_impl
     else:
-        attn_impl = paged_attention_xla
+        # thread cfg.dtype so a float32-configured int8 cache dequantizes
+        # to f32, not a silently-rounded bf16 (ADVICE r2)
+        attn_impl = partial(paged_attention_xla, out_dtype=cfg.dtype)
 
     nq, nkv, d = (cfg.num_attention_heads, cfg.num_key_value_heads,
                   cfg.head_dim)
@@ -275,10 +282,6 @@ def _burst_core(
     K = num_steps
     # cached region length per seq (excludes the pending token)
     cached_lens = seq_lens - 1
-    if use_pallas and isinstance(k_cache, dict):
-        raise NotImplementedError(
-            "int8 KV cache uses the XLA gather path (use_pallas=False)"
-        )
     if use_pallas:
         from ..ops.paged_attention import paged_attention_pallas_stats
 
@@ -294,12 +297,27 @@ def _burst_core(
         # read+write+reread (3× the window bytes) per layer per step;
         # hoisted, the copy is paid once per burst and each step streams
         # the contiguous window (the irreducible attention read).
-        k_gathered = jax.vmap(
-            lambda c, bt: _gather_pages(c, bt, cfg.dtype), in_axes=(0, None)
-        )(k_cache, block_tables)
-        v_gathered = jax.vmap(
-            lambda c, bt: _gather_pages(c, bt, cfg.dtype), in_axes=(0, None)
-        )(v_cache, block_tables)
+        # Memory envelope: the hoist materializes BOTH k and v windows for
+        # ALL layers at once — 2·L·S·W·Nkv·D·itemsize bytes. Above the cap
+        # (long contexts × large batches) fall back to per-layer gathers
+        # inside the step, trading the 3× per-step window traffic for
+        # L× less live HBM (ADVICE r2).
+        mb = block_tables.shape[1]
+        itemsize = 1 if isinstance(k_cache, dict) else (
+            jnp.zeros((), cfg.dtype).dtype.itemsize
+        )
+        hoist_bytes = 2 * L * s * mb * bs * nkv * d * itemsize
+        if hoist_bytes <= _HOIST_GATHER_BYTES_CAP:
+            k_gathered = jax.vmap(
+                lambda c, bt: _gather_pages(c, bt, cfg.dtype),
+                in_axes=(0, None),
+            )(k_cache, block_tables)
+            v_gathered = jax.vmap(
+                lambda c, bt: _gather_pages(c, bt, cfg.dtype),
+                in_axes=(0, None),
+            )(v_cache, block_tables)
+        else:
+            k_gathered = v_gathered = None
 
     k_recent0 = jnp.zeros((L, K, s, nkv, d), cfg.dtype)
     v_recent0 = jnp.zeros((L, K, s, nkv, d), cfg.dtype)
@@ -330,7 +348,13 @@ def _burst_core(
             # segment 1: the immutable paged cache (reads only)
             if use_pallas:
                 att1, m1, l1 = paged_stats(
-                    q, k_cache[lid], v_cache[lid], block_tables, cached_lens,
+                    q, _cache_layer(k_cache, lid), _cache_layer(v_cache, lid),
+                    block_tables, cached_lens,
+                )
+            elif k_gathered is None:  # over-cap window: per-layer gather
+                att1, m1, l1 = _paged_attention_stats(
+                    q, _cache_layer(k_cache, lid), _cache_layer(v_cache, lid),
+                    block_tables, cached_lens, out_dtype=cfg.dtype,
                 )
             else:
                 att1, m1, l1 = _window_attention_stats(
@@ -414,11 +438,12 @@ def _paged_attention_stats(
     v_cache_l: jax.Array,
     block_tables: jax.Array,  # [S, MB]
     kv_lens: jax.Array,       # [S] valid cached length
+    out_dtype=None,           # int8-page dequant target (cfg.dtype)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Unnormalized paged attention → (acc [S,Nq,D] f32, max [S,Nq,1],
     denom [S,Nq,1]) for softmax-segment merging."""
-    k = _gather_pages(k_cache_l, block_tables)
-    v = _gather_pages(v_cache_l, block_tables)
+    k = _gather_pages(k_cache_l, block_tables, out_dtype)
+    v = _gather_pages(v_cache_l, block_tables, out_dtype)
     return _window_attention_stats(q, k, v, kv_lens)
 
 
@@ -676,9 +701,10 @@ def _extend_core(
         vc = _cache_write(vc, (lid, write_blocks, write_offsets),
                           v.reshape(b * t, nkv, d), cfg.dtype)
         # combined attention: [cached pages ⧺ chunk] with causal masking
-        kcached = _gather_pages(_cache_layer(kc, lid),
-                                block_tables)  # [B, Tc, nkv, d]
-        vcached = _gather_pages(_cache_layer(vc, lid), block_tables)
+        kcached = _gather_pages(_cache_layer(kc, lid), block_tables,
+                                cfg.dtype)  # [B, Tc, nkv, d]
+        vcached = _gather_pages(_cache_layer(vc, lid), block_tables,
+                                cfg.dtype)
         tc = kcached.shape[1]
         n_rep = nq // nkv
         qf = (q.astype(jnp.float32) * (d ** -0.5)).reshape(

@@ -56,3 +56,49 @@ def sample_tokens(
         )
         logits = jnp.where(logits < thresh, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+@jax.jit
+def sample_tokens_per_row(
+    logits: jax.Array,       # [S, V] float32
+    key: jax.Array,
+    temperature: jax.Array,  # [S] f32
+    top_p: jax.Array,        # [S] f32
+    top_k: jax.Array,        # [S] int32 (<=0 → disabled)
+) -> jax.Array:
+    """Per-row sampling configurations in ONE vectorized step — the vLLM
+    per-prompt SamplingParams contract (reference model.py:645-653 call
+    shape): each slot carries its own temperature/top_p/top_k; greedy
+    rows (temperature≤1e-5 or top_p≤0.01) take the argmax exactly.
+
+    One descending sort serves both the per-row k-th-value cutoff and the
+    nucleus (top_p) cumulative cutoff; compiled once for all mixes."""
+    s, v = logits.shape
+    greedy = (temperature <= 1e-5) | (top_p <= 0.01)
+    lf = logits.astype(jnp.float32)
+    argmax = jnp.argmax(lf, axis=-1).astype(jnp.int32)
+
+    safe_t = jnp.where(greedy, 1.0, jnp.maximum(temperature, 1e-5))
+    scaled = lf / safe_t[:, None]
+    order = jnp.argsort(-scaled, axis=-1)                 # descending
+    sorted_logits = jnp.take_along_axis(scaled, order, axis=-1)
+
+    # per-row top-k: k-th largest value as cutoff (disabled → rank V)
+    k_row = jnp.where(top_k > 0, top_k, v).astype(jnp.int32)
+    kth = jnp.take_along_axis(
+        sorted_logits, jnp.clip(k_row - 1, 0, v - 1)[:, None], axis=-1
+    )
+    scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+
+    # per-row nucleus: keep tokens until cumulative prob exceeds top_p
+    # (the first always survives)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = cum - probs < jnp.minimum(top_p, 1.0)[:, None]
+    thresh = jnp.min(
+        jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    scaled = jnp.where(scaled < thresh, -jnp.inf, scaled)
+
+    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    return jnp.where(greedy, argmax, sampled)

@@ -304,12 +304,13 @@ def flash_attention_segmented(
     token sequence → [T, Nq*D]. T must be a multiple of the block sizes
     (the packer aligns to 16-frame boundaries and buckets T).
 
-    The grid is (Nq, T/BQ, W): for each q-block, only the W k-blocks
-    spanned by its segments are visited (anchored at an in-graph
-    computed kmin per q-block) — out-of-window tiles pay neither
-    compute nor DMA. `k_window=0` sizes W from the longest segment
-    (ceil(max_seg_len/block_k) + 1); pass a wave-constant explicitly to
-    bound compile variants."""
+    The grid is (T/BQ, W), all heads per tile: for each q-block, only
+    the W k-blocks spanned by its segments are visited (anchored at an
+    in-graph computed kmin per q-block) — out-of-window tiles pay
+    neither compute nor DMA. `k_window=0` falls back to the DENSE
+    window W = T/BK (worst case: one segment spanning everything);
+    callers with layout knowledge should pass a tight wave-constant
+    W = ceil(max_seg_len/block_k) + 1 — engine/packed.py does."""
     t = q2.shape[0]
     n_rep = nq // nkv
     block_q = min(block_q, t)

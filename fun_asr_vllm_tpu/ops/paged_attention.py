@@ -48,8 +48,15 @@ def _paged_decode_body(
     num_kv_heads: int,
     head_dim: int,
     num_q_heads: int,
+    k_scale_ref=None,  # [BS, Nkv] f32 — int8-page dequant scales
+    v_scale_ref=None,
 ):
-    """Shared online-softmax page accumulation (init + process)."""
+    """Shared online-softmax page accumulation (init + process).
+
+    With `k_scale_ref`/`v_scale_ref` the pages are int8 and dequantize
+    IN-KERNEL after the (half-width) HBM→VMEM DMA — the int8 KV cache's
+    bandwidth saving composes with the kernel instead of forcing the XLA
+    gather path (vLLM kv_cache_dtype analogue)."""
     s = pl.program_id(0)
     j = pl.program_id(1)
     seq_len = seq_lens_ref[s]
@@ -67,6 +74,9 @@ def _paged_decode_body(
         q = q_ref[:].astype(jnp.float32) * scale  # [Nq, D]
         k = k_page_ref[:].astype(jnp.float32)  # [BS, Nkv, D]
         v = v_page_ref[:].astype(jnp.float32)
+        if k_scale_ref is not None:
+            k = k * k_scale_ref[:].reshape(block_size, num_kv_heads, 1)
+            v = v * v_scale_ref[:].reshape(block_size, num_kv_heads, 1)
 
         # GQA scores: head h uses kv group h // r
         qg = q.reshape(num_kv_heads, r, head_dim)
@@ -110,6 +120,7 @@ def _paged_decode_kernel(
     out_ref,           # [Nq, D] VMEM
     acc_ref, m_ref, l_ref,
     *, block_size: int, num_kv_heads: int, head_dim: int, num_q_heads: int,
+    k_scale_ref=None, v_scale_ref=None,
 ):
     j = pl.program_id(1)
     mb = pl.num_programs(1)
@@ -118,6 +129,7 @@ def _paged_decode_kernel(
         acc_ref, m_ref, l_ref,
         block_size=block_size, num_kv_heads=num_kv_heads,
         head_dim=head_dim, num_q_heads=num_q_heads,
+        k_scale_ref=k_scale_ref, v_scale_ref=v_scale_ref,
     )
 
     @pl.when(j == mb - 1)
@@ -135,6 +147,7 @@ def _paged_decode_stats_kernel(
     l_out_ref,     # [Nq, 128] f32
     acc_ref, m_ref, l_ref,
     *, block_size: int, num_kv_heads: int, head_dim: int, num_q_heads: int,
+    k_scale_ref=None, v_scale_ref=None,
 ):
     """Like `_paged_decode_kernel` but emits online-softmax stats
     (acc, m, l) for segment merging in the two-segment burst
@@ -146,6 +159,7 @@ def _paged_decode_stats_kernel(
         acc_ref, m_ref, l_ref,
         block_size=block_size, num_kv_heads=num_kv_heads,
         head_dim=head_dim, num_q_heads=num_q_heads,
+        k_scale_ref=k_scale_ref, v_scale_ref=v_scale_ref,
     )
 
     @pl.when(j == mb - 1)
@@ -157,38 +171,53 @@ def _paged_decode_stats_kernel(
         l_out_ref[:] = l_ref[:]
 
 
+def _page_in_specs(nq, d, bs, nkv, quantized: bool):
+    """BlockSpecs for [q, k-page(s), v-page(s)]: int8 caches add a
+    [BS, Nkv] f32 scale page after each data page."""
+    q_spec = pl.BlockSpec((1, nq, d), lambda i, j, bt, sl: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    page = pl.BlockSpec((1, bs, nkv, d),
+                        lambda i, j, bt, sl: (bt[i, j], 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    if not quantized:
+        return [q_spec, page, page]
+    scale = pl.BlockSpec((1, bs, nkv),
+                         lambda i, j, bt, sl: (bt[i, j], 0, 0),
+                         memory_space=pltpu.VMEM)
+    return [q_spec, page, scale, page, scale]
+
+
+def _page_operands(q, k_cache_l, v_cache_l):
+    """(operands, quantized, (bs, nkv)) for array or int8-dict caches."""
+    if isinstance(k_cache_l, dict):
+        nb, bs, nkv, _ = k_cache_l["q"].shape
+        ops = (q, k_cache_l["q"], k_cache_l["s"].reshape(nb, bs, nkv),
+               v_cache_l["q"], v_cache_l["s"].reshape(nb, bs, nkv))
+        return ops, True, (bs, nkv)
+    nb, bs, nkv, _ = k_cache_l.shape
+    return (q, k_cache_l, v_cache_l), False, (bs, nkv)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def paged_attention_pallas(
     q: jax.Array,           # [S, Nq, D]
-    k_cache_l: jax.Array,   # [NB, BS, Nkv, D]
-    v_cache_l: jax.Array,
+    k_cache_l,              # [NB, BS, Nkv, D] or int8 {"q", "s"} pytree
+    v_cache_l,
     block_tables: jax.Array,  # [S, MB] int32
     seq_lens: jax.Array,      # [S] int32
     *,
     interpret: bool = False,
 ) -> jax.Array:
-    """Drop-in for `paged_attention_xla` (engine/kv_cache.py) on TPU."""
+    """Drop-in for `paged_attention_xla` (engine/kv_cache.py) on TPU.
+    int8 pages dequantize in-kernel (half-width DMA)."""
     s, nq, d = q.shape
-    nb, bs, nkv, _ = k_cache_l.shape
+    operands, quantized, (bs, nkv) = _page_operands(q, k_cache_l, v_cache_l)
     mb = block_tables.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(s, mb),
-        in_specs=[
-            pl.BlockSpec(
-                (1, nq, d), lambda i, j, bt, sl: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, bs, nkv, d), lambda i, j, bt, sl: (bt[i, j], 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, bs, nkv, d), lambda i, j, bt, sl: (bt[i, j], 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=_page_in_specs(nq, d, bs, nkv, quantized),
         out_specs=pl.BlockSpec(
             (1, nq, d), lambda i, j, bt, sl: (i, 0, 0),
             memory_space=pltpu.VMEM,
@@ -205,28 +234,31 @@ def paged_attention_pallas(
         block_size=bs, num_kv_heads=nkv, head_dim=d, num_q_heads=nq,
     )
 
-    def _kernel_squeezed(bt, sl, q_r, k_r, v_r, o_r, acc, m, l):
-        # block shapes carry a leading 1 (seq dim); present refs as 2-3D
-        kernel(
-            bt, sl,
-            q_r.at[0], k_r.at[0], v_r.at[0], o_r.at[0], acc, m, l,
-        )
+    if quantized:
+        def _kernel_squeezed(bt, sl, q_r, k_r, ks_r, v_r, vs_r, o_r,
+                             acc, m, l):
+            kernel(bt, sl, q_r.at[0], k_r.at[0], v_r.at[0], o_r.at[0],
+                   acc, m, l, k_scale_ref=ks_r.at[0], v_scale_ref=vs_r.at[0])
+    else:
+        def _kernel_squeezed(bt, sl, q_r, k_r, v_r, o_r, acc, m, l):
+            # block shapes carry a leading 1 (seq dim); present refs 2-3D
+            kernel(bt, sl, q_r.at[0], k_r.at[0], v_r.at[0], o_r.at[0],
+                   acc, m, l)
 
     out = pl.pallas_call(
         _kernel_squeezed,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s, nq, d), q.dtype),
         interpret=interpret,
-    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
-      q, k_cache_l, v_cache_l)
+    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32), *operands)
     return out
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def paged_attention_pallas_stats(
     q: jax.Array,           # [S, Nq, D]
-    k_cache_l: jax.Array,   # [NB, BS, Nkv, D]
-    v_cache_l: jax.Array,
+    k_cache_l,              # [NB, BS, Nkv, D] or int8 {"q", "s"} pytree
+    v_cache_l,
     block_tables: jax.Array,  # [S, MB] int32
     seq_lens: jax.Array,      # [S] int32
     *,
@@ -235,24 +267,16 @@ def paged_attention_pallas_stats(
     """Unnormalized online-softmax stats → (acc [S,Nq,D] f32, m [S,Nq,1],
     l [S,Nq,1]) — the Pallas counterpart of
     `engine.kv_cache._paged_attention_stats` for the two-segment burst.
-    Only touches resident pages (the XLA gather reads the padded window)."""
+    Only touches resident pages (the XLA gather reads the padded window);
+    int8 pages dequantize in-kernel."""
     s, nq, d = q.shape
-    nb, bs, nkv, _ = k_cache_l.shape
+    operands, quantized, (bs, nkv) = _page_operands(q, k_cache_l, v_cache_l)
     mb = block_tables.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(s, mb),
-        in_specs=[
-            pl.BlockSpec((1, nq, d), lambda i, j, bt, sl: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bs, nkv, d),
-                         lambda i, j, bt, sl: (bt[i, j], 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bs, nkv, d),
-                         lambda i, j, bt, sl: (bt[i, j], 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=_page_in_specs(nq, d, bs, nkv, quantized),
         out_specs=[
             pl.BlockSpec((1, nq, d), lambda i, j, bt, sl: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -272,9 +296,16 @@ def paged_attention_pallas_stats(
         block_size=bs, num_kv_heads=nkv, head_dim=d, num_q_heads=nq,
     )
 
-    def _squeezed(bt, sl, q_r, k_r, v_r, acc_o, m_o, l_o, acc, m, l):
-        kernel(bt, sl, q_r.at[0], k_r.at[0], v_r.at[0],
-               acc_o.at[0], m_o.at[0], l_o.at[0], acc, m, l)
+    if quantized:
+        def _squeezed(bt, sl, q_r, k_r, ks_r, v_r, vs_r,
+                      acc_o, m_o, l_o, acc, m, l):
+            kernel(bt, sl, q_r.at[0], k_r.at[0], v_r.at[0],
+                   acc_o.at[0], m_o.at[0], l_o.at[0], acc, m, l,
+                   k_scale_ref=ks_r.at[0], v_scale_ref=vs_r.at[0])
+    else:
+        def _squeezed(bt, sl, q_r, k_r, v_r, acc_o, m_o, l_o, acc, m, l):
+            kernel(bt, sl, q_r.at[0], k_r.at[0], v_r.at[0],
+                   acc_o.at[0], m_o.at[0], l_o.at[0], acc, m, l)
 
     acc, m, l = pl.pallas_call(
         _squeezed,
@@ -285,6 +316,5 @@ def paged_attention_pallas_stats(
             jax.ShapeDtypeStruct((s, nq, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
-      q, k_cache_l, v_cache_l)
+    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32), *operands)
     return acc, m[:, :, :1], l[:, :, :1]

@@ -256,9 +256,14 @@ class ASRServer:
                 tail = np.concatenate(
                     [audio_np[self.fed_tokens :], self.suffix]
                 )
-                ids = self.psess.decode_with_suffix(
-                    tail, SamplingParams(top_p=0.001, max_tokens=max_tokens)
-                )
+            # the suffix decode rides the SHARED stepper bursts: N
+            # concurrent streams' partials overlap in engine steps
+            # instead of serializing under the engine lock (~1× latency)
+            req = server.async_llm.submit_suffix(
+                self.psess, tail,
+                SamplingParams(top_p=0.001, max_tokens=max_tokens),
+            ).result()
+            ids = list(req.out_ids)
             text = m.tokenizer.decode(ids, skip_special_tokens=True)
             text = clean_response(text).strip()
             if self.hs.itn:
@@ -273,6 +278,9 @@ class ASRServer:
         emitted_upto = 0.0  # seconds of audio already partial-decoded
         stream_enc = None   # windowed incremental encoder (online/2pass)
         stream_fed = 0      # samples already pushed into stream_enc
+        stream_rs = None    # incremental resampler (non-16 kHz streams)
+        buf16 = np.zeros(0, dtype=np.float32)  # its growing 16 kHz output
+        raw_fed = 0         # raw samples already fed to stream_rs
         last_partial = ""   # cumulative text already sent as partials
         loop = asyncio.get_running_loop()
         try:
@@ -290,20 +298,25 @@ class ASRServer:
                             emitted_upto = dur
                             part = buf
                             if hs.audio_fs != 16000:
-                                # partials must see 16 kHz too, same as the
-                                # final path — an 8 kHz stream would decode
-                                # garbage otherwise
-                                from ..audio.io import resample
+                                # partials must see 16 kHz too, same as
+                                # the final path. Incremental polyphase:
+                                # each tick converts only the NEW raw
+                                # samples (O(new), not O(stream) — the
+                                # emitted 16 kHz stream is append-only,
+                                # so the encoder never resets)
+                                from ..audio.streaming import (
+                                    StreamingResampler,
+                                )
 
-                                part = resample(buf, hs.audio_fs, 16000)
-                                # resampled length shifts; restream fully
-                                stream_fed = 0
-                                if stream_enc is not None:
-                                    # off the event loop: reset may wait
-                                    # on the engine lock mid-decode
-                                    await loop.run_in_executor(
-                                        None, stream_enc.reset
+                                if stream_rs is None:
+                                    stream_rs = StreamingResampler(
+                                        hs.audio_fs, 16000
                                     )
+                                buf16 = np.concatenate(
+                                    [buf16, stream_rs.push(buf[raw_fed:])]
+                                )
+                                raw_fed = len(buf)
+                                part = buf16
                             if stream_enc is None:
                                 stream_enc = (
                                     self._OnlineSession(self, hs)
@@ -335,8 +348,17 @@ class ASRServer:
                             # of the cumulative transcript, not the whole
                             if text.startswith(last_partial):
                                 delta = text[len(last_partial):]
-                            else:  # decode revised earlier text
-                                delta = text
+                            else:
+                                # decode revised earlier text: resend only
+                                # from the longest common prefix so append-
+                                # assembling clients don't render the
+                                # already-sent prefix twice (ADVICE r2)
+                                common = 0
+                                for a, b in zip(last_partial, text):
+                                    if a != b:
+                                        break
+                                    common += 1
+                                delta = text[common:]
                             last_partial = text
                             if delta:
                                 mode = ("2pass-online" if hs.mode == "2pass"

@@ -18,6 +18,19 @@ _NUM_RUN_RE = re.compile(
 )
 
 
+def _is_shi_idiom(text: str, start: int, end: int) -> bool:
+    """Lexical (non-numeric) uses of bare 十, mirroring WeTextProcessing's
+    whitelist (reference kaldi_text_itn.py:38-45 InverseNormalizer config):
+    十分 as the adverb "very" (but 十分钟/十分之 are measures and convert),
+    十足, 十全十美, 十字."""
+    follow = text[end:]
+    if text[:start].endswith("十全") and follow.startswith("美"):
+        return True  # the second 十 of 十全十美
+    if follow.startswith("分") and not follow.startswith(("分钟", "分之")):
+        return True
+    return follow.startswith(("足", "全十美", "字"))
+
+
 def _format_number(run: str, enable_0_to_9: bool) -> str:
     # split off decimal part
     if "点" in run:
@@ -69,6 +82,10 @@ class ZhInverseNormalizer:
             # otherwise require a digit char, except 十-leading readings
             # (十三 has one; bare 十 = 10 converts under enable_0_to_9=False)
             if not any(c in VALUE_OF for c in run) and run[0] != "十":
+                return run
+            if run == "十" and _is_shi_idiom(m.string, m.start(), m.end()):
+                # lexical 十 idioms (十分高兴, 十足, 十全十美, 十字路口) —
+                # WeTextProcessing protects these via its whitelist
                 return run
             trail = len(run) - len(run.rstrip("点"))
             return (_format_number(run.rstrip("点"), self.enable_0_to_9)

@@ -24,6 +24,27 @@ _PUNCT_RE = re.compile(
 
 _NUM = r"\d+(?:\.\d+)?"
 
+# measure words that read 2 as 两 (WeTextProcessing measure.tsv behavior)
+_MEASURES = (
+    "个只件张条位名本台辆架间家把块瓶杯碗盘双对副层栋座匹头颗粒"
+    "艘枝支首部页篇封盒箱包袋斤千百万亿米里分点钟"
+    "天年月周岁倍场次回趟遍顿餐节课道门种样份股批组群套串"
+)
+
+# currency symbols → (unit read after the value, fen-style decimals)
+_CURRENCIES = {
+    "¥": ("元", True), "￥": ("元", True), "$": ("美元", False),
+    "€": ("欧元", False), "£": ("英镑", False),
+}
+
+# common erhua carriers (WeTextProcessing erhua whitelist shape): 儿 after
+# these is the rhotic suffix, dropped when remove_erhua=True
+_ERHUA_PRE = "这那哪玩点份劲儿味门口活窍空盖头年根面边官量花样伴脸条"
+
+# pure filler interjections removed when remove_interjections=True
+# (conservative: particles like 吧/嘛/呀 carry meaning and are kept)
+_INTERJECTION_RE = re.compile(r"[嗯呃唔噢喔诶欸]+")
+
 
 class ZhNormalizer:
     """digits/dates/percent → hanzi; optionally strip punctuation."""
@@ -86,6 +107,26 @@ class ZhNormalizer:
             return digits_to_hanzi(s)
         return number_to_hanzi(s)
 
+    @staticmethod
+    def _money(m: re.Match) -> str:
+        """Currency symbol + value → spoken money (ZhNormalizer money.tsv
+        behavior): ¥13.5 → 十三元五角, ¥13.55 → 十三元五角五分; foreign
+        currencies read the decimal as 点 (e.g. $13.5 → 十三点五美元)."""
+        unit, fen_style = _CURRENCIES[m.group(1)]
+        value = m.group(2)
+        if "." in value and fen_style:
+            yuan, frac = value.split(".", 1)
+            frac = frac[:2]
+            out = int_to_hanzi(int(yuan or 0)) + "元"
+            if len(frac) >= 1 and frac[0] != "0":
+                out += int_to_hanzi(int(frac[0])) + "角"
+            elif len(frac) == 2 and frac[1] != "0":
+                out += "零"
+            if len(frac) == 2 and frac[1] != "0":
+                out += int_to_hanzi(int(frac[1])) + "分"
+            return out
+        return number_to_hanzi(value) + unit
+
     def normalize(self, text: str) -> str:
         if self.full_to_half:
             text = unicodedata.normalize("NFKC", text)
@@ -94,6 +135,10 @@ class ZhNormalizer:
             r"(\d+)\s*[-~—至]\s*(\d+)(?=[个件天年人次只张条位名%月])",
             lambda m: self._number_sub(m.group(1)) + "到" + self._number_sub(m.group(2)),
             text,
+        )
+        # money: currency symbol before the value (after NFKC, ＄→$ etc.)
+        text = re.sub(
+            r"([¥￥$€£])\s*(\d+(?:\.\d+)?)", self._money, text
         )
         text = re.sub(r"(\d{2,4})年", self._year, text)
         text = re.sub(r"(\d{1,2})月(\d{1,2})(日|号)", self._date_md, text)
@@ -106,7 +151,22 @@ class ZhNormalizer:
             lambda m: digits_to_hanzi(m.group(0).replace("-", ""), phone_style=True),
             text,
         )
+        # alphanumeric serials (A380, MP3, G1024): digits read one by one
+        text = re.sub(
+            r"(?<=[A-Za-z])(\d+)(?!\.\d)",
+            lambda m: digits_to_hanzi(m.group(1)), text,
+        )
+        # measure-word reading of 2: 2个 → 两个 (a standalone final 2
+        # before a measure word reads 两, ZhNormalizer measure behavior);
+        # 22个 keeps 二十二个 via the generic rule
+        text = re.sub(
+            rf"(?<!\d)2(?=[{_MEASURES}])", "两", text
+        )
         text = re.sub(r"-?\d+(?:\.\d+)?", self._number, text)
+        if self.remove_erhua:
+            text = re.sub(rf"(?<=[{_ERHUA_PRE}])儿", "", text)
+        if self.remove_interjections:
+            text = _INTERJECTION_RE.sub("", text)
         if self.remove_puncts:
             text = _PUNCT_RE.sub("", text)
         text = re.sub(r"\s+", " ", text).strip()

@@ -425,6 +425,52 @@ class TestAsyncEngine:
         async_llm.shutdown()
         assert len(llm._free_blocks) == llm.cache_cfg.num_blocks - 1
 
+    def test_suffix_partials_share_bursts(self, setup):
+        """PromptSession partials submitted through the stepper must
+        (a) decode token-identically to the single-lane
+        decode_with_suffix and (b) OVERLAP in shared bursts (VERDICT r2
+        item 4 — previously N streams' partials serialized under the
+        engine lock at ~N× latency)."""
+        from fun_asr_vllm_tpu.engine import AsyncLLM
+        from fun_asr_vllm_tpu.engine.engine import PromptSession
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        llm = make_llm(params, cfg, max_num_seqs=2, max_model_len=96,
+                       decode_burst_size=2)
+        sp = SamplingParams(top_p=0.001, max_tokens=8)
+        async_llm = AsyncLLM(llm, sp)
+        try:
+            with async_llm.exclusive():
+                s1, s2 = PromptSession(llm), PromptSession(llm)
+                s1.extend(rand_embeds(70, 6, h))
+                s2.extend(rand_embeds(71, 9, h))
+                suf1 = rand_embeds(72, 3, h)
+                suf2 = rand_embeds(73, 4, h)
+                want1 = s1.decode_with_suffix(suf1, sp)
+                want2 = s2.decode_with_suffix(suf2, sp)
+                free_before = len(llm._free_blocks)
+                # submit both while holding the engine lock so the
+                # stepper sees both jobs in one step
+                f1 = async_llm.submit_suffix(s1, suf1, sp)
+                f2 = async_llm.submit_suffix(s2, suf2, sp)
+            r1 = f1.result(timeout=300)
+            r2 = f2.result(timeout=300)
+            assert list(r1.out_ids) == want1
+            assert list(r2.out_ids) == want2
+            assert max(async_llm.wave_sizes) >= 2, async_llm.wave_sizes
+            # scratch freed, session blocks intact → sessions reusable
+            with async_llm.exclusive():
+                assert len(llm._free_blocks) == free_before
+                s1.extend(rand_embeds(74, 2, h))
+                again = s1.decode_with_suffix(suf1, sp)
+            assert isinstance(again, list)
+        finally:
+            async_llm.shutdown()
+            with async_llm.exclusive():
+                s1.close()
+                s2.close()
+
 
 class TestSampling:
     def test_topp_sampling_runs(self, setup):
@@ -441,6 +487,66 @@ class TestSampling:
         # SamplingParams(top_p=0.001, max_tokens=500) — reference infer.py:384
         sp = SamplingParams(top_p=0.001, max_tokens=500)
         assert sp.is_greedy
+
+    def test_mixed_batch_matches_per_request_decodes(self, setup):
+        """vLLM per-prompt SamplingParams contract (VERDICT r2 item 6,
+        reference model.py:645-653): heterogeneous distribution settings
+        in ONE generate call. top_k=1 and a tiny top_p are deterministic
+        (single-token nucleus), so every row must equal its own
+        single-request decode."""
+        params, cfg = setup
+        llm = make_llm(params, cfg, max_num_seqs=3)
+        embeds = [rand_embeds(50 + i, 5 + i, cfg.hidden_size)
+                  for i in range(3)]
+        sps = [
+            SamplingParams(top_p=0.001, max_tokens=6),          # greedy
+            SamplingParams(temperature=0.7, top_k=1, max_tokens=4),
+            # temp 0.05 sharpens the tiny model's flat logits so the
+            # top token's prob > top_p ⇒ single-token nucleus ⇒
+            # deterministic despite not being greedy-classified
+            SamplingParams(temperature=0.05, top_p=0.02, max_tokens=6),
+        ]
+        outs = llm.generate([{"prompt_embeds": e} for e in embeds], sps)
+        for e, s, out in zip(embeds, sps, outs):
+            single = make_llm(params, cfg).generate(
+                [{"prompt_embeds": e}], s
+            )
+            assert (out.outputs[0].token_ids
+                    == single[0].outputs[0].token_ids)
+            assert len(out.outputs[0].token_ids) <= s.max_tokens
+
+    def test_mixed_batch_true_sampling_row_valid(self, setup):
+        """A genuinely stochastic row (temp=1, top_k=3) in a mixed batch
+        emits only tokens from that step's top-3 — checked by teacher
+        forcing the emitted prefix through the reference forward."""
+        from fun_asr_vllm_tpu.models.qwen3 import (
+            embed_tokens, forward_hidden, lm_logits,
+        )
+
+        params, cfg = setup
+        llm = make_llm(params, cfg, max_num_seqs=2)
+        e = rand_embeds(60, 6, cfg.hidden_size)
+        sps = [
+            SamplingParams(top_p=0.001, max_tokens=5),
+            SamplingParams(temperature=1.0, top_k=3, max_tokens=5),
+        ]
+        outs = llm.generate([{"prompt_embeds": e}, {"prompt_embeds": e}], sps)
+        greedy_ids = outs[0].outputs[0].token_ids
+        single = make_llm(params, cfg).generate([{"prompt_embeds": e}], sps[0])
+        assert greedy_ids == single[0].outputs[0].token_ids
+        sampled = outs[1].outputs[0].token_ids
+        assert sampled, "sampled row emitted nothing"
+        # teacher-force: each sampled token must be top-3 at its step
+        seq = jnp.asarray(e, jnp.float32)
+        for i, tok in enumerate(sampled):
+            pos = jnp.arange(seq.shape[0])[None]
+            hidden, _ = forward_hidden(params, cfg, seq[None], pos)
+            logits = lm_logits(params, cfg, hidden[0, -1:])[0]
+            top3 = np.argsort(np.asarray(logits))[::-1][:3]
+            assert tok in top3, (i, tok, top3)
+            seq = jnp.concatenate(
+                [seq, embed_tokens(params, jnp.asarray([tok]))], axis=0
+            )
 
 
 class TestInt8Quantization:
@@ -667,17 +773,6 @@ class TestPerRequestSampling:
             assert len(o.outputs[0].token_ids) <= m
             want = ref_decode(params, cfg, e, m)
             assert o.outputs[0].token_ids == want[:len(o.outputs[0].token_ids)]
-
-    def test_mismatched_distribution_raises(self, setup):
-        params, cfg = setup
-        llm = make_llm(params, cfg)
-        e = rand_embeds(130, 5, cfg.hidden_size)
-        with pytest.raises(ValueError, match="must agree"):
-            llm.generate(
-                [{"prompt_embeds": e}, {"prompt_embeds": e}],
-                [SamplingParams(temperature=0.0),
-                 SamplingParams(temperature=0.9)],
-            )
 
     def test_wrong_count_raises(self, setup):
         params, cfg = setup

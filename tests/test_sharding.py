@@ -167,3 +167,31 @@ class TestMeshEngine:
                    quantize="int8", mesh=mesh)
         got = llm1.generate([{"prompt_embeds": e}], sp)[0].outputs[0].token_ids
         assert got == want
+
+    def test_int8_kv_cache_on_mesh(self):
+        """int8 KV pages compose with tensor parallelism (VERDICT r2
+        item 3): the {q, s} cache pytree shards over kv heads like the
+        fp cache, and decode is token-identical to the single-device
+        int8-KV engine."""
+        from fun_asr_vllm_tpu.engine import LLM, SamplingParams
+        from fun_asr_vllm_tpu.parallel.mesh import make_mesh
+
+        cfg, params = self._cfg_params()
+        sp = SamplingParams(temperature=0.0, max_tokens=6)
+        rng = np.random.default_rng(17)
+        embeds = [rng.normal(scale=0.3, size=(t, 64)).astype(np.float32)
+                  for t in (5, 9)]
+
+        llm0 = LLM(params=params, config=cfg, dtype="float32",
+                   max_num_seqs=2, block_size=4, use_pallas=False,
+                   kv_cache_dtype="int8")
+        want = [o.outputs[0].token_ids for o in llm0.generate(
+            [{"prompt_embeds": e} for e in embeds], sp)]
+
+        mesh = make_mesh(dp=4, tp=2)
+        llm1 = LLM(params=params, config=cfg, dtype="float32",
+                   max_num_seqs=2, block_size=4, use_pallas=False,
+                   kv_cache_dtype="int8", mesh=mesh)
+        got = [o.outputs[0].token_ids for o in llm1.generate(
+            [{"prompt_embeds": e} for e in embeds], sp)]
+        assert got == want

@@ -100,3 +100,48 @@ class TestStreamingEncoder:
         for _ in range(10):
             senc.push(rng.normal(scale=0.1, size=4000).astype(np.float32))
         assert max(seen) <= senc.window_samples + 4000
+
+
+class TestStreamingResampler:
+    """Incremental resample for non-16 kHz online streams (VERDICT r2
+    item 4): emitted output identical to the offline resample, state
+    bounded by the filter length (O(new) per push, not O(stream))."""
+
+    @pytest.mark.parametrize("sr_in", [8000, 44100, 48000])
+    def test_matches_offline_resample(self, sr_in):
+        from fun_asr_vllm_tpu.audio.io import resample
+        from fun_asr_vllm_tpu.audio.streaming import StreamingResampler
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=sr_in * 2).astype(np.float32)
+        want = resample(x, sr_in, 16000)
+        rs = StreamingResampler(sr_in, 16000)
+        outs, i = [], 0
+        while i < len(x):
+            n = int(rng.integers(80, 3000))
+            outs.append(rs.push(x[i : i + n]))
+            i += n
+        outs.append(rs.flush())
+        got = np.concatenate(outs)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_state_bounded_in_stream_length(self):
+        from fun_asr_vllm_tpu.audio.streaming import StreamingResampler
+
+        rs = StreamingResampler(8000, 16000)
+        rng = np.random.default_rng(1)
+        sizes = []
+        for _ in range(200):  # ~20 s of 8 kHz audio in 100 ms chunks
+            rs.push(rng.normal(size=800).astype(np.float32))
+            sizes.append(len(rs._buf))
+        # retained input ≤ chunk + filter context, NOT the stream
+        assert max(sizes) < 800 + 4 * rs.half_len
+
+    def test_identity_rate_passthrough(self):
+        from fun_asr_vllm_tpu.audio.streaming import StreamingResampler
+
+        rs = StreamingResampler(16000, 16000)
+        x = np.arange(100, dtype=np.float32)
+        np.testing.assert_array_equal(rs.push(x), x)
+        assert rs.flush().size == 0

@@ -7,6 +7,8 @@ by running the reference algorithm's DP semantics by hand.
 
 import io
 
+import pytest
+
 from fun_asr_vllm_tpu.text import (
     Calculator,
     EnNormalizer,
@@ -210,6 +212,79 @@ class TestZhTN:
     def test_decimal(self):
         assert self.tn.normalize("价格是12.5元") == "价格是十二点五元"
 
+    def test_money_symbols(self):
+        """ZhNormalizer money coverage (VERDICT r2 item 7, reference
+        kaldi_text_normalizer.py:78-90)."""
+        assert self.tn.normalize("售价¥13.5") == "售价十三元五角"
+        assert self.tn.normalize("¥13.55") == "十三元五角五分"
+        assert self.tn.normalize("¥200") == "二百元"
+        assert self.tn.normalize("$13.5") == "十三点五美元"
+        assert self.tn.normalize("€20") == "二十欧元"
+
+    def test_measure_word_liang(self):
+        assert self.tn.normalize("买了2个苹果") == "买了两个苹果"
+        assert self.tn.normalize("2天后") == "两天后"
+        assert self.tn.normalize("22个人") == "二十二个人"
+        assert self.tn.normalize("2.5个") == "二点五个"
+
+    def test_alphanumeric_serial(self):
+        assert self.tn.normalize("坐A380去") == "坐A三八零去"
+        assert self.tn.normalize("MP3播放器") == "MP三播放器"
+
+    def test_ordinal(self):
+        assert self.tn.normalize("第3名") == "第三名"
+
+    def test_erhua_toggle(self):
+        keep = ZhNormalizer(remove_erhua=False)
+        drop = ZhNormalizer(remove_erhua=True)
+        assert keep.normalize("在这儿玩儿") == "在这儿玩儿"
+        assert drop.normalize("在这儿玩儿") == "在这玩"
+        # 儿 after a non-erhua carrier is a real morpheme and stays
+        assert drop.normalize("女儿") == "女儿"
+
+    def test_interjection_toggle(self):
+        keep = ZhNormalizer(remove_interjections=False)
+        drop = ZhNormalizer(remove_interjections=True)
+        assert keep.normalize("嗯这个呃可以") == "嗯这个呃可以"
+        assert drop.normalize("嗯这个呃可以") == "这个可以"
+
+
+class TestZhTNDivergence:
+    """Compare the built-in grammar against WeTextProcessing on a
+    generated number-heavy corpus (VERDICT r2 item 7). Skipped when the
+    plug-in is absent (this environment); on a host with WeTextProcessing
+    installed it quantifies the built-in's divergence rate."""
+
+    def test_divergence_rate_on_number_corpus(self):
+        pytest.importorskip("tn.chinese.normalizer")
+        from tn.chinese.normalizer import Normalizer as WTPNormalizer
+
+        wtp = WTPNormalizer(remove_erhua=False, remove_interjections=False,
+                            remove_puncts=True)
+        ours = ZhNormalizer(remove_puncts=True)
+        import random
+
+        rng = random.Random(0)
+        templates = [
+            "价格是{n}元", "增长了{n}%", "买了{m}个苹果", "第{m}名",
+            "{y}年{mo}月{d}日", "上午{h}:{mi:02d}开会", "大约{n}公里",
+            "售价¥{n}", "电话01085512345", "{m}天后见", "一共{big}人",
+        ]
+        total = diverged = 0
+        for _ in range(200):
+            t = rng.choice(templates)
+            s = t.format(
+                n=round(rng.uniform(0, 999), rng.choice([0, 1, 2])),
+                m=rng.randint(1, 99), y=rng.randint(1980, 2030),
+                mo=rng.randint(1, 12), d=rng.randint(1, 28),
+                h=rng.randint(0, 23), mi=rng.randint(0, 59),
+                big=rng.randint(1000, 9_999_999),
+            )
+            total += 1
+            if wtp.normalize(s) != ours.normalize(s):
+                diverged += 1
+        assert diverged / total < 0.05, f"{diverged}/{total} diverged"
+
 
 class TestZhITN:
     def setup_method(self):
@@ -333,6 +408,20 @@ class TestItnReviewFixes:
         assert inverse_normalize_text("十个人", "zh") == "10个人"
         assert inverse_normalize_text("百分之五十", "zh") == "50%"
         assert inverse_normalize_text("百分之五点五", "zh") == "5.5%"
+
+    def test_shi_idioms_not_digitized(self):
+        """ADVICE r2: lexical 十 must not become 10 (WeTextProcessing
+        whitelist behavior), while measure readings still convert."""
+        from fun_asr_vllm_tpu.text.zh_itn import inverse_normalize_text
+
+        assert inverse_normalize_text("十分感谢", "zh") == "十分感谢"
+        assert inverse_normalize_text("信心十足", "zh") == "信心十足"
+        assert inverse_normalize_text("十全十美", "zh") == "十全十美"
+        assert inverse_normalize_text("十字路口", "zh") == "十字路口"
+        # measures still digitize
+        assert inverse_normalize_text("等了十分钟", "zh") == "等了10分钟"
+        assert inverse_normalize_text("十个人", "zh") == "10个人"
+        assert inverse_normalize_text("三十分", "zh") == "30分"
 
     def test_en_decimal_and_hyphen(self):
         from fun_asr_vllm_tpu.text.zh_itn import inverse_normalize_text
