@@ -234,28 +234,41 @@ class AsyncLLM:
         self._resolve_done()
 
     def _arm_suffix_jobs(self) -> None:
-        """Turn queued PromptSession partials into live decode slots."""
+        """Turn queued PromptSession partials into live decode slots —
+        ALL armable jobs prefill in one batched dispatch
+        (engine.arm_suffix_batch), then decode in the shared bursts."""
+        from .engine import arm_suffix_batch
+
         llm = self.llm
-        while self._suffix_jobs:
-            session, suffix, sp, fut = self._suffix_jobs[0]
-            if fut.cancelled():
-                self._suffix_jobs.popleft()
-                continue
-            try:
-                req = session.arm_suffix_request(suffix, sp)
-            except Exception as e:
-                self._suffix_jobs.popleft()
+        jobs = []
+        with self._cv:
+            while self._suffix_jobs:
+                job = self._suffix_jobs.popleft()
+                if job[3].cancelled():
+                    continue
+                jobs.append(job)
+        if not jobs:
+            return
+        try:
+            reqs = arm_suffix_batch(
+                llm, [(s, suf, sp) for s, suf, sp, _ in jobs]
+            )
+        except Exception as e:
+            for *_, fut in jobs:
                 if not fut.done():
                     fut.set_exception(e)
-                continue
-            if req is None:  # no slot/blocks free — retry next step
-                break
-            self._suffix_jobs.popleft()
-            with self._cv:
+            return
+        any_done = False
+        with self._cv:
+            for (session, suffix, sp, fut), req in zip(jobs, reqs):
+                if req is None:  # no slot/blocks now — requeue FIFO
+                    self._suffix_jobs.append((session, suffix, sp, fut))
+                    continue
                 self._futures[req.rid] = fut
                 self._inflight.append(req)
-            if req.done:  # first token was eos
-                self._resolve_done()
+                any_done = any_done or req.done
+        if any_done:  # a first token was eos
+            self._resolve_done()
 
     def _emit_stream_text(self) -> None:
         for req in list(self._inflight):

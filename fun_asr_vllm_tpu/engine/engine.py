@@ -1033,6 +1033,14 @@ def _copy_block(cache, src: jax.Array, dst: jax.Array):
     return cache.at[:, dst].set(cache[:, src])
 
 
+@partial(jax.jit, donate_argnames=("cache",))
+def _copy_blocks(cache, srcs: jax.Array, dsts: jax.Array):
+    """Copy several KV pages in one dispatch (batched suffix arming)."""
+    if isinstance(cache, dict):
+        return {k: v.at[:, dsts].set(v[:, srcs]) for k, v in cache.items()}
+    return cache.at[:, dsts].set(cache[:, srcs])
+
+
 class PromptSession:
     """Append-only cached prompt over the engine's paged KV cache
     (chunked/incremental prefill — the vLLM prefix-caching analogue).
@@ -1189,27 +1197,16 @@ class PromptSession:
         finally:
             llm._free_blocks.extend(scratch)
 
-    def arm_suffix_request(
-        self,
-        suffix_embeds: np.ndarray,
-        sampling_params: Optional[SamplingParams] = None,
-    ) -> Optional[_Request]:
-        """Prefill [suffix] into scratch blocks and ARM a decode SLOT so
-        the engine's shared bursts advance this partial alongside every
-        other live request — N streams' partials decode at ~1× latency
-        instead of serializing through `decode_with_suffix` (the vLLM
-        continuous-batching behavior the reference relies on).
-
-        Returns the armed request (`req.blocks` prefixed by the session's
-        cached blocks, which `_free` skips via `n_session_blocks`) or
-        None when no slot / blocks are free right now (caller retries).
-        Caller owns engine serialization (the AsyncLLM stepper thread)."""
+    def _prepare_suffix(self, suffix_embeds, sp):
+        """Phase 1 of a suffix-slot arm: allocate slot + scratch blocks
+        and build the per-row plan. Returns None when no slot/blocks are
+        free (caller retries later). Boundary page copies are deferred to
+        the caller so a batch performs them in one dispatch."""
         llm = self.llm
         try:
             slot = llm._slots.index(None)
         except ValueError:
             return None
-        sp = sampling_params or SamplingParams()
         suffix = _as_numpy_2d(suffix_embeds)
         q = suffix.shape[0]
         bs = llm.cache_cfg.block_size
@@ -1221,18 +1218,14 @@ class PromptSession:
         scratch: List[int] = []
         blocks = list(self.blocks)
         n_session = len(blocks)
+        copy_pair = None
         boundary = self.cached_len % bs
         if boundary and blocks:
             got = llm._alloc_blocks(1)
             if got is None:
                 return None
             scratch.extend(got)
-            llm.k_cache = _copy_block(
-                llm.k_cache, jnp.int32(blocks[-1]), jnp.int32(scratch[-1])
-            )
-            llm.v_cache = _copy_block(
-                llm.v_cache, jnp.int32(blocks[-1]), jnp.int32(scratch[-1])
-            )
+            copy_pair = (blocks[-1], scratch[-1])
             blocks[-1] = scratch[-1]
             n_session -= 1
         need_extra = -(-total // bs) - len(blocks)
@@ -1244,24 +1237,112 @@ class PromptSession:
             scratch.extend(got)
             blocks.extend(got)
 
-        tb = _bucket_len(max(q, 1))
-        padded = np.zeros((1, tb, llm.cfg.hidden_size), np.float32)
-        padded[0, :q] = suffix
-        tables = self._table(blocks, total)
+        # reserve the slot immediately so later rows in the same batch
+        # see it taken (a placeholder; overwritten at finish)
+        llm._slots[slot] = True
+        return {
+            "session": self, "sp": sp, "suffix": suffix, "q": q,
+            "slot": slot, "blocks": blocks, "n_session": n_session,
+            "scratch": scratch, "copy_pair": copy_pair, "total": total,
+            "cached_len": self.cached_len,
+        }
+
+    def arm_suffix_request(
+        self,
+        suffix_embeds: np.ndarray,
+        sampling_params: Optional[SamplingParams] = None,
+    ) -> Optional[_Request]:
+        """Single-job convenience over `arm_suffix_batch`."""
+        reqs = arm_suffix_batch(
+            self.llm,
+            [(self, suffix_embeds, sampling_params or SamplingParams())],
+        )
+        return reqs[0]
+
+    def close(self) -> None:
+        self.llm._free_blocks.extend(self.blocks)
+        self.blocks = []
+        self.cached_len = 0
+
+
+def arm_suffix_batch(llm: "LLM", jobs) -> List[Optional[_Request]]:
+    """Arm N PromptSession suffix continuations with ONE batched chunked
+    prefill (the packed-online-mode dispatch sharing, ROADMAP
+    Capabilities 3): every armable job's [suffix] prefills in a single
+    extend_step over [B, T_bucket] and decodes in the engine's SHARED
+    bursts — N streams' partials cost one prefill dispatch + ~1× decode
+    latency instead of N of each.
+
+    `jobs` is a list of (session, suffix_embeds, sampling_params).
+    Returns one _Request (or None = retry later) per job, in order; a
+    job that cannot allocate returns None without blocking later jobs'
+    results (their plans keep FIFO slot order). Caller owns engine
+    serialization (the AsyncLLM stepper thread)."""
+    plans: List[Optional[Dict]] = []
+    for session, suffix_embeds, sp in jobs:
+        plan = session._prepare_suffix(suffix_embeds,
+                                       sp or SamplingParams())
+        plans.append(plan)
+    live = [p for p in plans if p is not None]
+    if not live:
+        return [None] * len(plans)
+
+    try:
+        # boundary page copies for the whole batch in one dispatch each
+        pairs = [p["copy_pair"] for p in live if p["copy_pair"] is not None]
+        if pairs:
+            srcs = jnp.asarray([a for a, _ in pairs], jnp.int32)
+            dsts = jnp.asarray([b for _, b in pairs], jnp.int32)
+            llm.k_cache = _copy_blocks(llm.k_cache, srcs, dsts)
+            llm.v_cache = _copy_blocks(llm.v_cache, srcs, dsts)
+
+        # one batched chunked prefill over all jobs (padded rows; dummy
+        # rows write to garbage block 0)
+        b = 1
+        while b < len(live):
+            b *= 2
+        tb = _bucket_len(max(p["q"] for p in live))
+        bs = llm.cache_cfg.block_size
+        mbps = llm.cache_cfg.max_blocks_per_seq
+        w = max(-(-p["total"] // bs) for p in live)
+        w = min(mbps, -(-w // 8) * 8)
+        embeds = np.zeros((b, tb, llm.cfg.hidden_size), np.float32)
+        cached_lens = np.zeros((b,), np.int32)
+        new_lens = np.zeros((b,), np.int32)
+        tables = np.zeros((b, w), np.int32)
+        for j, p in enumerate(live):
+            embeds[j, : p["q"]] = p["suffix"]
+            cached_lens[j] = p["cached_len"]
+            new_lens[j] = p["q"]
+            tables[j, : min(len(p["blocks"]), w)] = p["blocks"][:w]
         (_logits, first_ids), llm.k_cache, llm.v_cache = extend_step(
             llm.params, llm.cfg, llm.k_cache, llm.v_cache,
-            jnp.asarray(padded),
-            jnp.asarray([self.cached_len], jnp.int32),
-            jnp.asarray([q], jnp.int32),
-            jnp.asarray(tables),
+            jnp.asarray(embeds), jnp.asarray(cached_lens),
+            jnp.asarray(new_lens), jnp.asarray(tables),
         )
+        firsts = np.asarray(first_ids)
+    except Exception:
+        # roll back every reserved slot + scratch block; sessions' own
+        # cached blocks are untouched
+        for p in live:
+            llm._free_blocks.extend(p["scratch"])
+            if llm._slots[p["slot"]] is True:
+                llm._slots[p["slot"]] = None
+        raise
 
-        now = time.perf_counter()
+    now = time.perf_counter()
+    out: List[Optional[_Request]] = []
+    j = 0
+    for plan in plans:
+        if plan is None:
+            out.append(None)
+            continue
+        p, sp, slot = plan, plan["sp"], plan["slot"]
         req = _Request.__new__(_Request)
         req.rid = llm._next_rid
         llm._next_rid += 1
         req.embeds = None
-        req.prompt_len = self.cached_len + q
+        req.prompt_len = p["cached_len"] + p["q"]
         req.max_tokens = sp.max_tokens
         req.out_ids = []
         req.done = False
@@ -1269,23 +1350,19 @@ class PromptSession:
         req.t_first_token = now
         req.stop_ids = llm.eos_ids | set(sp.stop_token_ids or ())
         req.sp = sp
-        req.n_session_blocks = n_session
+        req.n_session_blocks = p["n_session"]
         req.slot = slot
-        req.blocks = blocks
+        req.blocks = p["blocks"]
         llm._slots[slot] = req
-        mbps = llm.cache_cfg.max_blocks_per_seq
         llm._block_tables[slot, :] = 0
-        w = min(tables.shape[1], mbps)
-        llm._block_tables[slot, :w] = tables[0, :w]
+        wj = min(len(p["blocks"]), llm.cache_cfg.max_blocks_per_seq)
+        llm._block_tables[slot, :wj] = p["blocks"][:wj]
         llm._positions[slot] = req.prompt_len
         llm._seq_lens[slot] = req.prompt_len + 1
-        first = int(np.asarray(first_ids)[0])
+        first = int(firsts[j])
+        j += 1
         llm._last_tokens[slot] = first
         llm._active[slot] = True
         llm._handle_token(req, first)
-        return req
-
-    def close(self) -> None:
-        self.llm._free_blocks.extend(self.blocks)
-        self.blocks = []
-        self.cached_len = 0
+        out.append(req)
+    return out

@@ -57,8 +57,16 @@ def _flash_body(
     k_start,
     causal: bool,
     scale: float = 1.0,
+    single_k: bool = False,
 ):
-    """Shared online-softmax tile body (one (q-block, k-block) step)."""
+    """Shared online-softmax tile body (one (q-block, k-block) step).
+
+    `single_k` (static): the k grid dim has exactly ONE block, so the
+    online-softmax running machinery (scratch init, running max/denom,
+    acc rescale, m/l broadcasts — ~8 extra [BQ,·] VPU passes) collapses
+    to a plain one-shot softmax. This is the common encoder case: the
+    auto-picker chooses whole-sequence k blocks up to T=1408.
+    """
 
     @pl.when(kj == 0)
     def _init():
@@ -76,6 +84,14 @@ def _flash_body(
     if causal:
         in_range = jnp.logical_and(in_range, k_start <= q_start + block_q - 1)
 
+    if single_k:
+        _flash_body_single(
+            kv_len, q_ref, k_ref, v_ref, out_ref, in_range,
+            block_q=block_q, block_k=block_k, q_start=q_start,
+            k_start=k_start, causal=causal, scale=scale,
+        )
+        return
+
     @pl.when(in_range)
     def _process():
         # keep the MXU inputs in the stored dtype (bf16 runs 8× f32 rate);
@@ -90,7 +106,7 @@ def _flash_body(
         scores = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [BQ, BK] f32
+        )  # [BQ, BK] f32 (Mosaic requires 32-bit matmul accumulators)
         if causal:
             kpos = k_start + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
@@ -113,6 +129,9 @@ def _flash_body(
         l_prev = l_ref[:, :1]
         m_cur = jnp.max(scores, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
+        # measured (round 3): a bf16 exp/sum variant saved nothing on v5e
+        # (75.1 vs 73.5 ms per 50-layer encode) at a 3% output error —
+        # the f32 softmax stays
         p = jnp.exp(scores - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
@@ -130,6 +149,61 @@ def _flash_body(
         l = l_ref[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         out_ref[0] = (acc_ref[:] / safe_l).astype(out_ref.dtype)
+
+
+def _flash_body_single(
+    kv_len, q_ref, k_ref, v_ref, out_ref, in_range,
+    *, block_q: int, block_k: int, q_start, k_start, causal: bool,
+    scale: float,
+):
+    """One-shot softmax tile (single k-block grids): scores → mask →
+    softmax → pv → normalized write, no scratch accumulators."""
+
+    @pl.when(in_range)
+    def _process():
+        q = q_ref[0]
+        if scale != 1.0:
+            q = q * jnp.asarray(scale, q.dtype)
+        k = k_ref[0]
+        v = v_ref[0]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if causal:
+            kpos = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            qpos = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            mask = jnp.logical_and(kpos < kv_len, kpos <= qpos)
+            scores = jnp.where(mask, scores, _NEG_INF)
+        else:
+            kpos_row = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1
+            )
+            bias = jnp.where(kpos_row < kv_len, 0.0, _NEG_INF)
+            scores = scores + bias
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # q rows at/past kv_len are padding: zero them (parity with the
+        # online path, whose l=0 → safe_l → 0 for those rows)
+        qpos_col = q_start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0
+        )
+        out = jnp.where(qpos_col < kv_len, pv / jnp.maximum(l, 1e-30), 0.0)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+    @pl.when(jnp.logical_not(in_range))
+    def _zeros():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
 
 
 def _flash_kernel(
@@ -152,6 +226,7 @@ def _flash_kernel(
 def _flash_kernel_cb(
     kv_lens_ref, q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref,
     *, block_q: int, block_k: int, causal: bool, scale: float,
+    single_k: bool = False,
 ):
     """Column-block grid: (B, Nq, T/BQ, S/BK) over native [B, T, N*D]."""
     b = pl.program_id(0)
@@ -163,7 +238,7 @@ def _flash_kernel_cb(
         acc_ref, m_ref, l_ref,
         kj=kj, nk=nk, block_q=block_q, block_k=block_k,
         q_start=qi * block_q, k_start=kj * block_k, causal=causal,
-        scale=scale,
+        scale=scale, single_k=single_k,
     )
 
 
@@ -462,6 +537,15 @@ def _flash_attention_cb(
     s = k2.shape[1]
     n_rep = nq // nkv
 
+    def kv_index(bb, h, qi, kj, lens):
+        # clamp masked tiles to the last LIVE k-block: Mosaic skips the
+        # DMA when consecutive grid steps map to the same block, so
+        # beyond-kv_len tiles (skipped by the body's in_range predicate)
+        # stop paying HBM bandwidth — the ragged-batch win at the
+        # SPEECHIO duration mix where ~35% of k rows are padding
+        live = jnp.maximum((lens[bb] + block_k - 1) // block_k, 1)
+        return (bb, jnp.minimum(kj, live - 1), h // n_rep)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nq, t // block_q, s // block_k),
@@ -469,11 +553,9 @@ def _flash_attention_cb(
             pl.BlockSpec((1, block_q, d),
                          lambda bb, h, qi, kj, lens: (bb, qi, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d),
-                         lambda bb, h, qi, kj, lens: (bb, kj, h // n_rep),
+            pl.BlockSpec((1, block_k, d), kv_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d),
-                         lambda bb, h, qi, kj, lens: (bb, kj, h // n_rep),
+            pl.BlockSpec((1, block_k, d), kv_index,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -488,7 +570,7 @@ def _flash_attention_cb(
     )
     kernel = functools.partial(
         _flash_kernel_cb, block_q=block_q, block_k=block_k, causal=causal,
-        scale=d ** -0.5,
+        scale=d ** -0.5, single_k=(s // block_k == 1),
     )
     return pl.pallas_call(
         kernel,

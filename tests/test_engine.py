@@ -471,6 +471,42 @@ class TestAsyncEngine:
                 s1.close()
                 s2.close()
 
+    def test_batched_suffix_arm_matches_single_lane(self, setup):
+        """arm_suffix_batch (the packed-online dispatch sharing): three
+        sessions with heterogeneous suffix lengths prefill in ONE
+        batched extend and decode token-identically to the single-lane
+        decode_with_suffix."""
+        from fun_asr_vllm_tpu.engine.engine import (
+            PromptSession, arm_suffix_batch,
+        )
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        llm = make_llm(params, cfg, max_num_seqs=3, max_model_len=96)
+        sp = SamplingParams(top_p=0.001, max_tokens=6)
+        sessions, sufs, want = [], [], []
+        for i, (plen, qlen) in enumerate(((5, 2), (9, 4), (7, 7))):
+            s = PromptSession(llm)
+            s.extend(rand_embeds(80 + i, plen, h))
+            suf = rand_embeds(90 + i, qlen, h)
+            sessions.append(s)
+            sufs.append(suf)
+            want.append(s.decode_with_suffix(suf, sp))
+        free_before = len(llm._free_blocks)
+        reqs = arm_suffix_batch(
+            llm, [(s, suf, sp) for s, suf in zip(sessions, sufs)]
+        )
+        assert all(r is not None for r in reqs)
+        # drive the armed slots to completion with the engine's own loop
+        while any(not r.done for r in reqs):
+            llm._grow_blocks_if_needed(horizon=8)
+            llm._decode_burst(8)
+        for r, w in zip(reqs, want):
+            assert list(r.out_ids) == w
+        assert len(llm._free_blocks) == free_before
+        for s in sessions:
+            s.close()
+
 
 class TestSampling:
     def test_topp_sampling_runs(self, setup):
