@@ -68,10 +68,26 @@ class ZhInverseNormalizer:
             formatted = _format_number(inner, True)
             return formatted + "%" if formatted != inner else m.group(0)
 
+        # (lookbehind: 三百分之一 is the fraction 1/300, not 三 + 1%)
+        num_chars = "".join(sorted(NUM_CHARS))
         text = re.sub(
-            "百分之([" + "".join(sorted(NUM_CHARS | {"点"})) + "]+)",
+            f"(?<![{num_chars}])百分之([" + "".join(sorted(NUM_CHARS | {"点"}))
+            + "]+)",
             pct_repl, text,
         )
+
+        # fractions: X分之Y → Y/X (WeTextProcessing fraction.tsv), before
+        # the generic run rule would leave "10分之3"
+        num_cls = "[" + "".join(sorted(NUM_CHARS)) + "]+"
+
+        def frac_repl(m: re.Match) -> str:
+            den = _format_number(m.group(1), True)
+            num = _format_number(m.group(2), True)
+            if den == m.group(1) or num == m.group(2):
+                return m.group(0)
+            return f"{num}/{den}"
+
+        text = re.sub(f"({num_cls})分之({num_cls})", frac_repl, text)
 
         def repl(m: re.Match) -> str:
             run = m.group(0)

@@ -423,6 +423,14 @@ class TestItnReviewFixes:
         assert inverse_normalize_text("十个人", "zh") == "10个人"
         assert inverse_normalize_text("三十分", "zh") == "30分"
 
+    def test_fractions(self):
+        from fun_asr_vllm_tpu.text.zh_itn import inverse_normalize_text
+
+        assert inverse_normalize_text("十分之三", "zh") == "3/10"
+        assert inverse_normalize_text("四分之一", "zh") == "1/4"
+        assert inverse_normalize_text("三百分之一", "zh") == "1/300"
+        assert inverse_normalize_text("百分之五十", "zh") == "50%"
+
     def test_en_decimal_and_hyphen(self):
         from fun_asr_vllm_tpu.text.zh_itn import inverse_normalize_text
 
