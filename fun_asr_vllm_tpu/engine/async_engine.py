@@ -84,6 +84,9 @@ class AsyncLLM:
         # recent burst widths (observability + tests); bounded — a
         # long-lived server steps bursts continuously
         self.wave_sizes: "deque[int]" = deque(maxlen=1024)
+        # sizes of batched session-extend dispatches (tests assert
+        # concurrent streams' appends actually share a program)
+        self.extend_batch_sizes: "deque[int]" = deque(maxlen=1024)
         self._thread = threading.Thread(
             target=self._loop, name="asr-engine-stepper", daemon=True
         )
@@ -143,15 +146,40 @@ class AsyncLLM:
 
         The caller must not extend/close `session` until the future
         resolves (per-connection partials are naturally sequential)."""
+        return self.submit_partial(session, None, suffix_embeds,
+                                   sampling_params)
+
+    def submit_partial(
+        self,
+        session,
+        extend_embeds,
+        suffix_embeds,
+        sampling_params: Optional[SamplingParams] = None,
+    ) -> Future:
+        """One online-serving tick: append `extend_embeds` (new stable
+        prompt content, may be None/empty) to the session's cached
+        prompt, then prefill [suffix] and decode — both halves batched
+        across concurrent streams by the stepper (engine.extend_batch +
+        engine.arm_suffix_batch), so N streams pay ~one extend dispatch
+        + one suffix prefill + shared bursts per tick instead of N of
+        each. Future resolves to the finished _Request.
+
+        The caller must not touch `session` until the future resolves
+        (per-connection partials are naturally sequential)."""
         sp = sampling_params or self._default_sampling
         if not sp.is_greedy:
             raise ValueError("AsyncLLM is greedy-only; use LLM.generate")
+        ext = None
+        if extend_embeds is not None:
+            ext = _as_numpy_2d(extend_embeds)
+            if ext.shape[0] == 0:
+                ext = None
         fut: Future = Future()
         with self._cv:
             if self._shutdown:
                 raise RuntimeError("AsyncLLM is shut down")
             self._suffix_jobs.append(
-                (session, _as_numpy_2d(suffix_embeds), sp, fut)
+                [session, ext, _as_numpy_2d(suffix_embeds), sp, fut]
             )
             self._cv.notify()
         return fut
@@ -197,7 +225,7 @@ class AsyncLLM:
             except Exception as e:  # fail every in-flight future, keep serving
                 with self._cv:
                     futs = list(self._futures.values())
-                    futs += [j[3] for j in self._suffix_jobs]
+                    futs += [j[4] for j in self._suffix_jobs]
                     self._futures.clear()
                     self._waiting.clear()
                     self._inflight.clear()
@@ -235,23 +263,37 @@ class AsyncLLM:
 
     def _arm_suffix_jobs(self) -> None:
         """Turn queued PromptSession partials into live decode slots —
-        ALL armable jobs prefill in one batched dispatch
-        (engine.arm_suffix_batch), then decode in the shared bursts."""
-        from .engine import arm_suffix_batch
+        ALL jobs' prompt appends apply in one batched extend dispatch
+        (engine.extend_batch), then ALL armable jobs' suffixes prefill
+        in one batched dispatch (engine.arm_suffix_batch) and decode in
+        the shared bursts."""
+        from .engine import arm_suffix_batch, extend_batch
 
         llm = self.llm
         jobs = []
         with self._cv:
             while self._suffix_jobs:
                 job = self._suffix_jobs.popleft()
-                if job[3].cancelled():
+                if job[4].cancelled():
                     continue
                 jobs.append(job)
         if not jobs:
             return
+        exts = [(j[0], j[1]) for j in jobs if j[1] is not None]
+        if exts:
+            try:
+                extend_batch(llm, exts)
+                self.extend_batch_sizes.append(len(exts))
+            except Exception as e:
+                for *_, fut in jobs:
+                    if not fut.done():
+                        fut.set_exception(e)
+                return
+            for j in jobs:  # applied — a requeue must not re-extend
+                j[1] = None
         try:
             reqs = arm_suffix_batch(
-                llm, [(s, suf, sp) for s, suf, sp, _ in jobs]
+                llm, [(s, suf, sp) for s, _, suf, sp, _ in jobs]
             )
         except Exception as e:
             for *_, fut in jobs:
@@ -260,11 +302,11 @@ class AsyncLLM:
             return
         any_done = False
         with self._cv:
-            for (session, suffix, sp, fut), req in zip(jobs, reqs):
+            for job, req in zip(jobs, reqs):
                 if req is None:  # no slot/blocks now — requeue FIFO
-                    self._suffix_jobs.append((session, suffix, sp, fut))
+                    self._suffix_jobs.append(job)
                     continue
-                self._futures[req.rid] = fut
+                self._futures[req.rid] = job[4]
                 self._inflight.append(req)
                 any_done = any_done or req.done
         if any_done:  # a first token was eos

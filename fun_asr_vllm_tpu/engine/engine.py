@@ -1086,24 +1086,7 @@ class PromptSession:
 
     def extend(self, embeds: np.ndarray) -> None:
         """Append token embeddings [T, H] to the cached prompt."""
-        llm = self.llm
-        embeds = _as_numpy_2d(embeds)
-        t = embeds.shape[0]
-        if t == 0:
-            return
-        tb = _bucket_len(t)
-        self._ensure_blocks(self.cached_len + t)
-        padded = np.zeros((1, tb, llm.cfg.hidden_size), np.float32)
-        padded[0, :t] = embeds
-        tables = self._table(self.blocks, self.cached_len + t)
-        (_logits, _ids), llm.k_cache, llm.v_cache = extend_step(
-            llm.params, llm.cfg, llm.k_cache, llm.v_cache,
-            jnp.asarray(padded),
-            jnp.asarray([self.cached_len], jnp.int32),
-            jnp.asarray([t], jnp.int32),
-            jnp.asarray(tables),
-        )
-        self.cached_len += t
+        extend_batch(self.llm, [(self, embeds)])
 
     def decode_with_suffix(
         self,
@@ -1263,6 +1246,55 @@ class PromptSession:
         self.llm._free_blocks.extend(self.blocks)
         self.blocks = []
         self.cached_len = 0
+
+
+def extend_batch(llm: "LLM", jobs) -> None:
+    """Append new prompt content to N PromptSessions in ONE batched
+    chunked-prefill dispatch (the extend half of packed online mode,
+    ROADMAP Capabilities 3): concurrent streams' audio-token appends
+    share an `extend_step` program the way `arm_suffix_batch` shares
+    the suffix prefill — N streams pay one dispatch per tick, not N.
+
+    `jobs` is a list of (session, embeds [T, H]); zero-length appends
+    are skipped. All-or-nothing: on dispatch failure no session's
+    `cached_len` advances (a retry rewrites the same positions, so the
+    cache cannot be corrupted). Caller owns engine serialization."""
+    live = []
+    for session, embeds in jobs:
+        e = _as_numpy_2d(embeds)
+        t = e.shape[0]
+        if t == 0:
+            continue
+        session._ensure_blocks(session.cached_len + t)
+        live.append((session, e, t))
+    if not live:
+        return
+    b = 1
+    while b < len(live):
+        b *= 2
+    tb = _bucket_len(max(t for _, _, t in live))
+    bs = llm.cache_cfg.block_size
+    w = max(
+        max(1, -(-(s.cached_len + t) // bs)) for s, _, t in live
+    )
+    w = -(-w // 8) * 8  # snap widths so jit caches a handful of shapes
+    embeds_arr = np.zeros((b, tb, llm.cfg.hidden_size), np.float32)
+    cached_lens = np.zeros((b,), np.int32)
+    new_lens = np.zeros((b,), np.int32)
+    tables = np.zeros((b, w), np.int32)  # dummy rows → garbage block 0
+    for j, (s, e, t) in enumerate(live):
+        embeds_arr[j, :t] = e
+        cached_lens[j] = s.cached_len
+        new_lens[j] = t
+        wj = min(len(s.blocks), w)
+        tables[j, :wj] = s.blocks[:wj]
+    (_logits, _ids), llm.k_cache, llm.v_cache = extend_step(
+        llm.params, llm.cfg, llm.k_cache, llm.v_cache,
+        jnp.asarray(embeds_arr), jnp.asarray(cached_lens),
+        jnp.asarray(new_lens), jnp.asarray(tables),
+    )
+    for s, _, t in live:
+        s.cached_len += t
 
 
 def arm_suffix_batch(llm: "LLM", jobs) -> List[Optional[_Request]]:

@@ -246,21 +246,20 @@ class ASRServer:
             stable = min(
                 max(0, (self.enc._frozen_upto - 4) // 8), audio_np.shape[0]
             )
-            with server.async_llm.exclusive():
-                if self.psess is None:
-                    self.psess = PromptSession(server.async_llm.llm)
-                    self.psess.extend(self.prefix)
-                if stable > self.fed_tokens:
-                    self.psess.extend(audio_np[self.fed_tokens : stable])
-                    self.fed_tokens = stable
-                tail = np.concatenate(
-                    [audio_np[self.fed_tokens :], self.suffix]
-                )
-            # the suffix decode rides the SHARED stepper bursts: N
-            # concurrent streams' partials overlap in engine steps
-            # instead of serializing under the engine lock (~1× latency)
-            req = server.async_llm.submit_suffix(
-                self.psess, tail,
+            ext_parts = []
+            if self.psess is None:
+                self.psess = PromptSession(server.async_llm.llm)
+                ext_parts.append(self.prefix)
+            if stable > self.fed_tokens:
+                ext_parts.append(audio_np[self.fed_tokens : stable])
+                self.fed_tokens = stable
+            ext = np.concatenate(ext_parts) if ext_parts else None
+            tail = np.concatenate([audio_np[self.fed_tokens :], self.suffix])
+            # BOTH halves ride the shared stepper: N concurrent streams'
+            # prompt appends batch into one extend dispatch and their
+            # suffix decodes share bursts (~1× latency, not N×)
+            req = server.async_llm.submit_partial(
+                self.psess, ext, tail,
                 SamplingParams(top_p=0.001, max_tokens=max_tokens),
             ).result()
             ids = list(req.out_ids)

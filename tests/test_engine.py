@@ -507,6 +507,95 @@ class TestAsyncEngine:
         for s in sessions:
             s.close()
 
+    def test_extend_batch_matches_sequential(self, setup):
+        """engine.extend_batch (the extend half of packed online mode):
+        three sessions' heterogeneous appends in ONE batched dispatch
+        must leave each cache identical to sequential single extends —
+        asserted by token-identical suffix decodes."""
+        from fun_asr_vllm_tpu.engine.engine import (
+            PromptSession, extend_batch,
+        )
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        llm = make_llm(params, cfg, max_num_seqs=3, max_model_len=96)
+        sp = SamplingParams(top_p=0.001, max_tokens=6)
+        chunks = [(100, 5), (101, 9), (102, 3)]
+        seq_sess, bat_sess = [], []
+        for i, (seed, t) in enumerate(chunks):
+            e = rand_embeds(seed, t, h)
+            s1, s2 = PromptSession(llm), PromptSession(llm)
+            s1.extend(e)  # sequential reference
+            seq_sess.append(s1)
+            bat_sess.append((s2, e))
+        extend_batch(llm, bat_sess)
+        # second round of appends, also batched (boundary blocks mid-page)
+        more = [(110, 4), (111, 2), (112, 7)]
+        for s1, (seed, t) in zip(seq_sess, more):
+            s1.extend(rand_embeds(seed, t, h))
+        extend_batch(
+            llm,
+            [(s2, rand_embeds(seed, t, h))
+             for (s2, _), (seed, t) in zip(bat_sess, more)],
+        )
+        for i, (s1, (s2, _)) in enumerate(zip(seq_sess, bat_sess)):
+            assert s1.cached_len == s2.cached_len
+            suf = rand_embeds(120 + i, 3, h)
+            assert s1.decode_with_suffix(suf, sp) == \
+                s2.decode_with_suffix(suf, sp)
+        for s1, (s2, _) in zip(seq_sess, bat_sess):
+            s1.close()
+            s2.close()
+
+    def test_partials_batch_extends_across_streams(self, setup):
+        """AsyncLLM.submit_partial: two concurrent streams' ticks
+        (append new prompt content + decode a suffix) must (a) match the
+        single-lane extend + decode_with_suffix result and (b) share ONE
+        batched extend dispatch (extend_batch_sizes records a 2)."""
+        from fun_asr_vllm_tpu.engine import AsyncLLM
+        from fun_asr_vllm_tpu.engine.engine import PromptSession
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        llm = make_llm(params, cfg, max_num_seqs=2, max_model_len=96,
+                       decode_burst_size=2)
+        sp = SamplingParams(top_p=0.001, max_tokens=6)
+        async_llm = AsyncLLM(llm, sp)
+        try:
+            with async_llm.exclusive():
+                # single-lane reference on twin sessions
+                r1, r2 = PromptSession(llm), PromptSession(llm)
+                pre1, pre2 = rand_embeds(130, 6, h), rand_embeds(131, 8, h)
+                ext1, ext2 = rand_embeds(132, 4, h), rand_embeds(133, 5, h)
+                suf1, suf2 = rand_embeds(134, 3, h), rand_embeds(135, 2, h)
+                r1.extend(pre1)
+                r2.extend(pre2)
+                r1.extend(ext1)
+                r2.extend(ext2)
+                want1 = r1.decode_with_suffix(suf1, sp)
+                want2 = r2.decode_with_suffix(suf2, sp)
+                r1.close()
+                r2.close()
+                s1, s2 = PromptSession(llm), PromptSession(llm)
+                s1.extend(pre1)
+                s2.extend(pre2)
+                # submit both ticks while holding the engine lock so the
+                # stepper sees both jobs in one step
+                f1 = async_llm.submit_partial(s1, ext1, suf1, sp)
+                f2 = async_llm.submit_partial(s2, ext2, suf2, sp)
+            o1 = f1.result(timeout=300)
+            o2 = f2.result(timeout=300)
+            assert list(o1.out_ids) == want1
+            assert list(o2.out_ids) == want2
+            assert 2 in async_llm.extend_batch_sizes, (
+                async_llm.extend_batch_sizes
+            )
+        finally:
+            async_llm.shutdown()
+            with async_llm.exclusive():
+                s1.close()
+                s2.close()
+
 
 class TestSampling:
     def test_topp_sampling_runs(self, setup):
