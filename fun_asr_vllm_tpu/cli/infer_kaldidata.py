@@ -169,6 +169,12 @@ def main():
     if args.distributed:
         import jax
 
+        # CPU processes federate via the gloo collectives backend (the
+        # 2-process CI test path); TPU hosts use the native ICI/DCN path
+        # and ignore this. Must be set before the backend initializes.
+        plat = str(jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", ""))
+        if "cpu" in plat:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             coordinator_address=args.coordinator,
             num_processes=args.num_processes,
