@@ -66,11 +66,17 @@ class AsyncLLM:
     thread after construction — do not call `llm.generate*` concurrently.
     """
 
-    def __init__(self, llm: LLM, default_sampling: Optional[SamplingParams] = None):
+    def __init__(self, llm: LLM, default_sampling: Optional[SamplingParams] = None,
+                 suffix_arm_timeout_s: float = 30.0):
         self.llm = llm
         self._default_sampling = default_sampling or SamplingParams(
             top_p=0.001, max_tokens=500
         )
+        # a PromptSession partial that cannot get a slot/KV blocks is
+        # requeued; past this deadline it FAILS LOUDLY instead (the
+        # pre-batching decode_with_suffix behavior) — without it,
+        # exhausted-block servers hang every stream's .result() forever
+        self.suffix_arm_timeout_s = suffix_arm_timeout_s
         self._waiting: deque = deque()          # thread-safe append/popleft
         self._suffix_jobs: deque = deque()      # PromptSession partials
         self._inflight: List[_Request] = []     # every unresolved request
@@ -179,7 +185,8 @@ class AsyncLLM:
             if self._shutdown:
                 raise RuntimeError("AsyncLLM is shut down")
             self._suffix_jobs.append(
-                [session, ext, _as_numpy_2d(suffix_embeds), sp, fut]
+                [session, ext, _as_numpy_2d(suffix_embeds), sp, fut,
+                 time.monotonic() + self.suffix_arm_timeout_s]
             )
             self._cv.notify()
         return fut
@@ -284,31 +291,59 @@ class AsyncLLM:
             try:
                 extend_batch(llm, exts)
                 self.extend_batch_sizes.append(len(exts))
-            except Exception as e:
-                for *_, fut in jobs:
-                    if not fut.done():
-                        fut.set_exception(e)
-                return
-            for j in jobs:  # applied — a requeue must not re-extend
-                j[1] = None
+                for j in jobs:  # applied — a requeue must not re-extend
+                    j[1] = None
+            except Exception:
+                # one stream's append failed the whole batch dispatch —
+                # retry individually so only the offending streams'
+                # futures fail (extend_batch never advances cached_len
+                # on failure, so per-job retries are safe)
+                survivors = []
+                for j in jobs:
+                    if j[1] is None:
+                        survivors.append(j)
+                        continue
+                    try:
+                        extend_batch(llm, [(j[0], j[1])])
+                        j[1] = None
+                        survivors.append(j)
+                    except Exception as e2:
+                        if not j[4].done():
+                            j[4].set_exception(e2)
+                jobs = survivors
+                if not jobs:
+                    return
         try:
             reqs = arm_suffix_batch(
-                llm, [(s, suf, sp) for s, _, suf, sp, _ in jobs]
+                llm, [(s, suf, sp) for s, _, suf, sp, *_ in jobs]
             )
         except Exception as e:
-            for *_, fut in jobs:
-                if not fut.done():
-                    fut.set_exception(e)
+            for j in jobs:
+                if not j[4].done():
+                    j[4].set_exception(e)
             return
         any_done = False
+        now = time.monotonic()
+        expired = []
         with self._cv:
             for job, req in zip(jobs, reqs):
-                if req is None:  # no slot/blocks now — requeue FIFO
-                    self._suffix_jobs.append(job)
+                if req is None:  # no slot/blocks now
+                    if now > job[5]:
+                        expired.append(job)  # fail outside the lock
+                    else:
+                        self._suffix_jobs.append(job)  # requeue FIFO
                     continue
                 self._futures[req.rid] = job[4]
                 self._inflight.append(req)
                 any_done = any_done or req.done
+        for job in expired:
+            if not job[4].done():
+                job[4].set_exception(RuntimeError(
+                    "PromptSession partial could not get a decode slot / "
+                    f"KV blocks within {self.suffix_arm_timeout_s:.0f}s — "
+                    "engine exhausted (raise num_kv_blocks/max_num_seqs "
+                    "or close idle sessions)"
+                ))
         if any_done:  # a first token was eos
             self._resolve_done()
 

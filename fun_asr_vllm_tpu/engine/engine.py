@@ -1025,17 +1025,10 @@ class LLM:
 
 
 @partial(jax.jit, donate_argnames=("cache",))
-def _copy_block(cache, src: jax.Array, dst: jax.Array):
-    """Copy one KV page across all layers (boundary-block isolation for
-    PromptSession suffix decodes). Handles int8-paged pytree caches."""
-    if isinstance(cache, dict):
-        return {k: v.at[:, dst].set(v[:, src]) for k, v in cache.items()}
-    return cache.at[:, dst].set(cache[:, src])
-
-
-@partial(jax.jit, donate_argnames=("cache",))
 def _copy_blocks(cache, srcs: jax.Array, dsts: jax.Array):
-    """Copy several KV pages in one dispatch (batched suffix arming)."""
+    """Copy KV pages in one dispatch across all layers (boundary-block
+    isolation for batched suffix arming). Handles int8-paged pytree
+    caches; single copies pass singleton index arrays."""
     if isinstance(cache, dict):
         return {k: v.at[:, dsts].set(v[:, srcs]) for k, v in cache.items()}
     return cache.at[:, dsts].set(cache[:, srcs])
@@ -1074,14 +1067,6 @@ class PromptSession:
                 raise RuntimeError("KV cache out of blocks (PromptSession)")
             self.blocks.extend(got)
 
-    def _table(self, blocks: Sequence[int], width_tokens: int) -> np.ndarray:
-        bs = self.llm.cache_cfg.block_size
-        w = max(1, -(-width_tokens // bs))
-        w = -(-w // 8) * 8  # snap widths so jit caches a handful of shapes
-        t = np.zeros((1, w), np.int32)
-        t[0, : len(blocks)] = list(blocks)[:w]
-        return t
-
     # ----------------------------------------------------------------- API
 
     def extend(self, embeds: np.ndarray) -> None:
@@ -1094,91 +1079,35 @@ class PromptSession:
         sampling_params: Optional[SamplingParams] = None,
     ) -> List[int]:
         """Prefill [suffix] after the cached prompt into scratch blocks,
-        greedy-decode up to max_tokens, free the scratch — the cached
-        prompt survives unchanged for the next partial."""
+        decode up to max_tokens, free the scratch — the cached prompt
+        survives unchanged for the next partial.
+
+        Synchronous single-job convenience: arms via the same
+        `arm_suffix_batch` machinery the AsyncLLM stepper batches over
+        (one copy of the scratch/boundary block accounting), then drives
+        the engine's decode bursts locally until done."""
         llm = self.llm
         sp = sampling_params or SamplingParams()
-        suffix = _as_numpy_2d(suffix_embeds)
-        q = suffix.shape[0]
-        bs = llm.cache_cfg.block_size
-        total = self.cached_len + q + sp.max_tokens + 1
-
-        # scratch table: cached blocks shared READ-ONLY; the partially
-        # filled boundary block is copied so suffix writes can't corrupt
-        # the session
-        scratch: List[int] = []
-        blocks = list(self.blocks)
-        boundary = self.cached_len % bs
-        if boundary and blocks:
-            got = llm._alloc_blocks(1)
-            if got is None:
-                raise RuntimeError("KV cache out of blocks (PromptSession)")
-            scratch.extend(got)
-            llm.k_cache = _copy_block(
-                llm.k_cache, jnp.int32(blocks[-1]), jnp.int32(scratch[-1])
-            )
-            llm.v_cache = _copy_block(
-                llm.v_cache, jnp.int32(blocks[-1]), jnp.int32(scratch[-1])
-            )
-            blocks[-1] = scratch[-1]
-        need_extra = -(-total // bs) - len(blocks)
-        if need_extra > 0:
-            got = llm._alloc_blocks(need_extra)
-            if got is None:
-                llm._free_blocks.extend(scratch)
-                raise RuntimeError("KV cache out of blocks (PromptSession)")
-            scratch.extend(got)
-            blocks.extend(got)
-
+        req = self.arm_suffix_request(suffix_embeds, sp)
+        if req is None:
+            raise RuntimeError("KV cache out of blocks (PromptSession)")
         try:
-            tb = _bucket_len(max(q, 1))
-            padded = np.zeros((1, tb, llm.cfg.hidden_size), np.float32)
-            padded[0, :q] = suffix
-            tables = self._table(blocks, total)
-            (logits, first_ids), llm.k_cache, llm.v_cache = extend_step(
-                llm.params, llm.cfg, llm.k_cache, llm.v_cache,
-                jnp.asarray(padded),
-                jnp.asarray([self.cached_len], jnp.int32),
-                jnp.asarray([q], jnp.int32),
-                jnp.asarray(tables),
-            )
-            stop_ids = llm.eos_ids | set(sp.stop_token_ids or ())
-            out: List[int] = []
-            tok = int(np.asarray(first_ids)[0])
-            pos = self.cached_len + q
-            while True:
-                if tok in stop_ids or len(out) >= sp.max_tokens:
-                    break
-                out.append(tok)
-                k = min(llm.decode_burst_size,
-                        max(1, sp.max_tokens - len(out)))
-                k = max(1, -(-k // 8) * 8)
-                toks, llm.k_cache, llm.v_cache = decode_steps(
-                    llm.params, llm.cfg, llm.k_cache, llm.v_cache,
-                    jnp.asarray([tok], jnp.int32),
-                    jnp.asarray([pos], jnp.int32),
-                    jnp.asarray(tables),
-                    jnp.asarray([pos + 1], jnp.int32),
-                    jnp.asarray([True]),
-                    num_steps=k, use_pallas=llm.use_pallas_burst,
-                    eos_ids=(llm._eos_arr if llm.early_exit_bursts
-                             else None),
-                    early_exit=llm.early_exit_bursts,
-                )
-                toks = np.asarray(toks)[:, 0]
-                done = False
-                for step_tok in toks:
-                    pos += 1
-                    tok = int(step_tok)
-                    if tok in stop_ids or len(out) >= sp.max_tokens:
-                        done = True
-                        break
-                    out.append(tok)
-                if done or len(out) >= sp.max_tokens:
-                    break
-            return out
+            while not req.done:
+                if sp.is_greedy:
+                    k = min(llm.decode_burst_size,
+                            max(1, req.max_tokens - len(req.out_ids)))
+                    k = max(1, -(-k // 8) * 8)
+                    llm._grow_blocks_if_needed(horizon=k)
+                    llm._decode_burst(k)
+                else:
+                    # bursts are greedy in-graph; sampled decoding steps
+                    # one at a time through the per-slot sampler
+                    llm._grow_blocks_if_needed(horizon=1)
+                    llm._decode_once()
+            return list(req.out_ids)
         finally:
-            llm._free_blocks.extend(scratch)
+            if not req.done:  # exception path; done already freed
+                llm._free(req)
 
     def _prepare_suffix(self, suffix_embeds, sp):
         """Phase 1 of a suffix-slot arm: allocate slot + scratch blocks
@@ -1347,12 +1276,20 @@ def arm_suffix_batch(llm: "LLM", jobs) -> List[Optional[_Request]]:
             cached_lens[j] = p["cached_len"]
             new_lens[j] = p["q"]
             tables[j, : min(len(p["blocks"]), w)] = p["blocks"][:w]
-        (_logits, first_ids), llm.k_cache, llm.v_cache = extend_step(
+        (logits, first_ids), llm.k_cache, llm.v_cache = extend_step(
             llm.params, llm.cfg, llm.k_cache, llm.v_cache,
             jnp.asarray(embeds), jnp.asarray(cached_lens),
             jnp.asarray(new_lens), jnp.asarray(tables),
         )
-        firsts = np.asarray(first_ids)
+        sps_live = [p["sp"] for p in live]
+        if all(s.is_greedy for s in sps_live):
+            firsts = np.asarray(first_ids)
+        else:
+            # honor non-greedy SamplingParams for the FIRST continuation
+            # token too — later tokens already sample via req.sp in the
+            # decode path, and a silent greedy first token would be an
+            # inconsistent hybrid distribution
+            firsts = llm._sample_rows(logits[: len(live)], sps_live)
     except Exception:
         # roll back every reserved slot + scratch block; sessions' own
         # cached blocks are untouched

@@ -303,9 +303,10 @@ def _burst_core(
         # inside the step, trading the 3× per-step window traffic for
         # L× less live HBM (ADVICE r2).
         mb = block_tables.shape[1]
-        itemsize = 1 if isinstance(k_cache, dict) else (
-            jnp.zeros((), cfg.dtype).dtype.itemsize
-        )
+        # the gathered windows are materialized at cfg.dtype (int8 pages
+        # dequantize in _gather_pages), so the live-HBM estimate uses
+        # cfg.dtype's width regardless of the page dtype
+        itemsize = jnp.zeros((), cfg.dtype).dtype.itemsize
         hoist_bytes = 2 * L * s * mb * bs * nkv * d * itemsize
         if hoist_bytes <= _HOIST_GATHER_BYTES_CAP:
             k_gathered = jax.vmap(

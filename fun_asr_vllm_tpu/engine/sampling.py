@@ -90,13 +90,19 @@ def sample_tokens_per_row(
     )
     scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
 
-    # per-row nucleus: keep tokens until cumulative prob exceeds top_p
-    # (the first always survives)
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    # per-row nucleus over the top-k-FILTERED, renormalized distribution
+    # (top-k then top-p, matching sample_tokens, which masks before
+    # sorting — otherwise the same request samples from a different
+    # distribution depending on batch composition)
+    ranks = jax.lax.broadcasted_iota(jnp.int32, (s, v), 1)
+    in_k = ranks < k_row[:, None]
+    sorted_masked = jnp.where(in_k, sorted_logits, -jnp.inf)
+    probs = jax.nn.softmax(sorted_masked, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    keep = cum - probs < jnp.minimum(top_p, 1.0)[:, None]
+    # keep tokens until cumulative prob exceeds top_p (first always kept)
+    keep = (cum - probs < jnp.minimum(top_p, 1.0)[:, None]) & in_k
     thresh = jnp.min(
-        jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        jnp.where(keep, sorted_masked, jnp.inf), axis=-1, keepdims=True
     )
     scaled = jnp.where(scaled < thresh, -jnp.inf, scaled)
 

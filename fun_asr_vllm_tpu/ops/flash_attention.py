@@ -68,12 +68,6 @@ def _flash_body(
     auto-picker chooses whole-sequence k blocks up to T=1408.
     """
 
-    @pl.when(kj == 0)
-    def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[:] = jnp.zeros_like(l_ref)
-
     # skip fully-masked blocks: beyond kv_len, strictly future (causal), or
     # padding query rows. Both call sites (encoder self-attention, LLM
     # prefill) have query position == kv position, so q rows at/after
@@ -85,12 +79,20 @@ def _flash_body(
         in_range = jnp.logical_and(in_range, k_start <= q_start + block_q - 1)
 
     if single_k:
+        # the one-shot body writes out_ref on both branches and never
+        # reads acc/m/l — the scratch init below would be pure waste
         _flash_body_single(
             kv_len, q_ref, k_ref, v_ref, out_ref, in_range,
             block_q=block_q, block_k=block_k, q_start=q_start,
             k_start=k_start, causal=causal, scale=scale,
         )
         return
+
+    @pl.when(kj == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
 
     @pl.when(in_range)
     def _process():

@@ -410,6 +410,12 @@ class ASRServer:
                     emitted_upto = 0.0
                     stream_fed = 0
                     last_partial = ""
+                    # non-16 kHz state must restart with the buffer:
+                    # stale raw_fed/buf16 would replay utterance-1 audio
+                    # into the next utterance's partials
+                    stream_rs = None
+                    buf16 = np.zeros(0, dtype=np.float32)
+                    raw_fed = 0
                     if stream_enc is not None:
                         await loop.run_in_executor(None, stream_enc.reset)
                     hs.is_speaking = True  # allow another utterance

@@ -39,7 +39,7 @@ _CURRENCIES = {
 
 # common erhua carriers (WeTextProcessing erhua whitelist shape): 儿 after
 # these is the rhotic suffix, dropped when remove_erhua=True
-_ERHUA_PRE = "这那哪玩点份劲儿味门口活窍空盖头年根面边官量花样伴脸条"
+_ERHUA_PRE = "这那哪玩点份劲味门口活窍空盖头年根面边官量花样伴脸条"
 
 # pure filler interjections removed when remove_interjections=True
 # (conservative: particles like 吧/嘛/呀 carry meaning and are kept)
@@ -158,9 +158,11 @@ class ZhNormalizer:
         )
         # measure-word reading of 2: 2个 → 两个 (a standalone final 2
         # before a measure word reads 两, ZhNormalizer measure behavior);
-        # 22个 keeps 二十二个 via the generic rule
+        # 22个 keeps 二十二个 via the generic rule. 月 is excluded: a
+        # bare "2月" is a date (二月), never a duration (durations use
+        # 个月, caught by 个)
         text = re.sub(
-            rf"(?<!\d)2(?=[{_MEASURES}])", "两", text
+            rf"(?<!\d)2(?=[{_MEASURES.replace('月', '')}])", "两", text
         )
         text = re.sub(r"-?\d+(?:\.\d+)?", self._number, text)
         if self.remove_erhua:

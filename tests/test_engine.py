@@ -471,6 +471,34 @@ class TestAsyncEngine:
                 s1.close()
                 s2.close()
 
+    def test_suffix_job_fails_loudly_when_blocks_exhausted(self, setup):
+        """A partial that can NEVER get KV blocks must fail its future
+        with a loud error after suffix_arm_timeout_s — the pre-batching
+        decode_with_suffix raised immediately; silently requeueing
+        forever hangs every server executor thread on .result()."""
+        from fun_asr_vllm_tpu.engine import AsyncLLM
+        from fun_asr_vllm_tpu.engine.engine import PromptSession
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        llm = make_llm(params, cfg, max_num_seqs=1, max_model_len=64)
+        async_llm = AsyncLLM(llm, suffix_arm_timeout_s=0.5)
+        try:
+            with async_llm.exclusive():
+                s = PromptSession(llm)
+                s.extend(rand_embeds(80, 40, h))
+                # a continuation needing more blocks than the pool holds
+                fut = async_llm.submit_suffix(
+                    s, rand_embeds(81, 4, h),
+                    SamplingParams(top_p=0.001, max_tokens=500),
+                )
+            with pytest.raises(RuntimeError, match="slot|blocks"):
+                fut.result(timeout=60)
+        finally:
+            async_llm.shutdown()
+            with async_llm.exclusive():
+                s.close()
+
     def test_batched_suffix_arm_matches_single_lane(self, setup):
         """arm_suffix_batch (the packed-online dispatch sharing): three
         sessions with heterogeneous suffix lengths prefill in ONE
@@ -639,6 +667,37 @@ class TestSampling:
             assert (out.outputs[0].token_ids
                     == single[0].outputs[0].token_ids)
             assert len(out.outputs[0].token_ids) <= s.max_tokens
+
+    def test_per_row_kernel_matches_uniform_kernel(self):
+        """The vectorized per-row sampler must draw from the SAME
+        distribution as the uniform-batch sampler for identical params —
+        vLLM semantics are top-k, renormalize, then top-p; computing the
+        nucleus over the unfiltered distribution instead makes a
+        request's output distribution depend on batch composition.
+        Same key + same masked logits ⇒ identical categorical draws."""
+        from fun_asr_vllm_tpu.engine.sampling import (
+            sample_tokens, sample_tokens_per_row,
+        )
+
+        rng = np.random.default_rng(3)
+        logits = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+        key = jax.random.PRNGKey(11)
+        for temp, top_p, top_k in [
+            (1.0, 0.5, 2),    # nucleus must renormalize over the top-2
+            (0.8, 0.9, 8),
+            (1.3, 0.7, -1),   # top_k disabled
+            (1.0, 1.0, 4),    # top_p disabled
+        ]:
+            uniform = sample_tokens(logits, key, temp, top_p, top_k)
+            s = logits.shape[0]
+            per_row = sample_tokens_per_row(
+                logits, key,
+                jnp.full((s,), temp, jnp.float32),
+                jnp.full((s,), top_p, jnp.float32),
+                jnp.full((s,), top_k, jnp.int32),
+            )
+            assert np.array_equal(np.asarray(uniform), np.asarray(per_row)), (
+                temp, top_p, top_k)
 
     def test_mixed_batch_true_sampling_row_valid(self, setup):
         """A genuinely stochastic row (temp=1, top_k=3) in a mixed batch

@@ -286,3 +286,74 @@ class TestNon16kOnlineStream:
 
         finals = asyncio.new_event_loop().run_until_complete(run())
         assert len(finals) == 1 and isinstance(finals[0], str)
+
+    def test_8khz_second_utterance_state_resets(self, engine_server,
+                                                monkeypatch):
+        """After a final, the resampler state (buf16/raw_fed/stream_rs)
+        must restart with the buffer — stale state replayed utterance 1's
+        audio into utterance 2's partials and dropped utterance 2's own
+        samples. Observable: the 16 kHz sample counts fed to the online
+        session after the first final must total utterance 2's length,
+        not utterance 1's."""
+        import asyncio as aio
+        import json as js
+
+        import websockets
+
+        from fun_asr_vllm_tpu.serving.server import ASRServer
+
+        server, port = engine_server
+        calls: list = []
+        orig = ASRServer._OnlineSession.partial
+
+        def spy(self, new_samples, max_tokens=64):
+            calls.append(len(new_samples))
+            return orig(self, new_samples, max_tokens)
+
+        monkeypatch.setattr(ASRServer._OnlineSession, "partial", spy)
+
+        rng = np.random.default_rng(9)
+
+        def pcm_8k(seconds):
+            t = np.arange(int(8000 * seconds)) / 8000.0
+            w = 0.2 * np.sin(2 * np.pi * 200 * t) + 0.02 * rng.normal(
+                size=t.shape
+            )
+            return (w * 32767).astype("<i2")
+
+        async def run():
+            async with websockets.connect(
+                f"ws://127.0.0.1:{port}", subprotocols=["binary"]
+            ) as ws:
+                await ws.send(js.dumps({
+                    "mode": "2pass", "chunk_size": [5, 10, 5],
+                    "chunk_interval": 10, "wav_name": "two_utts",
+                    "is_speaking": True, "itn": False,
+                    "audio_fs": 8000,
+                }))
+
+                async def send_utt(pcm):
+                    for i in range(0, len(pcm), 4000):
+                        await ws.send(pcm[i : i + 4000].tobytes())
+                        await aio.sleep(0.05)
+                    await ws.send(js.dumps({"is_speaking": False}))
+                    while True:
+                        msg = js.loads(await aio.wait_for(ws.recv(), 120))
+                        if msg.get("is_final"):
+                            return
+
+                await send_utt(pcm_8k(2.0))   # utterance A: 32000 @16 kHz
+                mark = len(calls)
+                await send_utt(pcm_8k(1.0))   # utterance B: 16000 @16 kHz
+                return mark
+
+        mark = asyncio.new_event_loop().run_until_complete(run())
+        b_pushes = calls[mark:]
+        assert b_pushes, "utterance B produced no partial ticks"
+        fed_b = sum(b_pushes)
+        # B is 1 s = 16000 samples at 16 kHz (partial ticks may miss the
+        # last chunk, never exceed it); the bug fed A's full 32000
+        assert fed_b <= 17000, (
+            f"utterance B partials fed {fed_b} samples — stale resampler "
+            f"state replayed utterance A ({b_pushes})"
+        )

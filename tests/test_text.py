@@ -226,6 +226,9 @@ class TestZhTN:
         assert self.tn.normalize("2天后") == "两天后"
         assert self.tn.normalize("22个人") == "二十二个人"
         assert self.tn.normalize("2.5个") == "二点五个"
+        # bare 月 is a DATE (二月), not a 两-measure — durations use 个月
+        assert self.tn.normalize("我2月去北京") == "我二月去北京"
+        assert self.tn.normalize("住了2个月") == "住了两个月"
 
     def test_alphanumeric_serial(self):
         assert self.tn.normalize("坐A380去") == "坐A三八零去"
@@ -241,6 +244,9 @@ class TestZhTN:
         assert drop.normalize("在这儿玩儿") == "在这玩"
         # 儿 after a non-erhua carrier is a real morpheme and stays
         assert drop.normalize("女儿") == "女儿"
+        # 儿 itself is not an erhua carrier (regression: a stray 儿 in
+        # the carrier class stripped the 儿 of 儿歌 after another 儿)
+        assert drop.normalize("这儿儿歌真好听") == "这儿歌真好听"
 
     def test_interjection_toggle(self):
         keep = ZhNormalizer(remove_interjections=False)
