@@ -15,6 +15,11 @@ from typing import List, Sequence
 class ByteTokenizer:
     """UTF-8 byte tokenizer: id = byte + 2 (0 = pad, 1 = eos).
 
+    `<|im_end|>` encodes to the eos id — faithful to the real Qwen
+    tokenizer, where <|im_end|> IS the eos special (id 151645,
+    qwen3.py), so ChatML targets built by data_load_speech end in a
+    true stop token and generation terminates exactly like production.
+
     Only used by test fixtures and fabricated model dirs; real model dirs
     ship a Qwen tokenizer."""
 
@@ -23,7 +28,13 @@ class ByteTokenizer:
     vocab_size = 258
 
     def encode(self, text: str, add_special_tokens: bool = False) -> List[int]:
-        return [b + 2 for b in text.encode("utf-8")]
+        ids: List[int] = []
+        parts = text.split("<|im_end|>")
+        for i, part in enumerate(parts):
+            ids.extend(b + 2 for b in part.encode("utf-8"))
+            if i < len(parts) - 1:
+                ids.append(self.eos_token_id)
+        return ids
 
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True,
                **_kw) -> str:
