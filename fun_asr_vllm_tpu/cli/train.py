@@ -1,0 +1,482 @@
+"""Finetune driver over nano-format chat JSONL.
+
+The reference repo's data factory exists to PRODUCE training JSONL
+(reference scp2nanojsonl.py builds ChatML records with
+``<|startofspeech|>!path<|endofspeech|>`` audio spans) but delegates the
+actual optimization to funasr's external trainer, keeping only the
+DataParallel loss path in-repo (reference model.py:132-248). This
+framework closes the loop natively: the same JSONL drives a pjit train
+step over a (dp, tp) device mesh — batch sharded over ``dp``, params
+over ``tp`` (parallel/mesh.py Megatron rules), XLA inserting the
+collectives — with the reference's freeze semantics (encoder/LLM frozen,
+adaptor trainable; reference model.py:60-66, 77-81, 120-124) expressed
+as gradient partitioning, so frozen components cost zero backward FLOPs.
+
+TPU-shaped data handling: utterances are shuffled, window-sorted by
+``speech_length`` and padded to frame/token multiples so an epoch
+compiles a bounded set of static-shape step programs; short tail batches
+are padded with fully-masked dummy rows instead of recompiling. A
+producer thread keeps audio I/O + fbank off the device clock.
+
+Usage:
+  python -m fun_asr_vllm_tpu.cli.train \
+    --model_dir exp/init --train_jsonl data/train.jsonl \
+    --output_dir exp/ft --batch_size 8 --num_epochs 2 --lr 1e-4
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import queue
+import re
+import shutil
+import threading
+import time
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# dataset
+
+
+def read_jsonl_records(paths: Sequence[str]) -> List[Dict]:
+    records: List[Dict] = []
+    for path in paths:
+        with open(path, encoding="utf-8") as f:
+            for ln, line in enumerate(f):
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError as e:
+                    print(f"[train] {path}:{ln + 1}: bad json ({e}); skipped")
+                    continue
+                if "messages" not in rec:
+                    print(f"[train] {path}:{ln + 1}: no 'messages'; skipped")
+                    continue
+                records.append(rec)
+    return records
+
+
+def iter_epoch_batches(
+    records: List[Dict],
+    batch_size: int,
+    *,
+    epoch: int,
+    seed: int,
+    shuffle: bool = True,
+    bucket_window: int = 16,
+) -> Iterator[List[Dict]]:
+    """Shuffle → window-sort by speech_length → fixed-size batches.
+
+    Window sorting (bucket_window × batch_size records per window) keeps
+    batches duration-homogeneous — the same padding-waste control the
+    batch eval CLIs get from ``--sort_by_duration`` — while the shuffled
+    windows preserve stochasticity across epochs."""
+    order = np.arange(len(records))
+    if shuffle:
+        np.random.default_rng(seed + epoch).shuffle(order)
+    window = max(batch_size * bucket_window, batch_size)
+    for w0 in range(0, len(order), window):
+        idx = order[w0:w0 + window]
+        idx = sorted(
+            idx, key=lambda i: float(records[i].get("speech_length", 0) or 0)
+        )
+        for b0 in range(0, len(idx), batch_size):
+            chunk = [records[i] for i in idx[b0:b0 + batch_size]]
+            if chunk:
+                yield chunk
+
+
+def build_samples(model, batch_records: List[Dict]) -> List[Dict]:
+    """records → per-utterance data_load_speech outputs via the model's
+    OWN ChatML builder (audio paths load inside the span parser), so the
+    training layout is the inference layout by construction. Records
+    whose audio fails to load are skipped with a warning (the
+    reference's per-utterance failure-continue pattern)."""
+    samples = []
+    for rec in batch_records:
+        try:
+            contents = model.data_template(rec["messages"])
+            samples.append(model.data_load_speech(contents))
+        except Exception as e:  # noqa: BLE001 — per-utt resilience
+            print(f"[train] skip {rec.get('key', '?')}: {e}")
+    return samples
+
+
+def pad_batch_rows(batch: Dict[str, np.ndarray], to: int) -> Dict[str, np.ndarray]:
+    """Pad a collated batch to `to` rows so tail batches reuse the
+    full-size compiled step instead of recompiling. Dummy rows REPLICATE
+    row 0's speech/ids (never zero-length — an all-masked attention row
+    would softmax to NaN, and NaN·0 still poisons the masked loss) with
+    labels −100 everywhere, so they contribute zero loss."""
+    b = batch["speech"].shape[0]
+    if b >= to:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        pad = np.repeat(v[:1], to - b, axis=0)
+        if k == "labels":
+            pad = np.full_like(pad, -100)
+        out[k] = np.concatenate([v, pad], axis=0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# checkpointing
+
+
+def _opt_state_leaves(opt_state):
+    import jax
+
+    leaves, _ = jax.tree_util.tree_flatten(opt_state)
+    return leaves
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    model,
+    tparams: Dict,
+    fparams: Dict,
+    opt_state,
+    meta: Dict,
+) -> None:
+    os.makedirs(ckpt_dir, exist_ok=True)
+    merged = dict(fparams)
+    merged.update(tparams)
+    model.encoder_params = merged["audio_encoder"]
+    model.adaptor_params = merged["audio_adaptor"]
+    model.llm_params = merged["llm"]
+    model.save_pretrained(ckpt_dir)
+    leaves = [np.asarray(x) for x in _opt_state_leaves(opt_state)]
+    np.savez(os.path.join(ckpt_dir, "opt_state.npz"),
+             **{f"leaf_{i}": a for i, a in enumerate(leaves)})
+    with open(os.path.join(ckpt_dir, "train_meta.json"), "w") as f:
+        json.dump(dict(meta, opt_leaves=len(leaves)), f, indent=2)
+
+
+def load_opt_state(ckpt_dir: str, optimizer, tparams):
+    """Rebuild opt_state: fresh init for the treedef, saved leaves for
+    the values (same optimizer + same param structure → same treedef)."""
+    import jax
+
+    fresh = optimizer.init(tparams)
+    leaves, treedef = jax.tree_util.tree_flatten(fresh)
+    with np.load(os.path.join(ckpt_dir, "opt_state.npz")) as z:
+        saved = [z[f"leaf_{i}"] for i in range(len(z.files))]
+    if len(saved) != len(leaves):
+        raise ValueError(
+            f"checkpoint opt_state has {len(saved)} leaves, expected "
+            f"{len(leaves)} — optimizer config changed since the save?"
+        )
+    cast = [np.asarray(s, dtype=l.dtype).reshape(np.shape(l))
+            for s, l in zip(saved, leaves)]
+    return jax.tree_util.tree_unflatten(treedef, cast)
+
+
+def find_latest_checkpoint(output_dir: str) -> Optional[str]:
+    cands = []
+    for d in glob.glob(os.path.join(output_dir, "checkpoint-*")):
+        m = re.fullmatch(r"checkpoint-(\d+)", os.path.basename(d))
+        if m and os.path.exists(os.path.join(d, "train_meta.json")):
+            cands.append((int(m.group(1)), d))
+    return max(cands)[1] if cands else None
+
+
+def prune_checkpoints(output_dir: str, keep_last: int) -> None:
+    cands = []
+    for d in glob.glob(os.path.join(output_dir, "checkpoint-*")):
+        m = re.fullmatch(r"checkpoint-(\d+)", os.path.basename(d))
+        if m:
+            cands.append((int(m.group(1)), d))
+    for _, d in sorted(cands)[:-keep_last] if keep_last > 0 else []:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# driver
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--model_dir", required=True,
+                    help="init model dir (config.yaml + weights)")
+    ap.add_argument("--train_jsonl", required=True, nargs="+",
+                    help="nano-format chat JSONL file(s)")
+    ap.add_argument("--valid_jsonl", nargs="*", default=None)
+    ap.add_argument("--output_dir", required=True)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--num_epochs", type=int, default=1)
+    ap.add_argument("--max_steps", type=int, default=0,
+                    help="stop after N optimizer steps (0 = run epochs out)")
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--weight_decay", type=float, default=0.01)
+    ap.add_argument("--warmup_steps", type=int, default=0)
+    ap.add_argument("--schedule", choices=("constant", "cosine"),
+                    default="constant")
+    ap.add_argument("--clip_norm", type=float, default=0.0)
+    ap.add_argument("--grad_accum", type=int, default=1)
+    ap.add_argument("--trainable", default="audio_adaptor",
+                    help="comma list of audio_encoder,audio_adaptor,llm "
+                         "or 'all' (default mirrors the reference's "
+                         "shipped freezes: adaptor only)")
+    ap.add_argument("--dtype", default="float32",
+                    help="training dtype (float32 recommended)")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="data-parallel mesh size (0 = devices/tp)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel mesh size")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log_interval", type=int, default=10)
+    ap.add_argument("--save_interval", type=int, default=0,
+                    help="checkpoint every N steps (0 = end of epoch only)")
+    ap.add_argument("--eval_interval", type=int, default=0,
+                    help="validation pass every N steps (0 = per epoch)")
+    ap.add_argument("--keep_last", type=int, default=3)
+    ap.add_argument("--resume", default="",
+                    help="checkpoint dir, or 'auto' for latest in output_dir")
+    ap.add_argument("--bucket_window", type=int, default=16)
+    ap.add_argument("--frame_multiple", type=int, default=64)
+    ap.add_argument("--token_multiple", type=int, default=16)
+    ap.add_argument("--no_shuffle", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models.nano import FunASRNano
+    from ..parallel.mesh import (
+        adaptor_param_sharding,
+        encoder_param_sharding,
+        make_mesh,
+        qwen3_param_sharding,
+        shard_params,
+    )
+    from ..parallel import train as T
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    trainable = (
+        T.COMPONENTS if args.trainable == "all"
+        else tuple(s for s in args.trainable.split(",") if s)
+    )
+
+    resume_dir = args.resume
+    if resume_dir == "auto":
+        resume_dir = find_latest_checkpoint(args.output_dir) or ""
+    init_dir = resume_dir or args.model_dir
+    print(f"[train] loading {init_dir} (dtype={args.dtype}, "
+          f"trainable={','.join(trainable)})")
+    model, _kw = FunASRNano.from_pretrained(model=init_dir, dtype=args.dtype)
+    params = {
+        "audio_encoder": model.encoder_params,
+        "audio_adaptor": model.adaptor_params,
+        "llm": model.llm_params,
+    }
+    cfgs = T.NanoConfigs(model.encoder_cfg, model.adaptor_cfg, model.llm_cfg)
+
+    records = read_jsonl_records(args.train_jsonl)
+    if not records:
+        print("[train] no training records"); return 1
+    valid_records = (read_jsonl_records(args.valid_jsonl)
+                     if args.valid_jsonl else [])
+    steps_per_epoch = -(-len(records) // args.batch_size)
+    total_updates = (
+        args.max_steps or args.num_epochs * steps_per_epoch
+    ) // max(args.grad_accum, 1) or 1
+    print(f"[train] {len(records)} records, {steps_per_epoch} batches/epoch, "
+          f"{args.num_epochs} epochs")
+
+    optimizer = T.make_optimizer(
+        args.lr, args.weight_decay, warmup_steps=args.warmup_steps,
+        total_steps=total_updates, clip_norm=args.clip_norm or None,
+        schedule=args.schedule, grad_accum=args.grad_accum,
+    )
+    sched = T.lr_schedule(args.lr, warmup_steps=args.warmup_steps,
+                          total_steps=total_updates, schedule=args.schedule)
+
+    # mesh + shardings (single-device runs skip the mesh entirely)
+    n_dev = jax.device_count()
+    tp = max(args.tp, 1)
+    dp = args.dp or n_dev // tp
+    mesh = None
+    batch_sharding = None
+    if dp * tp > 1:
+        if dp * tp > n_dev:
+            raise SystemExit(
+                f"dp({dp})*tp({tp}) exceeds {n_dev} available devices"
+            )
+        mesh = make_mesh(dp=dp, tp=tp, devices=jax.devices()[: dp * tp])
+        specs = {
+            "audio_encoder": encoder_param_sharding(mesh),
+            "audio_adaptor": adaptor_param_sharding(mesh),
+            "llm": qwen3_param_sharding(mesh),
+        }
+        params = shard_params(mesh, params, specs)
+        batch_sharding = lambda v: jax.device_put(  # noqa: E731
+            v, NamedSharding(mesh, P("dp", *([None] * (v.ndim - 1))))
+        )
+        if args.batch_size % dp:
+            print(f"[train] batch_size {args.batch_size} not divisible by "
+                  f"dp {dp}; rounding up")
+            args.batch_size = -(-args.batch_size // dp) * dp
+        print(f"[train] mesh dp{dp}xtp{tp} over {n_dev} devices")
+
+    tparams, fparams = T.split_trainable(params, trainable)
+    opt_state = (load_opt_state(resume_dir, optimizer, tparams)
+                 if resume_dir else optimizer.init(tparams))
+    train_step = T.make_partitioned_train_step(cfgs, optimizer, trainable)
+    eval_step = T.make_eval_step(cfgs) if valid_records else None
+
+    gstep, start_epoch = 0, 0
+    if resume_dir:
+        with open(os.path.join(resume_dir, "train_meta.json")) as f:
+            meta = json.load(f)
+        gstep, start_epoch = meta.get("step", 0), meta.get("epoch", 0)
+        print(f"[train] resumed from {resume_dir} @ step {gstep}")
+
+    log_path = os.path.join(args.output_dir, "train_log.jsonl")
+    log_f = open(log_path, "a", encoding="utf-8")
+
+    def _prepare(batch_records):
+        samples = build_samples(model, batch_records)
+        if not samples:
+            return None
+        batch = T.collate_samples(
+            samples, frame_multiple=args.frame_multiple,
+            token_multiple=args.token_multiple,
+        )
+        batch = pad_batch_rows(batch, args.batch_size)
+        if batch_sharding is not None:
+            batch = {k: batch_sharding(v) for k, v in batch.items()}
+        return batch
+
+    def _producer(epoch, out_q):
+        try:
+            for batch_records in iter_epoch_batches(
+                records, args.batch_size, epoch=epoch, seed=args.seed,
+                shuffle=not args.no_shuffle, bucket_window=args.bucket_window,
+            ):
+                out_q.put(_prepare(batch_records))
+        except Exception as e:  # noqa: BLE001 — surface, don't hang
+            print(f"[train] producer failed: {e!r}")
+        finally:
+            out_q.put(_EPOCH_END)
+
+    def _run_eval(tag: str):
+        stats_sum: Dict[str, float] = {}
+        n = 0
+        for batch_records in iter_epoch_batches(
+            valid_records, args.batch_size, epoch=0, seed=0, shuffle=False,
+        ):
+            batch = _prepare(batch_records)
+            if batch is None:
+                continue
+            merged = dict(fparams); merged.update(tparams)
+            st = {k: float(v) for k, v in eval_step(merged, batch).items()}
+            w = st["batch_tokens"]
+            stats_sum["loss"] = stats_sum.get("loss", 0.0) + st["loss"] * w
+            stats_sum["acc"] = stats_sum.get("acc", 0.0) + st["acc"] * w
+            stats_sum["tokens"] = stats_sum.get("tokens", 0.0) + w
+            n += 1
+        if n:
+            tok = max(stats_sum["tokens"], 1.0)
+            line = {"event": "eval", "tag": tag, "step": gstep,
+                    "loss": stats_sum["loss"] / tok,
+                    "acc": stats_sum["acc"] / tok}
+            print(f"[train] eval@{gstep}: loss={line['loss']:.4f} "
+                  f"acc={line['acc']:.4f}")
+            log_f.write(json.dumps(line) + "\n"); log_f.flush()
+
+    _EPOCH_END = object()
+    t_start = time.perf_counter()
+    tokens_done = 0.0
+    stop = False
+    ckpt_meta = lambda ep: {  # noqa: E731
+        "step": gstep, "epoch": ep, "trainable": list(trainable),
+        "lr": args.lr, "schedule": args.schedule,
+        "grad_accum": args.grad_accum, "seed": args.seed,
+    }
+
+    cur_epoch = start_epoch
+    for epoch in range(start_epoch, args.num_epochs):
+        cur_epoch = epoch
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        th = threading.Thread(target=_producer, args=(epoch, q), daemon=True)
+        th.start()
+        while True:
+            batch = q.get()
+            if batch is _EPOCH_END:
+                break
+            if batch is None:
+                continue
+            tparams, opt_state, stats = train_step(
+                tparams, fparams, opt_state, batch
+            )
+            gstep += 1
+            tokens_done += float(stats["batch_tokens"])
+            if gstep % args.log_interval == 0 or gstep == 1:
+                st = {k: float(v) for k, v in stats.items()}
+                lr_now = float(sched(min(gstep // max(args.grad_accum, 1),
+                                         total_updates)))
+                dt = time.perf_counter() - t_start
+                line = {"event": "train", "step": gstep, "epoch": epoch,
+                        "lr": lr_now, "tokens_per_s": tokens_done / dt,
+                        **st}
+                print(f"[train] step {gstep} epoch {epoch} "
+                      f"loss={st['loss']:.4f} acc={st['acc']:.4f} "
+                      f"lr={lr_now:.2e} tok/s={tokens_done / dt:.0f}")
+                log_f.write(json.dumps(line) + "\n"); log_f.flush()
+            if args.save_interval and gstep % args.save_interval == 0:
+                d = os.path.join(args.output_dir, f"checkpoint-{gstep}")
+                save_checkpoint(d, model, tparams, fparams, opt_state,
+                                ckpt_meta(epoch))
+                prune_checkpoints(args.output_dir, args.keep_last)
+                print(f"[train] saved {d}")
+            if eval_step and args.eval_interval and \
+                    gstep % args.eval_interval == 0:
+                _run_eval("interval")
+            if args.max_steps and gstep >= args.max_steps:
+                stop = True
+                break
+        th.join(timeout=5.0)
+        if not stop:
+            d = os.path.join(args.output_dir, f"checkpoint-{gstep}")
+            save_checkpoint(d, model, tparams, fparams, opt_state,
+                            ckpt_meta(epoch + 1))
+            prune_checkpoints(args.output_dir, args.keep_last)
+            print(f"[train] epoch {epoch} done; saved {d}")
+            if eval_step:
+                _run_eval(f"epoch{epoch}")
+        if stop:
+            break
+    if stop:
+        # stopped mid-epoch: record the CURRENT epoch so a resume replays
+        # it (interval-save semantics), not num_epochs (which would read
+        # as "training finished")
+        d = os.path.join(args.output_dir, f"checkpoint-{gstep}")
+        save_checkpoint(d, model, tparams, fparams, opt_state,
+                        ckpt_meta(cur_epoch))
+        prune_checkpoints(args.output_dir, args.keep_last)
+        print(f"[train] max_steps reached; saved {d}")
+        if eval_step:
+            _run_eval("final")
+    log_f.close()
+    # final export at output_dir root (the dir a user hands to
+    # from_pretrained / the eval CLIs)
+    merged = dict(fparams); merged.update(tparams)
+    model.encoder_params = merged["audio_encoder"]
+    model.adaptor_params = merged["audio_adaptor"]
+    model.llm_params = merged["llm"]
+    model.save_pretrained(os.path.join(args.output_dir, "final"))
+    print(f"[train] final model at {os.path.join(args.output_dir, 'final')}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -119,8 +119,150 @@ def nano_loss(
     return loss, stats
 
 
-def make_optimizer(lr: float = 1e-4, weight_decay: float = 0.01):
-    return optax.adamw(lr, weight_decay=weight_decay)
+def make_optimizer(
+    lr: float = 1e-4,
+    weight_decay: float = 0.01,
+    *,
+    warmup_steps: int = 0,
+    total_steps: Optional[int] = None,
+    clip_norm: Optional[float] = None,
+    schedule: str = "constant",
+    grad_accum: int = 1,
+):
+    """AdamW with optional warmup/cosine schedule, global-norm clipping
+    and gradient accumulation (optax.MultiSteps).
+
+    Returns ``(optimizer, lr_fn)`` when a schedule is in play would break
+    existing callers — so it returns just the optimizer; use
+    :func:`lr_schedule` to rebuild the schedule for logging."""
+    sched = lr_schedule(lr, warmup_steps=warmup_steps,
+                        total_steps=total_steps, schedule=schedule)
+    tx = optax.adamw(sched, weight_decay=weight_decay)
+    if clip_norm:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
+
+
+def lr_schedule(
+    lr: float,
+    *,
+    warmup_steps: int = 0,
+    total_steps: Optional[int] = None,
+    schedule: str = "constant",
+):
+    """Learning-rate schedule factory shared by the optimizer and the
+    trainer's logging. ``constant`` (with optional linear warmup) or
+    ``cosine`` (warmup → cosine decay to 0 over total_steps)."""
+    if schedule == "cosine":
+        if not total_steps:
+            raise ValueError("cosine schedule requires total_steps")
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr,
+            warmup_steps=max(warmup_steps, 1),
+            decay_steps=total_steps,
+        )
+    if schedule != "constant":
+        raise ValueError(f"unknown schedule {schedule!r}")
+    if warmup_steps:
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup_steps),
+             optax.constant_schedule(lr)],
+            [warmup_steps],
+        )
+    return optax.constant_schedule(lr)
+
+
+#: top-level trainable components of the FunASRNano param tree
+COMPONENTS = ("audio_encoder", "audio_adaptor", "llm")
+
+
+def split_trainable(params: Dict, trainable) -> Tuple[Dict, Dict]:
+    """Split the nano param tree into (trainable, frozen) sub-dicts by
+    component name (reference model.py:60-66, 77-81, 120-124 freeze
+    flags: encoder/llm frozen, adaptor trainable is the shipped config)."""
+    trainable = set(trainable)
+    unknown = trainable - set(COMPONENTS)
+    if unknown:
+        raise ValueError(f"unknown trainable components {sorted(unknown)}")
+    tparams = {k: v for k, v in params.items() if k in trainable}
+    fparams = {k: v for k, v in params.items() if k not in trainable}
+    if not tparams:
+        raise ValueError("nothing to train: trainable is empty")
+    return tparams, fparams
+
+
+def make_partitioned_train_step(cfgs: NanoConfigs, optimizer, trainable):
+    """Freeze-aware pjit update: gradients (and optimizer state) only for
+    `trainable` components; frozen components enter the loss as
+    constants, so JAX's AD never builds their backward pass (a frozen
+    encoder costs zero backward FLOPs — the analogue of the reference's
+    requires_grad=False freezes, reference model.py:60-66/77-81)."""
+
+    @partial(jax.jit, donate_argnums=(0, 2))
+    def train_step(tparams, fparams, opt_state, batch):
+        def loss_fn(tp):
+            p = dict(fparams)
+            p.update(tp)
+            return nano_loss(p, cfgs, batch)
+
+        (loss, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(tparams)
+        updates, opt_state = optimizer.update(grads, opt_state, tparams)
+        tparams = optax.apply_updates(tparams, updates)
+        return tparams, opt_state, stats
+
+    return train_step
+
+
+def make_eval_step(cfgs: NanoConfigs):
+    """Jitted loss/stats only (validation pass)."""
+
+    @jax.jit
+    def eval_step(params, batch):
+        _loss, stats = nano_loss(params, cfgs, batch)
+        return stats
+
+    return eval_step
+
+
+def collate_samples(
+    samples,
+    *,
+    frame_multiple: int = 1,
+    token_multiple: int = 1,
+) -> Dict[str, np.ndarray]:
+    """Pad per-utterance `data_load_speech` outputs into one train batch.
+
+    Shapes round up to `frame_multiple` / `token_multiple` so an epoch
+    compiles a bounded set of step programs (XLA static shapes — the
+    bucketing that replaces torch's dynamic batching)."""
+    b = len(samples)
+    l = max(len(s["input_ids"]) for s in samples)
+    l = -(-l // token_multiple) * token_multiple
+    f = max(s["speech"].shape[1] for s in samples)
+    f = -(-f // frame_multiple) * frame_multiple
+    d = samples[0]["speech"].shape[2]
+    batch = {
+        "speech": np.zeros((b, f, d), np.float32),
+        "speech_lengths": np.zeros((b,), np.int32),
+        "input_ids": np.zeros((b, l), np.int32),
+        "labels": np.full((b, l), -100, np.int32),
+        "fbank_beg": np.zeros((b,), np.int32),
+        "attention_lengths": np.zeros((b,), np.int32),
+    }
+    for j, s in enumerate(samples):
+        sl = int(s["speech_lengths"][0])
+        batch["speech"][j, :sl] = np.asarray(s["speech"])[0, :sl]
+        batch["speech_lengths"][j] = sl
+        n = len(s["input_ids"])
+        batch["input_ids"][j, :n] = s["input_ids"]
+        batch["labels"][j, :n] = s["labels_ids"]
+        batch["fbank_beg"][j] = s["fbank_beg"][0]
+        batch["attention_lengths"][j] = n
+    return batch
 
 
 def make_train_step(cfgs: NanoConfigs, optimizer):
