@@ -146,14 +146,24 @@ def save_checkpoint(
     fparams: Dict,
     opt_state,
     meta: Dict,
+    lora_info: Optional[Dict] = None,
 ) -> None:
+    """Checkpoints store BASE weights; a LoRA run saves its adapter as a
+    sidecar (lora.safetensors) so resume keeps base + adapter separate
+    while from_pretrained on the dir auto-merges for inference."""
     os.makedirs(ckpt_dir, exist_ok=True)
     merged = dict(fparams)
     merged.update(tparams)
+    lora_tree = merged.pop("llm_lora", None)
     model.encoder_params = merged["audio_encoder"]
     model.adaptor_params = merged["audio_adaptor"]
     model.llm_params = merged["llm"]
     model.save_pretrained(ckpt_dir)
+    if lora_tree is not None:
+        from ..parallel import lora as L
+
+        L.save_lora(ckpt_dir, lora_tree, rank=lora_info["rank"],
+                    alpha=lora_info["alpha"], targets=lora_info["targets"])
     leaves = [np.asarray(x) for x in _opt_state_leaves(opt_state)]
     np.savez(os.path.join(ckpt_dir, "opt_state.npz"),
              **{f"leaf_{i}": a for i, a in enumerate(leaves)})
@@ -226,6 +236,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                     help="comma list of audio_encoder,audio_adaptor,llm "
                          "or 'all' (default mirrors the reference's "
                          "shipped freezes: adaptor only)")
+    ap.add_argument("--lora_rank", type=int, default=0,
+                    help="LoRA-finetune the frozen LLM at this rank "
+                         "(the reference's use_lora/lora_conf, "
+                         "model.py:83-102); 0 = off")
+    ap.add_argument("--lora_alpha", type=float, default=16.0)
+    ap.add_argument("--lora_targets", default="wqkv,wo",
+                    help="stacked projection leaves to adapt "
+                         "(wqkv,wo,w_gateup,w_down)")
     ap.add_argument("--dtype", default="float32",
                     help="training dtype (float32 recommended)")
     ap.add_argument("--dp", type=int, default=0,
@@ -266,19 +284,52 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         else tuple(s for s in args.trainable.split(",") if s)
     )
 
+    lora_on = args.lora_rank > 0
+    if lora_on and "llm" in trainable:
+        raise SystemExit("--lora_rank adapts the FROZEN llm; drop 'llm' "
+                         "from --trainable (reference freezes the LLM and "
+                         "trains only adapters, model.py:77-102)")
+
     resume_dir = args.resume
     if resume_dir == "auto":
         resume_dir = find_latest_checkpoint(args.output_dir) or ""
     init_dir = resume_dir or args.model_dir
     print(f"[train] loading {init_dir} (dtype={args.dtype}, "
-          f"trainable={','.join(trainable)})")
-    model, _kw = FunASRNano.from_pretrained(model=init_dir, dtype=args.dtype)
+          f"trainable={','.join(trainable)}"
+          + (f", lora r={args.lora_rank}" if lora_on else "") + ")")
+    model, _kw = FunASRNano.from_pretrained(
+        model=init_dir, dtype=args.dtype, apply_lora=not lora_on,
+    )
     params = {
         "audio_encoder": model.encoder_params,
         "audio_adaptor": model.adaptor_params,
         "llm": model.llm_params,
     }
     cfgs = T.NanoConfigs(model.encoder_cfg, model.adaptor_cfg, model.llm_cfg)
+
+    param_transform = None
+    lora_info = None
+    if lora_on:
+        from ..parallel import lora as L
+
+        lora_targets = tuple(s for s in args.lora_targets.split(",") if s)
+        scale = L.lora_scale(args.lora_rank, args.lora_alpha)
+        lora_info = dict(rank=args.lora_rank, alpha=args.lora_alpha,
+                         targets=lora_targets, scale=scale)
+        resumed_adapter = L.load_lora(resume_dir) if resume_dir else None
+        if resumed_adapter is not None:
+            params["llm_lora"] = resumed_adapter[0]
+        else:
+            params["llm_lora"] = L.init_lora_params(
+                params["llm"], lora_targets, args.lora_rank,
+                jax.random.PRNGKey(args.seed),
+            )
+        trainable = tuple(trainable) + ("llm_lora",)
+
+        def param_transform(p):
+            p = dict(p)
+            p["llm"] = L.apply_lora(p["llm"], p.pop("llm_lora"), scale)
+            return p
 
     records = read_jsonl_records(args.train_jsonl)
     if not records:
@@ -317,6 +368,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             "audio_adaptor": adaptor_param_sharding(mesh),
             "llm": qwen3_param_sharding(mesh),
         }
+        if "llm_lora" in params:
+            from ..parallel.mesh import lora_param_sharding
+
+            specs["llm_lora"] = lora_param_sharding(params["llm_lora"])
         params = shard_params(mesh, params, specs)
         batch_sharding = lambda v: jax.device_put(  # noqa: E731
             v, NamedSharding(mesh, P("dp", *([None] * (v.ndim - 1))))
@@ -330,7 +385,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     tparams, fparams = T.split_trainable(params, trainable)
     opt_state = (load_opt_state(resume_dir, optimizer, tparams)
                  if resume_dir else optimizer.init(tparams))
-    train_step = T.make_partitioned_train_step(cfgs, optimizer, trainable)
+    train_step = T.make_partitioned_train_step(
+        cfgs, optimizer, trainable, param_transform=param_transform
+    )
     eval_step = T.make_eval_step(cfgs) if valid_records else None
 
     gstep, start_epoch = 0, 0
@@ -378,6 +435,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             if batch is None:
                 continue
             merged = dict(fparams); merged.update(tparams)
+            if param_transform is not None:
+                merged = param_transform(merged)
             st = {k: float(v) for k, v in eval_step(merged, batch).items()}
             w = st["batch_tokens"]
             stats_sum["loss"] = stats_sum.get("loss", 0.0) + st["loss"] * w
@@ -435,7 +494,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             if args.save_interval and gstep % args.save_interval == 0:
                 d = os.path.join(args.output_dir, f"checkpoint-{gstep}")
                 save_checkpoint(d, model, tparams, fparams, opt_state,
-                                ckpt_meta(epoch))
+                                ckpt_meta(epoch), lora_info)
                 prune_checkpoints(args.output_dir, args.keep_last)
                 print(f"[train] saved {d}")
             if eval_step and args.eval_interval and \
@@ -448,7 +507,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if not stop:
             d = os.path.join(args.output_dir, f"checkpoint-{gstep}")
             save_checkpoint(d, model, tparams, fparams, opt_state,
-                            ckpt_meta(epoch + 1))
+                            ckpt_meta(epoch + 1), lora_info)
             prune_checkpoints(args.output_dir, args.keep_last)
             print(f"[train] epoch {epoch} done; saved {d}")
             if eval_step:
@@ -461,15 +520,24 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         # as "training finished")
         d = os.path.join(args.output_dir, f"checkpoint-{gstep}")
         save_checkpoint(d, model, tparams, fparams, opt_state,
-                        ckpt_meta(cur_epoch))
+                        ckpt_meta(cur_epoch), lora_info)
         prune_checkpoints(args.output_dir, args.keep_last)
         print(f"[train] max_steps reached; saved {d}")
         if eval_step:
             _run_eval("final")
     log_f.close()
     # final export at output_dir root (the dir a user hands to
-    # from_pretrained / the eval CLIs)
+    # from_pretrained / the eval CLIs); a LoRA run exports MERGED weights
+    # plus a portable standalone adapter dir
     merged = dict(fparams); merged.update(tparams)
+    if param_transform is not None:
+        adapter_tree = merged["llm_lora"]
+        merged = param_transform(merged)
+        from ..parallel import lora as L
+
+        L.save_lora(os.path.join(args.output_dir, "adapter"), adapter_tree,
+                    rank=lora_info["rank"], alpha=lora_info["alpha"],
+                    targets=lora_info["targets"])
     model.encoder_params = merged["audio_encoder"]
     model.adaptor_params = merged["audio_adaptor"]
     model.llm_params = merged["llm"]

@@ -588,7 +588,7 @@ class FunASRNano:
     @staticmethod
     def from_pretrained(
         model: str = None, device: str = None, dtype: str = "bfloat16",
-        **kwargs,
+        apply_lora: bool = True, **kwargs,
     ) -> Tuple["FunASRNano", Dict]:
         """Build from a model dir (config.yaml [+ model.safetensors]).
 
@@ -636,6 +636,10 @@ class FunASRNano:
             enc_params, ad_params, llm_params = nano_from_funasr(
                 model, enc_cfg, ad_cfg, llm_cfg, dtype=jdtype
             )
+            if apply_lora:
+                from ..parallel.lora import maybe_merge_lora_dir
+
+                llm_params = maybe_merge_lora_dir(model, llm_params)
             if on_tpu and llm_cfg.head_dim % 128 == 0 and not llm_cfg.use_flash:
                 import dataclasses as _dc
 
@@ -694,6 +698,15 @@ class FunASRNano:
                 dtype=jdtype,
             )
             ad_params = adaptor_mod.init_params(ad_cfg, jax.random.PRNGKey(2))
+
+        if apply_lora:
+            # a lora.safetensors adapter beside the weights folds in at
+            # load (the reference's PeftModel.from_pretrained analogue,
+            # model.py:91-98); cli/train.py resumes pass apply_lora=False
+            # to keep base + adapter separate
+            from ..parallel.lora import maybe_merge_lora_dir
+
+            llm_params = maybe_merge_lora_dir(model, llm_params)
 
         if on_tpu and llm_cfg.head_dim % 128 == 0 and not llm_cfg.use_flash:
             import dataclasses as _dc

@@ -113,3 +113,26 @@ def spec_tree_like(params: Dict, specs: Dict):
     if isinstance(params, dict):
         return {k: spec_tree_like(v, specs[k]) for k, v in params.items()}
     return specs
+
+
+def lora_param_sharding(lora_params: Dict) -> Dict:
+    """PartitionSpecs for a LoRA adapter tree (parallel/lora.py layout
+    {"layers": {"<t>_lora_A": [L,in,r], "<t>_lora_B": [L,r,out]}}).
+
+    Follows the base weight's Megatron axis so the in-graph merge
+    W + A@B adds like-sharded tensors: column-parallel targets
+    (wqkv/w_gateup, out over tp) shard B's out dim; row-parallel targets
+    (wo/w_down, in over tp) shard A's in dim; everything else replicates
+    (rank dims are tiny)."""
+    col = {"wqkv", "w_gateup"}
+    row = {"wo", "w_down"}
+    layers = {}
+    for name in lora_params["layers"]:
+        t = name.rsplit("_lora_", 1)[0]
+        if name.endswith("_lora_A") and t in row:
+            layers[name] = P(None, "tp", None)
+        elif name.endswith("_lora_B") and t in col:
+            layers[name] = P(None, None, "tp")
+        else:
+            layers[name] = P(None, None, None)
+    return {"layers": layers}

@@ -183,7 +183,7 @@ def split_trainable(params: Dict, trainable) -> Tuple[Dict, Dict]:
     component name (reference model.py:60-66, 77-81, 120-124 freeze
     flags: encoder/llm frozen, adaptor trainable is the shipped config)."""
     trainable = set(trainable)
-    unknown = trainable - set(COMPONENTS)
+    unknown = trainable - set(params)
     if unknown:
         raise ValueError(f"unknown trainable components {sorted(unknown)}")
     tparams = {k: v for k, v in params.items() if k in trainable}
@@ -193,18 +193,26 @@ def split_trainable(params: Dict, trainable) -> Tuple[Dict, Dict]:
     return tparams, fparams
 
 
-def make_partitioned_train_step(cfgs: NanoConfigs, optimizer, trainable):
+def make_partitioned_train_step(
+    cfgs: NanoConfigs, optimizer, trainable, param_transform=None
+):
     """Freeze-aware pjit update: gradients (and optimizer state) only for
     `trainable` components; frozen components enter the loss as
     constants, so JAX's AD never builds their backward pass (a frozen
     encoder costs zero backward FLOPs — the analogue of the reference's
-    requires_grad=False freezes, reference model.py:60-66/77-81)."""
+    requires_grad=False freezes, reference model.py:60-66/77-81).
+
+    `param_transform(merged) -> merged` runs inside the jit before the
+    loss — the hook LoRA uses to fold adapters into the frozen LLM
+    (parallel/lora.py), keeping gradients rank-r."""
 
     @partial(jax.jit, donate_argnums=(0, 2))
     def train_step(tparams, fparams, opt_state, batch):
         def loss_fn(tp):
             p = dict(fparams)
             p.update(tp)
+            if param_transform is not None:
+                p = param_transform(p)
             return nano_loss(p, cfgs, batch)
 
         (loss, stats), grads = jax.value_and_grad(

@@ -170,3 +170,80 @@ def test_mesh_train_run(corpus):
     assert rc == 0
     lines = [l for l in _logged(out) if l["event"] == "train"]
     assert lines and np.isfinite(lines[-1]["loss"])
+
+
+def test_lora_training(corpus):
+    """--lora_rank: base LLM bit-frozen, adapter trains as a sidecar,
+    checkpoint auto-merges at load, final export == base + scale·A@B."""
+    import jax
+
+    model_dir, jsonl, root = corpus
+    base, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
+    out = os.path.join(root, "exp_lora")
+    rc = train_cli.main([
+        "--model_dir", model_dir, "--train_jsonl", jsonl,
+        "--output_dir", out, "--batch_size", "2", "--max_steps", "6",
+        "--num_epochs", "9", "--lr", "1e-2", "--lora_rank", "4",
+        "--lora_alpha", "8", "--trainable", "audio_adaptor",
+        "--save_interval", "3", "--dp", "1", "--log_interval", "1",
+    ])
+    assert rc == 0
+    ck = train_cli.find_latest_checkpoint(out)
+    assert os.path.exists(os.path.join(ck, "lora.safetensors"))
+
+    # checkpoint stores the UNtouched base LLM
+    raw, _ = FunASRNano.from_pretrained(model=ck, dtype="float32",
+                                        apply_lora=False)
+    same = jax.tree.map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+        base.llm_params, raw.llm_params)
+    assert all(jax.tree.leaves(same)), "base llm moved under LoRA"
+
+    # auto-merge at load == eager apply_lora == final export
+    from fun_asr_vllm_tpu.parallel import lora as L
+    auto, _ = FunASRNano.from_pretrained(model=ck, dtype="float32")
+    tree, meta = L.load_lora(ck)
+    want = L.apply_lora(raw.llm_params, tree,
+                        L.lora_scale(meta["rank"], meta["alpha"]))
+    ok = jax.tree.map(
+        lambda a, b: bool(np.allclose(np.asarray(a), np.asarray(b))),
+        auto.llm_params, want)
+    assert all(jax.tree.leaves(ok))
+    diff = jax.tree.map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+        auto.llm_params["layers"]["wqkv"], raw.llm_params["layers"]["wqkv"])
+    assert not all(jax.tree.leaves(diff)), "adapter never moved the weights"
+    assert os.path.isdir(os.path.join(out, "adapter"))
+
+    # resume continues from the adapter sidecar
+    rc = train_cli.main([
+        "--model_dir", model_dir, "--train_jsonl", jsonl,
+        "--output_dir", out, "--batch_size", "2", "--max_steps", "8",
+        "--num_epochs", "9", "--lr", "1e-2", "--lora_rank", "4",
+        "--lora_alpha", "8", "--trainable", "audio_adaptor",
+        "--resume", "auto", "--dp", "1",
+    ])
+    assert rc == 0
+    with open(os.path.join(train_cli.find_latest_checkpoint(out),
+                           "train_meta.json")) as f:
+        assert json.load(f)["step"] == 8
+
+
+def test_lora_delta_zero_init():
+    """PEFT-convention init (B = 0): the merged model IS the base model."""
+    import jax
+    import jax.numpy as jnp
+    from fun_asr_vllm_tpu.models import qwen3
+    from fun_asr_vllm_tpu.parallel import lora as L
+
+    cfg = qwen3.Qwen3Config(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        intermediate_size=48, dtype=jnp.float32)
+    p = qwen3.init_params(cfg, jax.random.PRNGKey(0))
+    adapters = L.init_lora_params(p, ("wqkv", "wo"), 4, jax.random.PRNGKey(1))
+    merged = L.apply_lora(p, adapters, L.lora_scale(4, 8))
+    ok = jax.tree.map(
+        lambda a, b: bool(np.allclose(np.asarray(a), np.asarray(b))),
+        p, merged)
+    assert all(jax.tree.leaves(ok))
