@@ -246,6 +246,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                          "(wqkv,wo,w_gateup,w_down)")
     ap.add_argument("--dtype", default="float32",
                     help="training dtype (float32 recommended)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize encoder/LLM layers in backward "
+                         "(activation checkpointing — the reference's "
+                         "activation_checkpoint flag, model.py:104-105)")
     ap.add_argument("--dp", type=int, default=0,
                     help="data-parallel mesh size (0 = devices/tp)")
     ap.add_argument("--tp", type=int, default=1,
@@ -305,7 +309,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         "audio_adaptor": model.adaptor_params,
         "llm": model.llm_params,
     }
-    cfgs = T.NanoConfigs(model.encoder_cfg, model.adaptor_cfg, model.llm_cfg)
+    enc_cfg, llm_cfg = model.encoder_cfg, model.llm_cfg
+    if args.remat:
+        import dataclasses as _dc
+
+        enc_cfg = _dc.replace(enc_cfg, remat=True)
+        llm_cfg = _dc.replace(llm_cfg, remat=True)
+    cfgs = T.NanoConfigs(enc_cfg, model.adaptor_cfg, llm_cfg)
 
     param_transform = None
     lora_info = None

@@ -59,6 +59,7 @@ class SANMEncoderConfig:
     sanm_shift: int = 0
     dropout_rate: float = 0.1  # unused at inference; kept for config parity
     use_flash: bool = False  # Pallas flash attention (TPU, lane-aligned dims)
+    remat: bool = False  # rematerialize layers in backward (training)
     dtype: Any = jnp.bfloat16
 
     @classmethod
@@ -308,6 +309,8 @@ def encode_packed(
             None,
         )
 
+    if cfg.remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["layers"])
     x = layer_norm(x, params["after_norm_scale"], params["after_norm_bias"])
     if cfg.tp_blocks > 0:
@@ -347,6 +350,8 @@ def encode(
     def body(carry, lp):
         return _encoder_layer(lp, cfg, carry, mask, speech_lengths), None
 
+    if cfg.remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["layers"])
     x = layer_norm(x, params["after_norm_scale"], params["after_norm_bias"])
     if cfg.tp_blocks > 0:

@@ -45,6 +45,9 @@ class Qwen3Config:
     tie_word_embeddings: bool = True
     max_position_embeddings: int = 40960
     use_flash: bool = False  # Pallas flash attention for prefill (TPU)
+    remat: bool = False  # rematerialize each layer in backward (training
+    # memory <-> FLOPs trade; the reference's activation_checkpoint,
+    # model.py:104-105)
     dtype: Any = jnp.bfloat16
 
     # tokens the reference decodes with (ChatML; reference infer.py:395-396)
@@ -263,6 +266,8 @@ def forward_hidden(
         x = x + _layer_mlp(lp, h)
         return x, (k, v) if return_kv else None
 
+    if cfg.remat:
+        body = jax.checkpoint(body)
     x, kvs = jax.lax.scan(body, inputs_embeds, params["layers"])
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     return x, kvs

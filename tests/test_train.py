@@ -179,3 +179,28 @@ class TestTrainToServe:
             assert o.outputs[0].token_ids == want, (
                 i, o.outputs[0].token_ids, want
             )
+
+
+def test_remat_grads_identical(setup):
+    """remat=True (the reference's activation_checkpoint analogue) must
+    change memory, not math: loss and every gradient leaf match the
+    non-remat step."""
+    import dataclasses as dc
+
+    cfgs, params = setup
+    batch = {k: jnp.asarray(v) for k, v in
+             make_synthetic_batch(cfgs, batch=2, frames=24, seq_len=16).items()}
+    cfgs_r = NanoConfigs(
+        dc.replace(cfgs.encoder, remat=True),
+        cfgs.adaptor,
+        dc.replace(cfgs.llm, remat=True),
+    )
+    (l0, _), g0 = jax.value_and_grad(
+        lambda p: nano_loss(p, cfgs, batch), has_aux=True)(params)
+    (l1, _), g1 = jax.value_and_grad(
+        lambda p: nano_loss(p, cfgs_r, batch), has_aux=True)(params)
+    assert np.allclose(float(l0), float(l1), rtol=1e-6)
+    ok = jax.tree.map(
+        lambda a, b: bool(np.allclose(np.asarray(a), np.asarray(b),
+                                      rtol=1e-5, atol=1e-6)), g0, g1)
+    assert all(jax.tree.leaves(ok))
