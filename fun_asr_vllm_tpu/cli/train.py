@@ -267,9 +267,44 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("--frame_multiple", type=int, default=64)
     ap.add_argument("--token_multiple", type=int, default=16)
     ap.add_argument("--no_shuffle", action="store_true")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host data-parallel training via "
+                         "jax.distributed (one process per host; dp "
+                         "spans all hosts' devices over ICI/DCN)")
+    ap.add_argument("--coordinator", default="127.0.0.1:9911")
+    ap.add_argument("--num_processes", type=int, default=1)
+    ap.add_argument("--process_id", type=int, default=0)
+    ap.add_argument("--max_frames", type=int, default=0,
+                    help="pinned GLOBAL fbank-frame shape (required with "
+                         "--distributed: per-host shape maxima would "
+                         "diverge; overlong records are skipped)")
+    ap.add_argument("--max_seq", type=int, default=0,
+                    help="pinned GLOBAL token-length shape (required "
+                         "with --distributed)")
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.distributed:
+        # CPU processes federate via gloo (the 2-process CI path); TPU
+        # hosts use native ICI/DCN and ignore the setting (same recipe
+        # as cli/infer_kaldidata.py --distributed)
+        plat = str(jax.config.jax_platforms
+                   or os.environ.get("JAX_PLATFORMS", ""))
+        if "cpu" in plat:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        if not (args.max_frames and args.max_seq):
+            raise SystemExit(
+                "--distributed needs pinned global shapes: pass "
+                "--max_frames and --max_seq (every host must compile the "
+                "same static-shape step; per-host batch maxima diverge)"
+            )
+
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..models.nano import FunASRNano
@@ -407,16 +442,78 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         gstep, start_epoch = meta.get("step", 0), meta.get("epoch", 0)
         print(f"[train] resumed from {resume_dir} @ step {gstep}")
 
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    is_main = pid == 0
+    if args.distributed and eval_step is not None:
+        print("[train] validation is disabled under --distributed")
+        eval_step = None
     log_path = os.path.join(args.output_dir, "train_log.jsonl")
-    log_f = open(log_path, "a", encoding="utf-8")
+    log_f = open(log_path if is_main else os.devnull, "a", encoding="utf-8")
+
+    rows_local = args.batch_size
+    if args.distributed:
+        if mesh is None:
+            raise SystemExit("--distributed needs a >1-device mesh")
+        if args.batch_size % nproc:
+            args.batch_size = -(-args.batch_size // nproc) * nproc
+        rows_local = args.batch_size // nproc
+    frames_to = args.max_frames or None
+    tokens_to = args.max_seq or None
 
     def _prepare(batch_records):
+        if args.distributed:
+            # deterministic global order → every host takes its own
+            # contiguous dp slice and loads ONLY that audio; the global
+            # array is assembled from per-process shards
+            batch_records = batch_records[pid * rows_local:
+                                          (pid + 1) * rows_local]
         samples = build_samples(model, batch_records)
+        if frames_to or tokens_to:
+            kept = []
+            for s in samples:
+                if tokens_to and len(s["input_ids"]) > tokens_to:
+                    print(f"[train] skip over-long sample "
+                          f"({len(s['input_ids'])} tok > {tokens_to})")
+                elif frames_to and s["speech"].shape[1] > frames_to:
+                    print(f"[train] skip over-long sample "
+                          f"({s['speech'].shape[1]} frames > {frames_to})")
+                else:
+                    kept.append(s)
+            samples = kept
         if not samples:
-            return None
+            if not args.distributed:
+                return None
+            # a host can't sit a round out — feed a fully-masked dummy
+            samples = None
+        if args.distributed:
+            if samples is None:
+                dummy = {
+                    "speech": np.zeros((1, 8, cfgs.encoder.input_size),
+                                       np.float32),
+                    "speech_lengths": np.asarray([8], np.int32),
+                    "input_ids": [2, 2, 2, 2],
+                    "labels_ids": [-100, -100, -100, -100],
+                    "fbank_beg": np.asarray([1], np.int32),
+                }
+                samples = [dummy]
+            local = T.collate_samples(
+                samples, frame_multiple=args.frame_multiple,
+                token_multiple=args.token_multiple,
+                frames_to=frames_to, tokens_to=tokens_to,
+            )
+            local = pad_batch_rows(local, rows_local)
+            return {
+                k: jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, P("dp", *([None] * (v.ndim - 1)))),
+                    v,
+                )
+                for k, v in local.items()
+            }
         batch = T.collate_samples(
             samples, frame_multiple=args.frame_multiple,
             token_multiple=args.token_multiple,
+            frames_to=frames_to, tokens_to=tokens_to,
         )
         batch = pad_batch_rows(batch, args.batch_size)
         if batch_sharding is not None:
@@ -501,7 +598,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                       f"loss={st['loss']:.4f} acc={st['acc']:.4f} "
                       f"lr={lr_now:.2e} tok/s={tokens_done / dt:.0f}")
                 log_f.write(json.dumps(line) + "\n"); log_f.flush()
-            if args.save_interval and gstep % args.save_interval == 0:
+            if args.save_interval and gstep % args.save_interval == 0 \
+                    and is_main:
                 d = os.path.join(args.output_dir, f"checkpoint-{gstep}")
                 save_checkpoint(d, model, tparams, fparams, opt_state,
                                 ckpt_meta(epoch), lora_info)
@@ -514,7 +612,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 stop = True
                 break
         th.join(timeout=5.0)
-        if not stop:
+        if not stop and is_main:
             d = os.path.join(args.output_dir, f"checkpoint-{gstep}")
             save_checkpoint(d, model, tparams, fparams, opt_state,
                             ckpt_meta(epoch + 1), lora_info)
@@ -524,7 +622,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                 _run_eval(f"epoch{epoch}")
         if stop:
             break
-    if stop:
+    if stop and is_main:
         # stopped mid-epoch: record the CURRENT epoch so a resume replays
         # it (interval-save semantics), not num_epochs (which would read
         # as "training finished")
@@ -539,6 +637,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     # final export at output_dir root (the dir a user hands to
     # from_pretrained / the eval CLIs); a LoRA run exports MERGED weights
     # plus a portable standalone adapter dir
+    if args.distributed and not is_main:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("train_done")
+        return 0
     merged = dict(fparams); merged.update(tparams)
     if param_transform is not None:
         adapter_tree = merged["llm_lora"]
@@ -553,6 +656,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     model.llm_params = merged["llm"]
     model.save_pretrained(os.path.join(args.output_dir, "final"))
     print(f"[train] final model at {os.path.join(args.output_dir, 'final')}")
+    if args.distributed:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("train_done")
     return 0
 
 

@@ -241,17 +241,30 @@ def collate_samples(
     *,
     frame_multiple: int = 1,
     token_multiple: int = 1,
+    frames_to: Optional[int] = None,
+    tokens_to: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Pad per-utterance `data_load_speech` outputs into one train batch.
 
     Shapes round up to `frame_multiple` / `token_multiple` so an epoch
     compiles a bounded set of step programs (XLA static shapes — the
-    bucketing that replaces torch's dynamic batching)."""
+    bucketing that replaces torch's dynamic batching). `frames_to` /
+    `tokens_to` pin the padded shape instead (multi-host training needs
+    one GLOBAL static shape — per-host maxima would diverge); samples
+    exceeding a pinned shape raise (callers filter first)."""
     b = len(samples)
     l = max(len(s["input_ids"]) for s in samples)
     l = -(-l // token_multiple) * token_multiple
     f = max(s["speech"].shape[1] for s in samples)
     f = -(-f // frame_multiple) * frame_multiple
+    if tokens_to is not None:
+        if l > tokens_to:
+            raise ValueError(f"sample has {l} tokens > pinned {tokens_to}")
+        l = tokens_to
+    if frames_to is not None:
+        if f > frames_to:
+            raise ValueError(f"sample has {f} frames > pinned {frames_to}")
+        f = frames_to
     d = samples[0]["speech"].shape[2]
     batch = {
         "speech": np.zeros((b, f, d), np.float32),

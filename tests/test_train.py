@@ -144,7 +144,10 @@ class TestTrainToServe:
         step = make_train_step(cfgs, optimizer)
         import jax as _jax
 
-        params = _jax.tree.map(lambda x: x, params)  # fresh copy (donation)
+        # the train step donates params/opt_state — real copies, so the
+        # module-scoped fixture's buffers survive for later tests
+        params = _jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+        opt_state = optimizer.init(params)
         state = (params, opt_state)
         for i in range(150):
             p, o, stats = step(*state, batch)
