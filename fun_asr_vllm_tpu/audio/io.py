@@ -6,7 +6,14 @@ reference model.py:362 `load_audio_text_image_video`, infer_kaldidata.py:101
 implementation: an own RIFF parser (PCM 8/16/24/32, float32/64,
 WAVE_FORMAT_EXTENSIBLE, RF64 for >4 GB 4-channel files) and a polyphase
 resampler. Non-WAV containers fall back to an `ffmpeg` subprocess when the
-binary exists; a C++ fast path (csrc/audio_io.cpp) is used when built.
+binary exists.
+
+Both hot paths route through the C++ native runtime when built
+(csrc/native.cpp via utils/native.py): `wav_probe`/`wav_decode_f32` for
+container parse + PCM conversion and `resample_upfirdn_f32` for the
+polyphase core (taps designed here to the scipy.signal.resample_poly
+spec). The pure-python/scipy implementations below remain the always-
+available fallback and the behavioural reference.
 """
 
 from __future__ import annotations
@@ -56,9 +63,19 @@ def read_wav(
     else [N]. Values are in [-1, 1].
     """
     if isinstance(path_or_bytes, (bytes, bytearray)):
-        f = io.BytesIO(path_or_bytes)
+        buf = bytes(path_or_bytes)
     else:
-        f = open(path_or_bytes, "rb")
+        with open(path_or_bytes, "rb") as fh:
+            buf = fh.read()
+    from ..utils import native as _native
+
+    decoded = _native.wav_read_native(buf)
+    if decoded is not None:
+        samples, rate = decoded
+        if always_2d and samples.ndim == 1:
+            samples = samples.reshape(-1, 1)
+        return samples, rate
+    f = io.BytesIO(buf)
     try:
         riff = f.read(12)
         if len(riff) < 12 or riff[:4] not in (b"RIFF", b"RF64") or riff[8:12] != b"WAVE":
@@ -244,11 +261,16 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
         return np.asarray(x, dtype=np.float32)
     from math import gcd
 
+    g = gcd(sr_in, sr_out)
+    up, down = sr_out // g, sr_in // g
+    from ..utils import native as _native
+
+    out = _native.resample_poly_native(np.asarray(x), up, down)
+    if out is not None:
+        return out
     from scipy.signal import resample_poly
 
-    g = gcd(sr_in, sr_out)
-    out = resample_poly(np.asarray(x, dtype=np.float64), sr_out // g, sr_in // g,
-                        axis=0)
+    out = resample_poly(np.asarray(x, dtype=np.float64), up, down, axis=0)
     return out.astype(np.float32)
 
 
