@@ -155,10 +155,14 @@ int wav_probe(const uint8_t* buf, int64_t n, int32_t* fmt_code,
         uint32_t csize = rd_u32(buf + pos + 4);
         pos += 8;
         if (rf64 && std::memcmp(cid, "ds64", 4) == 0) {
-            if (pos + 16 > n) return -2;
+            // declared chunk size must cover the fields we read, else the
+            // next chunk's bytes would be misread as sizes (the python
+            // parser raises on such files — return <0 so it stays
+            // authoritative)
+            if (csize < 16 || pos + 16 > n) return -2;
             rf64_data_size = (int64_t)rd_u64(buf + pos + 8);
         } else if (std::memcmp(cid, "fmt ", 4) == 0) {
-            if (pos + 16 > n) return -2;
+            if (csize < 16 || pos + 16 > n) return -2;
             *fmt_code = rd_u16(buf + pos);
             *channels = rd_u16(buf + pos + 2);
             *rate = (int32_t)rd_u32(buf + pos + 4);

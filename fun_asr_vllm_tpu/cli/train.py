@@ -521,29 +521,34 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         return batch
 
     def _producer(epoch, out_q):
+        # on error, forward the exception to the consumer: silently ending
+        # the epoch would checkpoint it as complete with most batches
+        # untrained, and under --distributed would desync the hosts (the
+        # others block in collectives this host never joins)
         try:
             for batch_records in iter_epoch_batches(
                 records, args.batch_size, epoch=epoch, seed=args.seed,
                 shuffle=not args.no_shuffle, bucket_window=args.bucket_window,
             ):
                 out_q.put(_prepare(batch_records))
-        except Exception as e:  # noqa: BLE001 — surface, don't hang
-            print(f"[train] producer failed: {e!r}")
-        finally:
             out_q.put(_EPOCH_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+            out_q.put(e)
 
     def _run_eval(tag: str):
         stats_sum: Dict[str, float] = {}
         n = 0
+        # merge once per eval pass: the LoRA fold materializes a second
+        # full copy of the LLM weights — per-batch it would dominate
+        merged = dict(fparams); merged.update(tparams)
+        if param_transform is not None:
+            merged = param_transform(merged)
         for batch_records in iter_epoch_batches(
             valid_records, args.batch_size, epoch=0, seed=0, shuffle=False,
         ):
             batch = _prepare(batch_records)
             if batch is None:
                 continue
-            merged = dict(fparams); merged.update(tparams)
-            if param_transform is not None:
-                merged = param_transform(merged)
             st = {k: float(v) for k, v in eval_step(merged, batch).items()}
             w = st["batch_tokens"]
             stats_sum["loss"] = stats_sum.get("loss", 0.0) + st["loss"] * w
@@ -579,6 +584,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             batch = q.get()
             if batch is _EPOCH_END:
                 break
+            if isinstance(batch, BaseException):
+                raise batch  # producer failed — die loudly, never save
             if batch is None:
                 continue
             tparams, opt_state, stats = train_step(

@@ -1240,15 +1240,20 @@ def arm_suffix_batch(llm: "LLM", jobs) -> List[Optional[_Request]]:
     results (their plans keep FIFO slot order). Caller owns engine
     serialization (the AsyncLLM stepper thread)."""
     plans: List[Optional[Dict]] = []
-    for session, suffix_embeds, sp in jobs:
-        plan = session._prepare_suffix(suffix_embeds,
-                                       sp or SamplingParams())
-        plans.append(plan)
-    live = [p for p in plans if p is not None]
-    if not live:
-        return [None] * len(plans)
-
+    live: List[Dict] = []
     try:
+        # the plan phase is inside the try: a plan reserves a slot with a
+        # bool placeholder (llm._slots[slot] = True), so an exception in a
+        # LATER job's plan must also roll back the earlier reservations —
+        # a leaked placeholder would crash the stepper on the next step
+        for session, suffix_embeds, sp in jobs:
+            plan = session._prepare_suffix(suffix_embeds,
+                                           sp or SamplingParams())
+            plans.append(plan)
+            if plan is not None:
+                live.append(plan)
+        if not live:
+            return [None] * len(plans)
         # boundary page copies for the whole batch in one dispatch each
         pairs = [p["copy_pair"] for p in live if p["copy_pair"] is not None]
         if pairs:

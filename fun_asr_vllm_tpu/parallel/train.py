@@ -254,17 +254,22 @@ def collate_samples(
     exceeding a pinned shape raise (callers filter first)."""
     b = len(samples)
     l = max(len(s["input_ids"]) for s in samples)
-    l = -(-l // token_multiple) * token_multiple
     f = max(s["speech"].shape[1] for s in samples)
-    f = -(-f // frame_multiple) * frame_multiple
+    # a pin IS the final padded shape (no multiple-rounding on top —
+    # rounding first would reject valid samples whenever the pin is not
+    # itself a multiple of token_multiple/frame_multiple)
     if tokens_to is not None:
         if l > tokens_to:
             raise ValueError(f"sample has {l} tokens > pinned {tokens_to}")
         l = tokens_to
+    else:
+        l = -(-l // token_multiple) * token_multiple
     if frames_to is not None:
         if f > frames_to:
             raise ValueError(f"sample has {f} frames > pinned {frames_to}")
         f = frames_to
+    else:
+        f = -(-f // frame_multiple) * frame_multiple
     d = samples[0]["speech"].shape[2]
     batch = {
         "speech": np.zeros((b, f, d), np.float32),

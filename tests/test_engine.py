@@ -535,6 +535,40 @@ class TestAsyncEngine:
         for s in sessions:
             s.close()
 
+    def test_batched_suffix_arm_plan_failure_rolls_back(self, setup,
+                                                        monkeypatch):
+        """An exception while PLANNING a later job must roll back earlier
+        jobs' slot reservations and scratch blocks (regression: a leaked
+        bool placeholder in llm._slots crashed the stepper thread on the
+        next step, hanging all future submissions)."""
+        from fun_asr_vllm_tpu.engine.engine import (
+            PromptSession, arm_suffix_batch,
+        )
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        llm = make_llm(params, cfg, max_num_seqs=2, max_model_len=96)
+        sp = SamplingParams(top_p=0.001, max_tokens=4)
+        s1, s2 = PromptSession(llm), PromptSession(llm)
+        s1.extend(rand_embeds(70, 5, h))
+        s2.extend(rand_embeds(71, 5, h))
+        free_before = len(llm._free_blocks)
+
+        def boom(*a, **k):
+            raise RuntimeError("plan failure")
+
+        monkeypatch.setattr(s2, "_prepare_suffix", boom)
+        with pytest.raises(RuntimeError, match="plan failure"):
+            arm_suffix_batch(llm, [(s1, rand_embeds(72, 2, h), sp),
+                                   (s2, rand_embeds(73, 2, h), sp)])
+        assert all(sl is None for sl in llm._slots)
+        assert len(llm._free_blocks) == free_before
+        # the engine stays fully functional
+        out = s1.decode_with_suffix(rand_embeds(72, 2, h), sp)
+        assert len(out) > 0
+        s1.close()
+        s2.close()
+
     def test_extend_batch_matches_sequential(self, setup):
         """engine.extend_batch (the extend half of packed online mode):
         three sessions' heterogeneous appends in ONE batched dispatch

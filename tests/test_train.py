@@ -207,3 +207,26 @@ def test_remat_grads_identical(setup):
         lambda a, b: bool(np.allclose(np.asarray(a), np.asarray(b),
                                       rtol=1e-5, atol=1e-6)), g0, g1)
     assert all(jax.tree.leaves(ok))
+
+
+def test_collate_pin_not_multiple_of_bucket():
+    """A pinned global shape (--max_seq/--max_frames) IS the final padded
+    shape: samples within the pin must collate even when the pin is not a
+    multiple of token_multiple/frame_multiple (regression: rounding-first
+    rejected valid samples and could desync a multi-host run)."""
+    from fun_asr_vllm_tpu.parallel.train import collate_samples
+
+    s = {
+        "speech": np.zeros((1, 70, 80), np.float32),
+        "speech_lengths": np.asarray([70], np.int32),
+        "input_ids": list(range(97)),
+        "labels_ids": [-100] * 97,
+        "fbank_beg": np.asarray([1], np.int32),
+    }
+    b = collate_samples([s], frame_multiple=64, token_multiple=16,
+                        frames_to=100, tokens_to=100)
+    assert b["input_ids"].shape == (1, 100)
+    assert b["speech"].shape[1] == 100
+    long = dict(s, input_ids=list(range(101)), labels_ids=[-100] * 101)
+    with pytest.raises(ValueError):
+        collate_samples([long], tokens_to=100)

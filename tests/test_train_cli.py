@@ -247,3 +247,23 @@ def test_lora_delta_zero_init():
         lambda a, b: bool(np.allclose(np.asarray(a), np.asarray(b))),
         p, merged)
     assert all(jax.tree.leaves(ok))
+
+
+def test_producer_failure_dies_loudly(corpus, tmp_path, monkeypatch):
+    """A mid-epoch data-pipeline error must abort the run (re-raised from
+    the producer thread), never silently end the epoch and checkpoint it
+    as complete — under --distributed a silent stop would desync hosts."""
+    model_dir, jsonl, root = corpus
+
+    def boom(model, recs):
+        raise RuntimeError("synthetic data failure")
+
+    monkeypatch.setattr(train_cli, "build_samples", boom)
+    with pytest.raises(RuntimeError, match="synthetic data failure"):
+        train_cli.main([
+            "--model_dir", model_dir, "--train_jsonl", jsonl,
+            "--output_dir", str(tmp_path / "out"),
+            "--batch_size", "2", "--max_steps", "1",
+            "--trainable", "audio_adaptor",
+        ])
+    assert not os.path.isdir(tmp_path / "out" / "final")
