@@ -357,3 +357,53 @@ class TestNon16kOnlineStream:
             f"utterance B partials fed {fed_b} samples — stale resampler "
             f"state replayed utterance A ({b_pushes})"
         )
+
+
+class TestDisconnectCleanup:
+    def test_abrupt_disconnect_frees_session_blocks(self, engine_server):
+        """A client that vanishes mid-2pass (no is_speaking:false, no
+        close frame semantics — just a dropped socket) must not leak the
+        session's cached-prompt KV blocks: the handler's finally closes
+        the PromptSession. A long-lived production server would otherwise
+        exhaust the pool one dead stream at a time."""
+        import asyncio as aio
+        import json as js
+
+        import websockets
+
+        server, port = engine_server
+        llm = server.async_llm.llm
+        rng = np.random.default_rng(9)
+        t = np.arange(32000) / 16000.0  # 2 s
+        wave = 0.2 * np.sin(2 * np.pi * 300 * t) + 0.02 * rng.normal(
+            size=t.shape
+        )
+        pcm = (wave * 32767).astype("<i2")
+        free_before = len(llm._free_blocks)
+
+        async def run():
+            ws = await websockets.connect(
+                f"ws://127.0.0.1:{port}", subprotocols=["binary"]
+            )
+            await ws.send(js.dumps({
+                "mode": "2pass", "chunk_size": [5, 10, 5],
+                "chunk_interval": 10, "wav_name": "drop",
+                "is_speaking": True, "itn": False,
+            }))
+            for i in range(0, len(pcm), 8000):
+                await ws.send(pcm[i : i + 8000].tobytes())
+                await aio.sleep(0.05)
+            # at least one partial = the session holds KV blocks now
+            await aio.wait_for(ws.recv(), 120)
+            # drop the connection without the end-of-utterance message
+            await ws.close()
+
+        asyncio.new_event_loop().run_until_complete(run())
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if len(llm._free_blocks) >= free_before:
+                break
+            time.sleep(0.25)
+        assert len(llm._free_blocks) >= free_before, (
+            f"leaked {free_before - len(llm._free_blocks)} KV blocks"
+        )
