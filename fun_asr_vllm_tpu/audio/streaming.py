@@ -172,3 +172,69 @@ class StreamingResampler:
         self._win_start = 0
         self._n_in = 0
         self._emitted = 0
+
+
+class StreamingEndpointer:
+    """Energy endpointer for server-side VAD utterance segmentation.
+
+    The FunASR-protocol handshake carries `vad_tail_sil` (cut when
+    trailing silence exceeds this many ms) and `vad_max_len` (force-cut a
+    segment at this many ms) — reference ASR_client_api.py:74-81 — and
+    the reference stack's server segments the stream with them so online
+    clients get finals without sending `is_speaking: false`. This is the
+    streaming detector: `push(new_samples)` returns True when the current
+    segment should be finalized.
+
+    Frames are 10 ms; a frame is speech when its RMS clears an absolute
+    noise floor AND sits within `threshold_db` of the running stream
+    peak (the same relative rule as `data.vad.EnergyVAD`, made causal).
+    Silence-only audio never fires; `reset()` starts the next segment
+    (the running peak is kept — it is a property of the channel)."""
+
+    def __init__(self, tail_sil_ms: int = 800, max_len_ms: int = 60000,
+                 fs: int = 16000, threshold_db: float = -40.0,
+                 abs_floor: float = 1e-3) -> None:
+        self.tail_sil_ms = int(tail_sil_ms)
+        self.max_len_ms = int(max_len_ms)
+        self.fs = fs
+        self.hop = fs // 100  # 10 ms
+        self.threshold = 10.0 ** (threshold_db / 20.0)
+        self.abs_floor = abs_floor
+        self._peak = abs_floor
+        self._carry = np.zeros(0, np.float32)
+        self._seen_speech = False
+        self._sil_ms = 0
+        self._seg_ms = 0
+
+    def reset(self) -> None:
+        self._carry = np.zeros(0, np.float32)
+        self._seen_speech = False
+        self._sil_ms = 0
+        self._seg_ms = 0
+
+    def push(self, new_samples: np.ndarray) -> bool:
+        x = np.concatenate(
+            [self._carry, np.asarray(new_samples, np.float32).reshape(-1)]
+        )
+        n = len(x) // self.hop
+        self._carry = x[n * self.hop:]
+        if n == 0:
+            return False
+        rms = np.sqrt(
+            np.mean(x[: n * self.hop].reshape(n, self.hop) ** 2, axis=1)
+        )
+        self._peak = max(self._peak, float(rms.max()))
+        active = (rms > self.abs_floor) & (rms > self._peak * self.threshold)
+        fire = False
+        for a in active:
+            self._seg_ms += 10
+            if a:
+                self._seen_speech = True
+                self._sil_ms = 0
+            elif self._seen_speech:
+                self._sil_ms += 10
+                if self._sil_ms >= self.tail_sil_ms:
+                    fire = True
+            if self._seen_speech and self._seg_ms >= self.max_len_ms:
+                fire = True
+        return fire

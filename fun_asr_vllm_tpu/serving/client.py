@@ -113,6 +113,12 @@ def main():
     ap.add_argument("--hotword", type=str, default="")
     ap.add_argument("--itn", type=int, default=1)
     ap.add_argument("--ssl", type=int, default=0)
+    ap.add_argument("--vad_tail_sil", type=int, default=800,
+                    help="server cuts the utterance when trailing silence "
+                         "exceeds this many ms (reference "
+                         "ASR_client_api.py:74-77)")
+    ap.add_argument("--vad_max_len", type=int, default=60000,
+                    help="server force-cuts a segment at this many ms")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
     client = ASR_Client(
@@ -120,6 +126,7 @@ def main():
         chunk_size=[int(x) for x in args.chunk_size.split(",")],
         chunk_interval=args.chunk_interval, hotwords=args.hotword,
         itn=bool(args.itn), ssl_enable=bool(args.ssl),
+        vad_tail_sil=args.vad_tail_sil, vad_max_len=args.vad_max_len,
     )
     text = asyncio.run(client.transcribe(args.audio_in))
     print(text)

@@ -281,7 +281,64 @@ class ASRServer:
         buf16 = np.zeros(0, dtype=np.float32)  # its growing 16 kHz output
         raw_fed = 0         # raw samples already fed to stream_rs
         last_partial = ""   # cumulative text already sent as partials
+        epd = None          # server-side VAD endpointer (vad_tail_sil)
+        epd_fed = 0         # raw samples already fed to the endpointer
         loop = asyncio.get_running_loop()
+
+        async def _finalize():
+            """Decode the buffered utterance, send the final, reset the
+            per-utterance stream state. Two triggers share this path: the
+            client's `is_speaking: false` and a server-side VAD endpoint
+            (the reference stack's vad_tail_sil/vad_max_len contract)."""
+            nonlocal buf, emitted_upto, stream_fed, last_partial
+            nonlocal stream_rs, buf16, raw_fed, epd_fed
+            pcm16 = buf
+            if hs.audio_fs != 16000:
+                from ..audio.io import resample
+
+                pcm16 = resample(buf, hs.audio_fs, 16000)
+            on_text = None
+            if hs.mode == "2pass" and self.async_llm is not None:
+                # stream the final's tokens as they decode
+                # (incremental detokenization in the engine)
+                def on_text(chunk, _ws=websocket, _hs=hs):
+                    asyncio.run_coroutine_threadsafe(
+                        _ws.send(result_message(
+                            "2pass-online", _hs.wav_name, chunk, False,
+                        )),
+                        loop,
+                    )
+
+            text = await loop.run_in_executor(
+                None, lambda: self.decode_pcm(pcm16, hs, None,
+                                              on_text=on_text)
+            )
+            mode = ("2pass-offline" if hs.mode == "2pass" else hs.mode)
+            if hs.mode == "online":
+                # streaming consumers APPEND online-mode text — the
+                # final must be a delta like the partials
+                text = (text[len(last_partial):]
+                        if text.startswith(last_partial) else text)
+            await websocket.send(
+                result_message(mode, hs.wav_name, text, True)
+            )
+            buf = np.zeros(0, dtype=np.float32)
+            emitted_upto = 0.0
+            stream_fed = 0
+            last_partial = ""
+            # non-16 kHz state must restart with the buffer:
+            # stale raw_fed/buf16 would replay utterance-1 audio
+            # into the next utterance's partials
+            stream_rs = None
+            buf16 = np.zeros(0, dtype=np.float32)
+            raw_fed = 0
+            epd_fed = 0
+            if epd is not None:
+                epd.reset()
+            if stream_enc is not None:
+                await loop.run_in_executor(None, stream_enc.reset)
+            hs.is_speaking = True  # allow another utterance
+
         try:
             async for message in websocket:
                 if isinstance(message, (bytes, bytearray)):
@@ -291,6 +348,26 @@ class ASRServer:
                     buf = np.concatenate([buf, pcm])
                     if hs is None:
                         continue
+                    if (hs.mode in ("online", "2pass")
+                            and (hs.vad_tail_sil or hs.vad_max_len)):
+                        # server-side VAD endpointing: cut the utterance
+                        # on trailing silence / max length and emit the
+                        # final without waiting for is_speaking:false
+                        if epd is None:
+                            from ..audio.streaming import (
+                                StreamingEndpointer,
+                            )
+
+                            epd = StreamingEndpointer(
+                                tail_sil_ms=hs.vad_tail_sil or 800,
+                                max_len_ms=hs.vad_max_len or 60000,
+                                fs=hs.audio_fs,
+                            )
+                        fire = epd.push(buf[epd_fed:])
+                        epd_fed = len(buf)
+                        if fire:
+                            await _finalize()
+                            continue
                     if hs.mode in ("online", "2pass"):
                         dur = len(buf) / hs.audio_fs
                         if dur - emitted_upto >= self.partial_interval_s:
@@ -375,50 +452,7 @@ class ASRServer:
                         logger.info("resampling %s Hz stream", hs.audio_fs)
                     continue
                 if data.get("is_speaking") is False:
-                    if hs.audio_fs != 16000:
-                        from ..audio.io import resample
-
-                        buf = resample(buf, hs.audio_fs, 16000)
-                    on_text = None
-                    if hs.mode == "2pass" and self.async_llm is not None:
-                        # stream the final's tokens as they decode
-                        # (incremental detokenization in the engine)
-                        def on_text(chunk, _ws=websocket, _hs=hs):
-                            asyncio.run_coroutine_threadsafe(
-                                _ws.send(result_message(
-                                    "2pass-online", _hs.wav_name, chunk,
-                                    False,
-                                )),
-                                loop,
-                            )
-
-                    text = await loop.run_in_executor(
-                        None, lambda: self.decode_pcm(buf, hs, None,
-                                                      on_text=on_text)
-                    )
-                    mode = ("2pass-offline" if hs.mode == "2pass"
-                            else hs.mode)
-                    if hs.mode == "online":
-                        # streaming consumers APPEND online-mode text —
-                        # the final must be a delta like the partials
-                        text = (text[len(last_partial):]
-                                if text.startswith(last_partial) else text)
-                    await websocket.send(
-                        result_message(mode, hs.wav_name, text, True)
-                    )
-                    buf = np.zeros(0, dtype=np.float32)
-                    emitted_upto = 0.0
-                    stream_fed = 0
-                    last_partial = ""
-                    # non-16 kHz state must restart with the buffer:
-                    # stale raw_fed/buf16 would replay utterance-1 audio
-                    # into the next utterance's partials
-                    stream_rs = None
-                    buf16 = np.zeros(0, dtype=np.float32)
-                    raw_fed = 0
-                    if stream_enc is not None:
-                        await loop.run_in_executor(None, stream_enc.reset)
-                    hs.is_speaking = True  # allow another utterance
+                    await _finalize()
         except Exception as e:
             logger.warning("session ended: %s", e)
         finally:

@@ -407,3 +407,104 @@ class TestDisconnectCleanup:
         assert len(llm._free_blocks) >= free_before, (
             f"leaked {free_before - len(llm._free_blocks)} KV blocks"
         )
+
+
+class TestVadEndpointing:
+    def test_vad_tail_sil_cuts_without_client_final(self, engine_server):
+        """A 2pass stream whose handshake carries vad_tail_sil gets a
+        server-side FINAL when trailing silence exceeds it — the
+        reference stack's VAD segmentation contract
+        (ASR_client_api.py:74-81) — and the stream keeps going for a
+        second utterance afterwards."""
+        import asyncio as aio
+        import json as js
+
+        import websockets
+
+        server, port = engine_server
+        fs = 16000
+        t = np.arange(fs) / fs
+        speech = (0.25 * np.sin(2 * np.pi * 320 * t)).astype(np.float32)
+        sil = np.zeros(fs, np.float32)  # 1 s >> tail_sil 400 ms
+
+        def pcm(x):
+            return (x * 32767).astype("<i2").tobytes()
+
+        async def run():
+            async with websockets.connect(
+                f"ws://127.0.0.1:{port}", subprotocols=["binary"]
+            ) as ws:
+                await ws.send(js.dumps({
+                    "mode": "2pass", "chunk_size": [5, 10, 5],
+                    "chunk_interval": 10, "wav_name": "vadcut",
+                    "is_speaking": True, "itn": False,
+                    "vad_tail_sil": 400, "vad_max_len": 60000,
+                }))
+                finals = []
+
+                async def drain_until_final():
+                    while True:
+                        msg = js.loads(await aio.wait_for(ws.recv(), 120))
+                        if msg.get("is_final"):
+                            finals.append(msg)
+                            return
+
+                # utterance 1: speech then silence — NO is_speaking:false
+                for x in (speech, sil):
+                    for i in range(0, len(x), 3200):
+                        await ws.send(pcm(x[i : i + 3200]))
+                        await aio.sleep(0.02)
+                await drain_until_final()
+                # utterance 2 on the SAME stream, closed by the client
+                for i in range(0, len(speech), 3200):
+                    await ws.send(pcm(speech[i : i + 3200]))
+                    await aio.sleep(0.02)
+                await ws.send(js.dumps({"is_speaking": False}))
+                await drain_until_final()
+                return finals
+
+        finals = asyncio.new_event_loop().run_until_complete(run())
+        assert len(finals) == 2
+        assert all(f["mode"] == "2pass-offline" for f in finals)
+
+    def test_no_vad_fields_means_no_server_cut(self, engine_server):
+        """Without vad_tail_sil/vad_max_len in the handshake the server
+        must never cut on its own — long silence stays buffered until
+        the client's is_speaking:false (backward-compatible default)."""
+        import asyncio as aio
+        import json as js
+
+        import websockets
+
+        server, port = engine_server
+        fs = 16000
+        t = np.arange(fs) / fs
+        speech = (0.25 * np.sin(2 * np.pi * 320 * t)).astype(np.float32)
+        sil = np.zeros(2 * fs, np.float32)
+
+        async def run():
+            async with websockets.connect(
+                f"ws://127.0.0.1:{port}", subprotocols=["binary"]
+            ) as ws:
+                await ws.send(js.dumps({
+                    "mode": "2pass", "chunk_size": [5, 10, 5],
+                    "chunk_interval": 10, "wav_name": "nocut",
+                    "is_speaking": True, "itn": False,
+                }))
+                for x in (speech, sil):
+                    for i in range(0, len(x), 3200):
+                        await ws.send(pcm_bytes(x[i : i + 3200]))
+                        await aio.sleep(0.01)
+                # no early final: nothing with is_final while we wait
+                await ws.send(js.dumps({"is_speaking": False}))
+                n_finals = 0
+                while True:
+                    msg = js.loads(await aio.wait_for(ws.recv(), 120))
+                    if msg.get("is_final"):
+                        n_finals += 1
+                        return n_finals
+
+        def pcm_bytes(x):
+            return (x * 32767).astype("<i2").tobytes()
+
+        assert asyncio.new_event_loop().run_until_complete(run()) == 1
