@@ -292,6 +292,42 @@ class TestZhTNDivergence:
         assert diverged / total < 0.05, f"{diverged}/{total} diverged"
 
 
+class TestEnTNDivergence:
+    """Built-in EN grammar vs WeTextProcessing on a generated
+    number-heavy corpus (mirror of TestZhTNDivergence). Skipped when the
+    plug-in is absent (this environment)."""
+
+    def test_divergence_rate_on_number_corpus(self):
+        pytest.importorskip("tn.english.normalizer")
+        from tn.english.normalizer import Normalizer as WTPEnNormalizer
+
+        wtp = WTPEnNormalizer()
+        ours = EnNormalizer()
+        import random
+
+        rng = random.Random(0)
+        templates = [
+            "the price is ${n}", "about {m}% done", "he came {m}st",
+            "meet at {h}:{mi:02d}", "a {m}km run", "born in {y}",
+            "{big} people", "add 1/2 cup", "it was -{m} degrees",
+        ]
+        total = diverged = 0
+        for _ in range(200):
+            t = rng.choice(templates)
+            s = t.format(
+                n=round(rng.uniform(0, 999), rng.choice([0, 1, 2])),
+                m=rng.randint(1, 99), y=rng.randint(1980, 2030),
+                h=rng.randint(1, 12), mi=rng.randint(0, 59),
+                big=rng.randint(1000, 9_999_999),
+            )
+            total += 1
+            import re as _re
+            canon = lambda x: _re.sub(r"\s+", " ", x.lower()).strip()
+            if canon(wtp.normalize(s)) != canon(ours.normalize(s)):
+                diverged += 1
+        assert diverged / total < 0.10, f"{diverged}/{total} diverged"
+
+
 class TestZhITN:
     def setup_method(self):
         self.itn = ZhInverseNormalizer(enable_0_to_9=False)
@@ -318,9 +354,51 @@ class TestZhITN:
 
 
 class TestEnTN:
+    def setup_method(self):
+        self.n = EnNormalizer()
+
     def test_numbers(self):
-        out = EnNormalizer().normalize("I have 25 apples")
+        out = self.n.normalize("I have 25 apples")
         assert "twenty five" in out
+
+    def test_ordinals(self):
+        out = self.n.normalize("she was 1st he was 22nd on the 103rd floor")
+        assert out == "she was first he was twenty second on the one hundred third floor"
+
+    def test_time(self):
+        assert self.n.normalize("at 3:30 pm") == "at three thirty p m"
+        assert self.n.normalize("at 7:05") == "at seven oh five"
+        assert self.n.normalize("at 12:00") == "at twelve o'clock"
+
+    def test_time_invalid_clock_left_alone(self):
+        # 3:75 is not a clock time; the colon is stripped as punctuation
+        # and the digits verbalize independently
+        out = self.n.normalize("won 3:75")
+        assert "seventy five" in out
+
+    def test_money_cents(self):
+        assert self.n.normalize("paid $3.50") == "paid three dollars and fifty cents"
+        assert self.n.normalize("paid $1") == "paid one dollar"
+        assert self.n.normalize("paid £5") == "paid five pounds"
+
+    def test_fractions(self):
+        assert self.n.normalize("add 1/2 cup") == "add one half cup"
+        assert self.n.normalize("2/5 done") == "two fifths done"
+        assert self.n.normalize("3/4 left") == "three quarters left"
+
+    def test_units(self):
+        assert self.n.normalize("a 5km run") == "a five kilometers run"
+        assert self.n.normalize("weighs 3.5 kg") == "weighs three point five kilograms"
+
+    def test_negative(self):
+        assert self.n.normalize("it was -5 out") == "it was minus five out"
+
+    def test_thousands_separators(self):
+        assert self.n.normalize("1,234 items") == "one thousand two hundred thirty four items"
+
+    def test_years(self):
+        assert self.n.normalize("born 1987") == "born nineteen eighty seven"
+        assert self.n.normalize("by 2025") == "by twenty twenty five"
 
     def test_normalize_text_api_en(self):
         out = normalize_text("I have 25 apples.", language="en")
