@@ -36,6 +36,8 @@ class ASR_Client:
         ssl_enable: bool = False,
         vad_tail_sil: Optional[int] = None,
         vad_max_len: Optional[int] = None,
+        audio_sr: int = 16000,
+        send_without_sleep: bool = True,
     ) -> None:
         self.host = host
         self.port = port
@@ -47,6 +49,8 @@ class ASR_Client:
         self.ssl_enable = ssl_enable
         self.vad_tail_sil = vad_tail_sil
         self.vad_max_len = vad_max_len
+        self.audio_sr = audio_sr
+        self.send_without_sleep = send_without_sleep
         self.final_text = ""
         self.streaming_text = ""
 
@@ -55,7 +59,16 @@ class ASR_Client:
 
         from ..audio.io import load_audio
 
-        wav = load_audio(audio_in, fs=16000)
+        # files carry their true rate in the container header, which
+        # load_audio honors; audio_sr only labels raw sample arrays
+        # (the reference trusts --audio_sr even for files, :121-133)
+        if isinstance(audio_in, np.ndarray) and self.audio_sr != 16000:
+            from ..audio.io import resample
+
+            wav = resample(audio_in.astype(np.float32),
+                           self.audio_sr, 16000)
+        else:
+            wav = load_audio(audio_in, fs=16000)
         pcm = (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
 
         if self.ssl_enable:
@@ -81,9 +94,12 @@ class ASR_Client:
             # chunk stride: 60 * chunk_size[1] / chunk_interval ms
             # (reference ASR_client_api.py:135-137)
             stride = int(16000 * hs.chunk_ms() / 1000) * 2  # bytes
+            # real-time pacing: sleep one chunk duration between sends
+            # when send_without_sleep is off (reference flag :50-52)
+            pace = 0.001 if self.send_without_sleep else hs.chunk_ms() / 1000
             for off in range(0, len(pcm), stride):
                 await ws.send(pcm[off : off + stride])
-                await asyncio.sleep(0.001)
+                await asyncio.sleep(pace)
             await ws.send(json.dumps({"is_speaking": False}))
 
             self.final_text = ""
@@ -101,18 +117,87 @@ class ASR_Client:
         return self.final_text or self.streaming_text
 
 
+def _collect_jobs(audio_in: str) -> List[tuple]:
+    """``(wav_name, path)`` jobs: a single audio file, or a Kaldi
+    ``wav.scp`` / ``.txt`` list of ``key path`` lines."""
+    if audio_in.endswith((".scp", ".txt", ".list")):
+        jobs = []
+        with open(audio_in) as fin:
+            for line in fin:
+                parts = line.strip().split(maxsplit=1)
+                if len(parts) == 2:
+                    jobs.append((parts[0], parts[1]))
+                elif parts:
+                    jobs.append((parts[0].rsplit("/", 1)[-1], parts[0]))
+        return jobs
+    return [(audio_in.rsplit("/", 1)[-1], audio_in)]
+
+
+async def _run_jobs(args, jobs: List[tuple]) -> List[tuple]:
+    """Drive the jobs over ``thread_num`` concurrent client streams
+    (the reference's --thread_num, ASR_client_api.py:54-56); returns
+    ``(wav_name, text)`` in job order."""
+    hot = args.hotword
+    if hot.endswith(".txt"):
+        # hotword file: one word per line (reference :138-145)
+        with open(hot) as fin:
+            hot = " ".join(line.strip() for line in fin if line.strip())
+    results: List[tuple] = [None] * len(jobs)
+    queue: asyncio.Queue = asyncio.Queue()
+    for i, job in enumerate(jobs):
+        queue.put_nowait((i, job))
+
+    async def worker():
+        client = ASR_Client(
+            host=args.host, port=args.port, mode=args.mode,
+            chunk_size=[int(x) for x in args.chunk_size.split(",")],
+            chunk_interval=args.chunk_interval, hotwords=hot,
+            itn=bool(args.use_itn), ssl_enable=bool(args.ssl),
+            vad_tail_sil=args.vad_tail_sil, vad_max_len=args.vad_max_len,
+            audio_sr=args.audio_sr,
+            send_without_sleep=bool(args.send_without_sleep),
+        )
+        while True:
+            try:
+                i, (name, path) = queue.get_nowait()
+            except asyncio.QueueEmpty:
+                return
+            try:
+                text = await client.transcribe(path, wav_name=name)
+            except Exception as exc:  # keep the batch going
+                logger.error("%s failed: %s", name, exc)
+                text = ""
+            results[i] = (name, text)
+
+    await asyncio.gather(*[worker() for _ in range(max(1, args.thread_num))])
+    return results
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--host", type=str, default="127.0.0.1")
     ap.add_argument("--port", type=int, default=10095)
-    ap.add_argument("--audio_in", type=str, required=True)
+    ap.add_argument("--audio_in", type=str, required=True,
+                    help="wav file, or a wav.scp/.list of 'key path' lines")
     ap.add_argument("--mode", type=str, default="offline",
                     choices=["offline", "online", "2pass"])
     ap.add_argument("--chunk_size", type=str, default="5,10,5")
     ap.add_argument("--chunk_interval", type=int, default=10)
-    ap.add_argument("--hotword", type=str, default="")
-    ap.add_argument("--itn", type=int, default=1)
+    ap.add_argument("--hotword", type=str, default="",
+                    help="hotword string, or a .txt file of one per line")
+    ap.add_argument("--use_itn", "--itn", dest="use_itn", type=int, default=1)
     ap.add_argument("--ssl", type=int, default=0)
+    ap.add_argument("--audio_sr", type=int, default=16000,
+                    help="sample rate to decode audio_in at before the "
+                         "client-side 16 kHz resample (reference :46-48)")
+    ap.add_argument("--send_without_sleep", type=int, default=1,
+                    help="0 paces chunk sends at real time")
+    ap.add_argument("--thread_num", type=int, default=1,
+                    help="concurrent client streams")
+    ap.add_argument("--words_max_print", type=int, default=10000)
+    ap.add_argument("--output_dir", type=str, default=None,
+                    help="write '<wav_name>\\t<text>' lines to "
+                         "<output_dir>/text")
     ap.add_argument("--vad_tail_sil", type=int, default=800,
                     help="server cuts the utterance when trailing silence "
                          "exceeds this many ms (reference "
@@ -121,15 +206,19 @@ def main():
                     help="server force-cuts a segment at this many ms")
     args = ap.parse_args()
     logging.basicConfig(level=logging.INFO)
-    client = ASR_Client(
-        host=args.host, port=args.port, mode=args.mode,
-        chunk_size=[int(x) for x in args.chunk_size.split(",")],
-        chunk_interval=args.chunk_interval, hotwords=args.hotword,
-        itn=bool(args.itn), ssl_enable=bool(args.ssl),
-        vad_tail_sil=args.vad_tail_sil, vad_max_len=args.vad_max_len,
-    )
-    text = asyncio.run(client.transcribe(args.audio_in))
-    print(text)
+
+    jobs = _collect_jobs(args.audio_in)
+    results = asyncio.run(_run_jobs(args, jobs))
+    for name, text in results:
+        print(f"{name}\t{text[: args.words_max_print]}"
+              if len(jobs) > 1 else text[: args.words_max_print])
+    if args.output_dir:
+        import os
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        with open(os.path.join(args.output_dir, "text"), "w") as fout:
+            for name, text in results:
+                fout.write(f"{name}\t{text}\n")
 
 
 if __name__ == "__main__":

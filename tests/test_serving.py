@@ -409,6 +409,52 @@ class TestDisconnectCleanup:
         )
 
 
+class TestClientCLIJobs:
+    def test_collect_jobs_scp(self, tmp_path, wav_path):
+        from fun_asr_vllm_tpu.serving.client import _collect_jobs
+
+        scp = tmp_path / "wav.scp"
+        scp.write_text(f"utt1 {wav_path}\nutt2 {wav_path}\n")
+        assert _collect_jobs(str(scp)) == [
+            ("utt1", wav_path), ("utt2", wav_path)]
+        assert _collect_jobs(wav_path) == [("a.wav", wav_path)]
+
+    def test_thread_num_streams_over_scp(self, tmp_path, server_port,
+                                         wav_path):
+        """--thread_num N drives the scp's jobs over N concurrent client
+        streams (reference ASR_client_api.py:54-56); every job completes
+        and order is preserved."""
+        import argparse
+
+        from fun_asr_vllm_tpu.serving.client import _collect_jobs, _run_jobs
+
+        scp = tmp_path / "wav.scp"
+        scp.write_text("".join(
+            f"utt{i} {wav_path}\n" for i in range(5)))
+        args = argparse.Namespace(
+            host="127.0.0.1", port=server_port, mode="offline",
+            chunk_size="5,10,5", chunk_interval=10, hotword="",
+            use_itn=0, ssl=0, audio_sr=16000, send_without_sleep=1,
+            thread_num=3, vad_tail_sil=None, vad_max_len=None,
+        )
+        results = asyncio.run(_run_jobs(args, _collect_jobs(str(scp))))
+        assert [name for name, _ in results] == [
+            f"utt{i}" for i in range(5)]
+        assert all(isinstance(t, str) for _, t in results)
+
+    def test_raw_array_audio_sr_resamples(self, server_port):
+        """ndarray input at a non-16k audio_sr is resampled client-side
+        before chunking (reference :121-133)."""
+        from fun_asr_vllm_tpu.serving.client import ASR_Client
+
+        t = np.arange(8000) / 8000
+        wav8k = (0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        client = ASR_Client(host="127.0.0.1", port=server_port,
+                            mode="offline", itn=False, audio_sr=8000)
+        text = asyncio.run(client.transcribe(wav8k, wav_name="raw8k"))
+        assert isinstance(text, str)
+
+
 class TestVadEndpointing:
     def test_vad_tail_sil_cuts_without_client_final(self, engine_server):
         """A 2pass stream whose handshake carries vad_tail_sil gets a
