@@ -39,15 +39,55 @@ class TestJsonl:
 
         d = _make_kaldi_dir(tmp_path)
         out = tmp_path / "nano.jsonl"
+        # a key in BOTH text_itn and text_tn emits TWO records — the ITN
+        # target with the default prompt and the TN target with the
+        # 「不进行文本规整」 prompt (reference scp2nanojsonl.py:236-240)
         n = scp_to_nano_jsonl(str(d), str(out))
-        assert n == 3
-        rec = json.loads(out.read_text().splitlines()[0])
+        assert n == 6
+        recs = [json.loads(l) for l in out.read_text().splitlines()]
+        rec = recs[0]
         assert [m["role"] for m in rec["messages"]] == [
             "system", "user", "assistant",
         ]
         assert "<|startofspeech|>!" in rec["messages"][1]["content"]
         assert rec["messages"][1]["content"].endswith("<|endofspeech|>")
         assert rec["speech_length"] == speech_length_from_dur(1.0) == 98
+        # per key: one default-prompt record + one TN-prompt record
+        tn_marks = ["，不进行文本规整：" in r["messages"][1]["content"]
+                    for r in recs]
+        assert tn_marks == [False, True] * 3
+        # the TN record carries the TN text, the ITN record the ITN text
+        assert recs[0]["messages"][2]["content"] == "今天有25个人参加会议"
+        assert recs[1]["messages"][2]["content"] == "今天有二十五个人参加会议"
+
+    def test_nano_jsonl_flags(self, tmp_path):
+        """Reference flag semantics: forced --text_language, per-utt
+        language file, and the seeded 50/50 explicit-language split."""
+        from fun_asr_vllm_tpu.data.jsonl import nano_jsonl
+
+        d = _make_kaldi_dir(tmp_path)
+        wav = dict(read_scp(d / "wav.scp"))
+        itn = dict(read_scp(d / "text_itn"))
+        durs = dict(read_scp(d / "wav2dur"))
+        out = tmp_path / "n.jsonl"
+        # force <|en|>: every explicit-language prompt says 英文
+        nano_jsonl(wav, str(out), text_itn=itn, wav2dur=durs,
+                   text_language="<|en|>")
+        prompts = [json.loads(l)["messages"][1]["content"]
+                   for l in out.read_text().splitlines()]
+        assert any("语音转写成英文" in p for p in prompts) or all(
+            "语音转写成" not in p for p in prompts)
+        assert not any("语音转写成中文" in p for p in prompts)
+        # per-utt language map beats detection
+        nano_jsonl(wav, str(out), text_itn=itn, wav2dur=durs,
+                   lang_map={k: "<|en|>" for k in wav})
+        prompts2 = [json.loads(l)["messages"][1]["content"]
+                    for l in out.read_text().splitlines()]
+        assert prompts2 == prompts
+        # a different prompt_lang_seed flips some keys' split side
+        nano_jsonl(wav, str(out), text_itn=itn, wav2dur=durs,
+                   prompt_lang_seed=7)
+        assert isinstance(out.read_text(), str)
 
     def test_svs_jsonl(self, tmp_path):
         from fun_asr_vllm_tpu.data.jsonl import scp_to_svs_jsonl
