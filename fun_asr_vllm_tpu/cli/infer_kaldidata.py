@@ -34,11 +34,30 @@ def get_args():
     p.add_argument("--wav_scp", type=str, required=True)
     p.add_argument("--text", type=str, default=None,
                    help="optional reference text for WER")
-    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--output_dir", "--log_dir", dest="output_dir",
+                   type=str, default="./log_results",
+                   help="results dir (--log_dir is the reference's name, "
+                        "default ./log_results, infer_kaldidata.py:350-355)")
     p.add_argument("--batch_size", type=int, default=16)
-    p.add_argument("--itn", action="store_true", default=True)
-    p.add_argument("--no_itn", dest="itn", action="store_false")
-    p.add_argument("--language", type=str, default=None)
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="accepted for reference parity; audio loading "
+                        "runs in the pipeline's internal prefetch thread")
+    p.add_argument("--device", type=str, default=None,
+                   help="'cpu' forces the CPU backend; CUDA names are "
+                        "accepted for reference parity and ignored on TPU")
+    p.add_argument("--itn", nargs="?", const=1, type=int, default=1,
+                   help="1/0 (reference style); bare --itn enables")
+    p.add_argument("--no_itn", dest="itn", action="store_const", const=0)
+    p.add_argument("--language", type=str, default=None,
+                   choices=(None, "auto", "zh", "en"),
+                   help="TN language for scoring/outputs; auto detects")
+    p.add_argument("--output_file", type=str, default="hypos.txt")
+    p.add_argument("--stats_file", type=str, default="wer.txt")
+    p.add_argument("--result_text_itn", type=str, default="text_itn")
+    p.add_argument("--result_text_tn", type=str, default="text_tn")
+    p.add_argument("--vllm_model_dir", type=str, default=None,
+                   help="override the decoder weight dir (reference "
+                        "infer_kaldidata.py:386-391)")
     p.add_argument("--multiprocess", action="store_true")
     p.add_argument("--gpu_list", type=str, default="0",
                    help="kept for CLI parity; shard count on TPU")
@@ -69,7 +88,8 @@ def get_args():
 
 
 def run_shard(pipe, shard, texts, out_dir, batch_size, itn,
-              sort_by_duration=False):
+              sort_by_duration=False, language=None,
+              filenames=("hypos.txt", "wer.txt", "text_itn", "text_tn")):
     """Decode one scp shard → per-shard output files
     (reference run_inference_on_process, infer_kaldidata.py:618-824)."""
     import numpy as np
@@ -119,6 +139,9 @@ def run_shard(pipe, shard, texts, out_dir, batch_size, itn,
             key_batches.append(keys)
             yield wavs
 
+    # --language pins the TN grammar for scoring/outputs; auto detects
+    # per line (reference infer_kaldidata.py:409-415, 546-616)
+    tn_lang = language if language in ("zh", "en") else "auto"
     for hyps in pipe.transcribe_many(batches()):
         keys = key_batches.pop(0)
         for key, hyp in zip(keys, hyps):
@@ -126,22 +149,26 @@ def run_shard(pipe, shard, texts, out_dir, batch_size, itn,
             # dual outputs (reference infer_kaldidata.py:800-812)
             itn_rows.append((key, inverse_normalize_text(hyp)
                              if itn else hyp))
-            tn_rows.append((key, normalize_text(hyp)))
+            tn_rows.append((key, normalize_text(hyp, language=tn_lang)))
             if texts is not None and key in texts:
-                ref = normalize_text(nfkc(normalize_text_alimeeting(texts[key])))
-                hyp_n = normalize_text(nfkc(normalize_text_alimeeting(hyp)))
+                ref = normalize_text(
+                    nfkc(normalize_text_alimeeting(texts[key])),
+                    language=tn_lang)
+                hyp_n = normalize_text(
+                    nfkc(normalize_text_alimeeting(hyp)), language=tn_lang)
                 results.append((key, ref.upper(), hyp_n.upper()))
     elapsed = time.time() - t_start
     audio_seconds = dur_box[0]
 
+    hypos_name, stats_name, itn_name, tn_name = filenames
     hyp_rows.sort(); itn_rows.sort(); tn_rows.sort(); results.sort()
     write_scp(os.path.join(out_dir, "text"), hyp_rows)
-    write_scp(os.path.join(out_dir, "text_itn"), itn_rows)
-    write_scp(os.path.join(out_dir, "text_tn"), tn_rows)
-    store_transcripts(os.path.join(out_dir, "hypos.txt"),
+    write_scp(os.path.join(out_dir, itn_name), itn_rows)
+    write_scp(os.path.join(out_dir, tn_name), tn_rows)
+    store_transcripts(os.path.join(out_dir, hypos_name),
                       [(k, "", h) for k, h in hyp_rows] if not results else results)
     if results:
-        with open(os.path.join(out_dir, "wer.txt"), "w") as f:
+        with open(os.path.join(out_dir, stats_name), "w") as f:
             write_error_stats(f, "kaldi", results)
     with open(os.path.join(out_dir, "inference_time.txt"), "w") as f:
         f.write(f"Inference time: {elapsed} seconds\n")
@@ -160,11 +187,24 @@ def run_shard(pipe, shard, texts, out_dir, batch_size, itn,
 
 def main():
     args = get_args()
+    if args.device and args.device.startswith("cpu"):
+        # the package __init__ already ran (python -m imports it before
+        # main), so set the jax config directly — backends are not
+        # initialized until the first device op, so this still lands
+        os.environ.setdefault("FUN_ASR_PLATFORM", "cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from ..data.kaldi import merge_results, read_scp, read_scp_dict, split_scp
     from ..pipeline import BatchPipeline
 
+    args.itn = bool(args.itn)
     scp = read_scp(args.wav_scp)
     texts = read_scp_dict(args.text) if args.text else None
+    shard_files = (args.output_file, args.stats_file,
+                   args.result_text_itn, args.result_text_tn)
+    merge_files = ("text", args.result_text_itn, args.result_text_tn,
+                   args.output_file)
 
     if args.distributed:
         import jax
@@ -187,12 +227,13 @@ def main():
 
         mesh = make_mesh(tp=args.tp)
 
+    prompt_lang = args.language if args.language in ("zh", "en") else None
     pipe = BatchPipeline(
         args.model_dir, dtype=args.dtype,
         enable_engine=not args.disable_engine,
-        max_num_seqs=args.batch_size, itn=args.itn, language=args.language,
+        max_num_seqs=args.batch_size, itn=args.itn, language=prompt_lang,
         max_tokens=args.max_tokens, mesh=mesh, quantize=args.quantize,
-        packed=args.packed,
+        packed=args.packed, vllm_model_dir=args.vllm_model_dir,
     )
 
     if args.distributed:
@@ -203,7 +244,7 @@ def main():
         shards = split_scp(scp, n)
         d = os.path.join(args.output_dir, f"process_{pid}")
         run_shard(pipe, shards[pid], texts, d, args.batch_size, args.itn,
-                  args.sort_by_duration)
+                  args.sort_by_duration, args.language, shard_files)
         # every host must finish its shard before process 0 merges
         multihost_utils.sync_global_devices("infer_kaldidata_shards_done")
         if pid == 0:
@@ -211,7 +252,7 @@ def main():
                 [os.path.join(args.output_dir, f"process_{i}")
                  for i in range(n)],
                 args.output_dir,
-                filenames=("text", "text_itn", "text_tn", "hypos.txt"),
+                filenames=merge_files,
             )
     elif args.multiprocess:
         n_shards = max(1, len(args.gpu_list.split(",")))
@@ -220,15 +261,16 @@ def main():
         for i, shard in enumerate(shards):
             d = os.path.join(args.output_dir, f"process_{i}")
             run_shard(pipe, shard, texts, d, args.batch_size, args.itn,
-                  args.sort_by_duration)
+                      args.sort_by_duration, args.language, shard_files)
             part_dirs.append(d)
         merge_results(
             part_dirs, args.output_dir,
-            filenames=("text", "text_itn", "text_tn", "hypos.txt"),
+            filenames=merge_files,
         )
     else:
-        run_shard(pipe, scp, texts, args.output_dir, args.batch_size, args.itn,
-                  args.sort_by_duration)
+        run_shard(pipe, scp, texts, args.output_dir, args.batch_size,
+                  args.itn, args.sort_by_duration, args.language,
+                  shard_files)
     print(f"done → {args.output_dir}")
 
 

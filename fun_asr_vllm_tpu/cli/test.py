@@ -15,16 +15,21 @@ import os
 def get_args():
     p = argparse.ArgumentParser(description="FunASRNano single-utterance decode")
     p.add_argument("--model_dir", type=str, required=True)
-    p.add_argument("--wav", type=str, default=None,
-                   help="default: {model_dir}/example/zh.mp3 (reference README.md:52)")
+    p.add_argument("--wav", "--audio_in", dest="wav", type=str, default=None,
+                   help="default: {model_dir}/example/zh.mp3 (reference "
+                        "README.md:52; --audio_in is the reference's name)")
+    p.add_argument("--device", type=str, default=None,
+                   help="'cpu' forces the CPU backend; CUDA names are "
+                        "accepted for reference parity and ignored on TPU")
     p.add_argument("--enable_vllm", action="store_true", default=True)
     p.add_argument("--no_vllm", dest="enable_vllm", action="store_false")
     p.add_argument("--top_p", type=float, default=0.001)
     p.add_argument("--max_tokens", type=int, default=500)
     p.add_argument("--gpu_memory_utilization", type=float, default=0.4)
     p.add_argument("--max_num_seqs", type=int, default=16)
-    p.add_argument("--itn", action="store_true", default=True)
-    p.add_argument("--no_itn", dest="itn", action="store_false")
+    p.add_argument("--itn", nargs="?", const=1, type=int, default=1,
+                   help="1/0 (reference style); bare --itn enables")
+    p.add_argument("--no_itn", dest="itn", action="store_const", const=0)
     p.add_argument("--language", type=str, default=None)
     p.add_argument("--hotwords", type=str, default="",
                    help="comma-separated hotword list")
@@ -37,6 +42,15 @@ def get_args():
 
 def main():
     args = get_args()
+    args.itn = bool(args.itn)
+    if args.device and args.device.startswith("cpu"):
+        # the package __init__ already ran (python -m imports it before
+        # main), so set the jax config directly — backends are not
+        # initialized until the first device op, so this still lands
+        os.environ.setdefault("FUN_ASR_PLATFORM", "cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from ..models.nano import FunASRNano
 
     m, kwargs = FunASRNano.from_pretrained(

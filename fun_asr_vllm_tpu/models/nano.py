@@ -588,15 +588,20 @@ class FunASRNano:
     @staticmethod
     def from_pretrained(
         model: str = None, device: str = None, dtype: str = "bfloat16",
-        apply_lora: bool = True, **kwargs,
+        apply_lora: bool = True, llm_dir: str = None, **kwargs,
     ) -> Tuple["FunASRNano", Dict]:
         """Build from a model dir (config.yaml [+ model.safetensors]).
 
         Returns (model, kwargs) with tokenizer/frontend like the reference's
         AutoModel.build_model contract (reference model.py:710-718). Missing
-        weights random-initialize with a warning (benchmark/test mode)."""
+        weights random-initialize with a warning (benchmark/test mode).
+        `llm_dir` overrides the decoder weight dir from the config's
+        llm_conf.init_param_path (the --vllm_model_dir analogue,
+        reference infer_kaldidata.py:386-391)."""
         jdtype = _resolve_dtype(dtype)
         cfg = NanoModelConfig.from_dir(model)
+        if llm_dir:
+            cfg.llm_conf["init_param_path"] = llm_dir
         enc_cfg = encoder_mod.SANMEncoderConfig.from_conf(
             cfg.audio_encoder_conf, input_size=cfg.input_size, dtype=jdtype
         )

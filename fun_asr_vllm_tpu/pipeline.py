@@ -39,9 +39,10 @@ class BatchPipeline:
         quantize=None,
         packed: bool = False,
         kv_cache_dtype=None,
+        vllm_model_dir: Optional[str] = None,
     ) -> None:
         self.model, self.kwargs = FunASRNano.from_pretrained(
-            model=model_dir, dtype=dtype
+            model=model_dir, dtype=dtype, llm_dir=vllm_model_dir
         )
         m = self.model
         if mesh is not None:

@@ -102,6 +102,27 @@ class TestInferKaldidata:
         wer_text = (out / "wer.txt").read_text()
         assert "%WER" in wer_text
 
+    def test_custom_output_filenames(self, kaldi_setup, tmp_path):
+        """--output_file/--stats_file/--result_text_itn/--result_text_tn
+        rename the shard outputs (reference infer_kaldidata.py:356-379)."""
+        from fun_asr_vllm_tpu.cli.infer_kaldidata import run_shard
+        from fun_asr_vllm_tpu.pipeline import BatchPipeline
+
+        root, model_dir = kaldi_setup
+        pipe = BatchPipeline(str(model_dir), dtype="float32",
+                             enable_engine=False, max_tokens=3)
+        scp = read_scp(root / "wav.scp")
+        texts = read_scp_dict(root / "text")
+        out = tmp_path / "custom"
+        run_shard(pipe, scp, texts, str(out), batch_size=2, itn=False,
+                  language="zh",
+                  filenames=("hyp.out", "stats.out", "itn.out", "tn.out"))
+        for name in ("hyp.out", "stats.out", "itn.out", "tn.out"):
+            assert (out / name).exists(), name
+        assert not (out / "hypos.txt").exists()
+        # itn=False: the itn file carries the raw hypothesis text
+        assert read_scp(out / "itn.out") == read_scp(out / "text")
+
     def test_multiprocess_shard_merge(self, kaldi_setup, tmp_path):
         from fun_asr_vllm_tpu.cli.infer_kaldidata import run_shard
         from fun_asr_vllm_tpu.data.kaldi import merge_results, split_scp
