@@ -14,10 +14,18 @@ from ..text.zh_itn import inverse_normalize_text
 
 def main():
     ap = argparse.ArgumentParser(description="Kaldi text → text_itn")
-    ap.add_argument("--text", required=True)
-    ap.add_argument("--out", required=True)
+    # -i/-o/-n/-g are the reference's short aliases
+    # (kaldi_text_normalizer.py:154-159); --wav_scp/--mos_res are its
+    # long names for the input/output text files
+    ap.add_argument("-i", "--text", "--wav_scp", dest="text",
+                    required=True)
+    ap.add_argument("-o", "--out", "--mos_res", dest="out",
+                    required=True)
     ap.add_argument("--language", default="auto")
-    ap.add_argument("--num_workers", type=int, default=1)
+    ap.add_argument("-n", "--num_workers", "--num_thread",
+                    dest="num_workers", type=int, default=1)
+    ap.add_argument("-g", "--gpu_ids", default="0",
+                    help="accepted for reference parity (CPU tool)")
     ap.add_argument("--use_processes", action="store_true")
     args = ap.parse_args()
     process_scp(

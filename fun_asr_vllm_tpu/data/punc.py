@@ -65,11 +65,17 @@ def make_punctuator(model_dir: str = None):
 
 def main():
     ap = argparse.ArgumentParser(description="add punctuation to Kaldi text")
-    ap.add_argument("--text", required=True, help="input Kaldi text")
-    ap.add_argument("--out", required=True, help="output text_punc")
+    # short aliases per the reference MP driver (run_add_punc.py)
+    ap.add_argument("-i", "--text", "--wav_scp", dest="text",
+                    required=True, help="input Kaldi text")
+    ap.add_argument("-o", "--out", "--mos_res", dest="out",
+                    required=True, help="output text_punc")
     ap.add_argument("--model_dir", default=None,
                     help="ct-punc checkpoint dir (rule-based fallback)")
-    ap.add_argument("--num_workers", type=int, default=1)
+    ap.add_argument("-n", "--num_workers", "--num_thread",
+                    dest="num_workers", type=int, default=1)
+    ap.add_argument("-g", "--gpu_ids", default="0",
+                    help="accepted for reference parity")
     args = ap.parse_args()
     punc = make_punctuator(args.model_dir)
     process_scp(args.text, args.out, lambda k, v: punc(v),

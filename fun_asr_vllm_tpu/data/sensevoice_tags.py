@@ -91,13 +91,31 @@ def tag_scp(
 
 def main():
     ap = argparse.ArgumentParser(description="tag wav.scp with lang/emo/event")
-    ap.add_argument("--wav_scp", required=True)
+    # -i/-o/-g/-n/-b/-w per the reference (run_sense_voice.py:179-186);
+    # -o/--mos_res takes the reference's output file path and the
+    # sidecars land next to it
+    ap.add_argument("-i", "--wav_scp", dest="wav_scp", required=True)
     ap.add_argument("--text", default=None)
-    ap.add_argument("--out_dir", required=True)
+    ap.add_argument("--out_dir", default=None)
+    ap.add_argument("-o", "--mos_res", dest="mos_res", default=None,
+                    help="reference-style output path; its directory "
+                         "becomes --out_dir")
+    ap.add_argument("-g", "--gpu_ids", default="0",
+                    help="accepted for reference parity")
+    ap.add_argument("-n", "--num_thread", type=int, default=1,
+                    help="accepted for reference parity")
+    ap.add_argument("-b", "--batch_size", type=int, default=4,
+                    help="accepted for reference parity")
+    ap.add_argument("-w", "--num_workers", type=int, default=2,
+                    help="accepted for reference parity")
     ap.add_argument("--model_dir", default=None,
                     help="SenseVoiceSmall checkpoint dir (heuristic "
                          "fallback when absent)")
     args = ap.parse_args()
+    if not args.out_dir:
+        if not args.mos_res:
+            ap.error("--out_dir (or -o/--mos_res) is required")
+        args.out_dir = os.path.dirname(os.path.abspath(args.mos_res))
     n = tag_scp(args.wav_scp, args.out_dir,
                 tagger=make_tagger(args.model_dir), text_path=args.text)
     print(f"tagged {n} utts → {args.out_dir}")
