@@ -2,47 +2,86 @@
 prepare_domain_asr_dataset.py:1-641 surface).
 
 End-to-end: audio dir (+ labels from an Excel/CSV table「音频名称/标注后文本」
-or per-file .txt sidecars) → Kaldi dir (wav.scp/text/wav2dur/utt2spk/
-spk2utt) → duration filter [0.1, 40] s → text_tn/text_itn (pre-computed
-``*_tn.txt``/``*_itn.txt`` pass-through honored) → train/test split →
-training JSONL → prepare_meta.json.
+— auto-discovered .xlsx unless --ignore_excel — or per-file .txt sidecars)
+→ Kaldi dir (wav.scp/text/wav2dur/utt2spk/spk2utt) → duration filter
+[0.1, 40] s with threaded probing → text_tn/text_itn (recursively merged
+precomputed ``*_tn.txt``/``*_itn.txt`` pass-through honored; text_tn is
+punct-stripped by default, full TN behind --apply_text_tn, reference
+:200-209) → SenseVoice tagging sidecars (--skip_sense_voice to skip)
+→ optional --split_train_test → training JSONL (all + train/test)
+→ prepare_meta.json.
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import random
 import re
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Tuple
 
 from ..audio.io import read_wav
+from ..text.normalize import remove_angle_bracket_content
 from ..text.tn_api import normalize_text
 from ..text.zh_itn import inverse_normalize_text
 from .jsonl import scp_to_nano_jsonl, scp_to_svs_jsonl
-from .kaldi import fix_data_dir, utt2spk_to_spk2utt, write_scp
+from .kaldi import fix_data_dir, read_scp, utt2spk_to_spk2utt, write_scp
 
-AUDIO_EXTS = (".wav", ".flac", ".mp3", ".m4a", ".ogg", ".pcm")
+DEFAULT_FORMATS = "wav,flac,mp3"
+
+#: punctuation stripped from text_tn when full TN is off (reference
+#: _PUNCT_STRIP, :196-198)
+_PUNCT_STRIP = re.compile(
+    "[，。！？、；：“”‘’（）《》【】…—"
+    r",.!?;:\"'()<>\[\]{}~`@#$%^&*+=|\\/-]")
 
 
-def collect_audio(audio_dir: str) -> List[Tuple[str, str]]:
+def _norm_key(name: str) -> str:
+    return re.sub(r"[^\w\-]", "_", name)
+
+
+def collect_audio(
+    audio_dir: str,
+    formats: str = DEFAULT_FORMATS,
+    utt_key_mode: str = "basename",
+) -> List[Tuple[str, str]]:
+    """Recursive audio scan; keys from the basename or the relative path
+    (reference --utt_key_mode, :553-558)."""
+    exts = tuple("." + f.strip().lstrip(".").lower()
+                 for f in formats.split(",") if f.strip())
     items = []
     for root, _dirs, files in os.walk(audio_dir):
         for fn in sorted(files):
-            if fn.lower().endswith(AUDIO_EXTS):
-                key = re.sub(r"[^\w\-]", "_", os.path.splitext(fn)[0])
-                items.append((key, os.path.join(root, fn)))
+            if not fn.lower().endswith(exts):
+                continue
+            path = os.path.join(root, fn)
+            if utt_key_mode == "relpath":
+                rel = os.path.relpath(path, audio_dir)
+                key = _norm_key(os.path.splitext(rel)[0])
+            else:
+                key = _norm_key(os.path.splitext(fn)[0])
+            items.append((key, path))
     return items
 
 
 def load_labels(
-    audio_dir: str, label_table: Optional[str] = None
+    audio_dir: str,
+    label_table: Optional[str] = None,
+    ignore_excel: bool = False,
 ) -> Dict[str, str]:
-    """Labels from a CSV/Excel table (columns 音频名称/标注后文本) or
-    per-file .txt sidecars (reference :266-425)."""
+    """Labels from a CSV/Excel table (columns 音频名称/标注后文本; .xlsx
+    auto-discovered in the audio dir unless ignore_excel) or per-file
+    .txt sidecars (reference :266-425, 551-552)."""
+    if label_table is None and not ignore_excel:
+        found = sorted(glob.glob(os.path.join(audio_dir, "**", "*.xlsx"),
+                                 recursive=True))
+        if found:
+            label_table = found[0]
     labels: Dict[str, str] = {}
-    if label_table:
+    if label_table and not ignore_excel:
         import pandas as pd
 
         df = (pd.read_excel(label_table) if label_table.endswith(
@@ -56,14 +95,14 @@ def load_labels(
             df.columns[-1],
         )
         for _, row in df.iterrows():
-            key = re.sub(r"[^\w\-]", "_",
-                         os.path.splitext(str(row[name_col]))[0])
+            key = _norm_key(os.path.splitext(str(row[name_col]))[0])
             labels[key] = str(row[text_col]).strip()
         return labels
     for root, _dirs, files in os.walk(audio_dir):
         for fn in files:
-            if fn.endswith(".txt"):
-                key = re.sub(r"[^\w\-]", "_", os.path.splitext(fn)[0])
+            if fn.endswith(".txt") and not fn.endswith(("_tn.txt",
+                                                        "_itn.txt")):
+                key = _norm_key(os.path.splitext(fn)[0])
                 with open(os.path.join(root, fn), encoding="utf-8") as f:
                     labels[key] = f.read().strip()
     return labels
@@ -77,6 +116,56 @@ def probe_duration(path: str) -> float:
         return -1.0
 
 
+def to_text_tn(raw: str, apply_tn: bool = False) -> str:
+    """Default: tag strip + punctuation strip; full TN grammar behind
+    apply_tn (reference _to_text_tn, :200-209)."""
+    t = remove_angle_bracket_content(raw).strip()
+    if not t:
+        return t
+    if apply_tn:
+        return normalize_text(t)
+    t = _PUNCT_STRIP.sub("", t)
+    return re.sub(r"\s+", " ", t).strip()
+
+
+def to_text_itn(raw: str) -> str:
+    t = remove_angle_bracket_content(raw).strip()
+    return inverse_normalize_text(t) if t else t
+
+
+def load_precomputed_tn_itn(
+    audio_dir: str,
+) -> Tuple[Optional[Dict[str, str]], Optional[Dict[str, str]], Dict]:
+    """Recursively merge ``*_tn.txt``/``*_itn.txt`` pairs; later files
+    win on conflicting keys with a warning (reference :219-258)."""
+    meta: Dict = {}
+    tn_paths = sorted(glob.glob(os.path.join(audio_dir, "**", "*_tn.txt"),
+                                recursive=True))
+    itn_paths = sorted(glob.glob(os.path.join(audio_dir, "**", "*_itn.txt"),
+                                 recursive=True))
+    if not tn_paths or not itn_paths:
+        meta["precomputed_tn_itn"] = False
+        return None, None, meta
+
+    def merge(paths, label):
+        merged: Dict[str, str] = {}
+        for p in paths:
+            for line in open(p, encoding="utf-8"):
+                parts = line.strip().split(maxsplit=1)
+                if len(parts) != 2:
+                    continue
+                k, v = parts
+                if k in merged and merged[k] != v:
+                    print(f"warning: {label} key {k!r} differs in {p}; "
+                          f"keeping the later file")
+                merged[k] = v
+        return merged
+
+    meta.update(precomputed_tn_itn=True,
+                tn_files=tn_paths, itn_files=itn_paths)
+    return merge(tn_paths, "TN"), merge(itn_paths, "ITN"), meta
+
+
 def build_kaldi_and_texts(
     audio_dir: str,
     out_dir: str,
@@ -84,20 +173,27 @@ def build_kaldi_and_texts(
     min_duration: float = 0.1,
     max_duration: float = 40.0,
     spk_prefix: str = "spk",
+    formats: str = DEFAULT_FORMATS,
+    utt_key_mode: str = "basename",
+    ignore_excel: bool = False,
+    apply_text_tn: bool = False,
+    ignore_precomputed_tn_itn: bool = False,
+    dur_workers: int = 8,
 ) -> Dict:
     """→ meta dict; writes wav.scp/text/wav2dur/utt2spk/spk2utt +
     text_tn/text_itn (pass-through of precomputed *_tn/_itn.txt honored)."""
     os.makedirs(out_dir, exist_ok=True)
-    audio = collect_audio(audio_dir)
-    labels = load_labels(audio_dir, label_table)
+    audio = collect_audio(audio_dir, formats, utt_key_mode)
+    labels = load_labels(audio_dir, label_table, ignore_excel)
+
+    labeled = [(k, p) for k, p in audio if k in labels]
+    skipped_label = len(audio) - len(labeled)
+    with ThreadPoolExecutor(max_workers=max(1, dur_workers)) as ex:
+        durations = list(ex.map(lambda kp: probe_duration(kp[1]), labeled))
 
     wav_rows, text_rows, dur_rows, u2s_rows = [], [], [], []
-    skipped_dur = skipped_label = 0
-    for key, path in audio:
-        if key not in labels:
-            skipped_label += 1
-            continue
-        dur = probe_duration(path)
+    skipped_dur = 0
+    for (key, path), dur in zip(labeled, durations):
         if not (min_duration <= dur <= max_duration):
             skipped_dur += 1
             continue
@@ -113,28 +209,22 @@ def build_kaldi_and_texts(
     write_scp(os.path.join(out_dir, "spk2utt"), utt2spk_to_spk2utt(u2s_rows))
     fix_data_dir(out_dir)
 
-    # TN/ITN (precomputed sidecars pass through — reference :233-259)
-    pre_tn = os.path.join(audio_dir, "text_tn.txt")
-    pre_itn = os.path.join(audio_dir, "text_itn.txt")
+    # TN/ITN (recursively merged precomputed sidecars pass through —
+    # reference :219-258 — unless --ignore_precomputed_tn_itn)
     text_map = dict(text_rows)
-    if os.path.exists(pre_tn):
-        import shutil
-
-        shutil.copy(pre_tn, os.path.join(out_dir, "text_tn"))
-    else:
-        write_scp(
-            os.path.join(out_dir, "text_tn"),
-            [(k, normalize_text(v)) for k, v in text_map.items()],
-        )
-    if os.path.exists(pre_itn):
-        import shutil
-
-        shutil.copy(pre_itn, os.path.join(out_dir, "text_itn"))
-    else:
-        write_scp(
-            os.path.join(out_dir, "text_itn"),
-            [(k, inverse_normalize_text(v)) for k, v in text_map.items()],
-        )
+    tn_map = itn_map = None
+    pre_meta: Dict = {}
+    if not ignore_precomputed_tn_itn:
+        tn_map, itn_map, pre_meta = load_precomputed_tn_itn(audio_dir)
+    if tn_map is None:
+        tn_map = {k: to_text_tn(v, apply_text_tn)
+                  for k, v in text_map.items()}
+    if itn_map is None:
+        itn_map = {k: to_text_itn(v) for k, v in text_map.items()}
+    write_scp(os.path.join(out_dir, "text_tn"),
+              [(k, tn_map[k]) for k, _ in wav_rows if k in tn_map])
+    write_scp(os.path.join(out_dir, "text_itn"),
+              [(k, itn_map[k]) for k, _ in wav_rows if k in itn_map])
 
     meta = {
         "audio_dir": audio_dir,
@@ -145,6 +235,7 @@ def build_kaldi_and_texts(
         "skipped_no_label": skipped_label,
         "total_duration_s": sum(float(d) for _, d in dur_rows),
         "duration_filter": [min_duration, max_duration],
+        **pre_meta,
     }
     with open(os.path.join(out_dir, "prepare_meta.json"), "w") as f:
         json.dump(meta, f, ensure_ascii=False, indent=2)
@@ -152,13 +243,11 @@ def build_kaldi_and_texts(
 
 
 def split_train_test(
-    data_dir: str, test_ratio: float = 0.05, seed: int = 17,
-    min_test: int = 1,
+    data_dir: str, test_ratio: float = 0.1, seed: int = 42,
+    min_test: int = 1, sensevoice_prefix_name: str = "sense_voice",
 ) -> Tuple[str, str]:
     """Random utterance split into {data_dir}/train and {data_dir}/test
-    (reference :451-518)."""
-    from .kaldi import read_scp
-
+    (reference :451-518), carrying the SenseVoice sidecars along."""
     wav = read_scp(os.path.join(data_dir, "wav.scp"))
     keys = [k for k, _ in wav]
     rng = random.Random(seed)
@@ -166,10 +255,12 @@ def split_train_test(
     n_test = max(min_test, int(len(keys) * test_ratio)) if keys else 0
     test_keys = set(keys[:n_test])
 
+    names = ["wav.scp", "text", "wav2dur", "utt2spk", "text_tn",
+             "text_itn"] + [f"{sensevoice_prefix_name}_{s}"
+                            for s in ("language", "emotion", "event")]
     for split in ("train", "test"):
         os.makedirs(os.path.join(data_dir, split), exist_ok=True)
-    for name in ("wav.scp", "text", "wav2dur", "utt2spk", "text_tn",
-                 "text_itn"):
+    for name in names:
         p = os.path.join(data_dir, name)
         if not os.path.exists(p):
             continue
@@ -183,30 +274,94 @@ def split_train_test(
     return os.path.join(data_dir, "train"), os.path.join(data_dir, "test")
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser(description="audio dir → Kaldi dir + JSONL")
     ap.add_argument("--audio_dir", required=True)
-    ap.add_argument("--output_dir", required=True)
-    ap.add_argument("--label_table", default=None,
-                    help="Excel/CSV with 音频名称/标注后文本 columns")
+    ap.add_argument("--output_dir", "--out_dir", dest="output_dir",
+                    required=True)
+    ap.add_argument("--formats", default=DEFAULT_FORMATS,
+                    help="comma-separated audio extensions")
+    ap.add_argument("--label_table", "--excel", dest="label_table",
+                    default=None,
+                    help="Excel/CSV with 音频名称/标注后文本 columns "
+                         "(auto-discovers a .xlsx when omitted)")
+    ap.add_argument("--ignore_excel", action="store_true",
+                    help="pair per-file .txt labels even when a .xlsx exists")
+    ap.add_argument("--utt_key_mode", choices=("basename", "relpath"),
+                    default="basename")
+    ap.add_argument("--apply_text_tn", action="store_true",
+                    help="full TN grammar for text_tn (default: tag + "
+                         "punctuation strip only, reference :200-209)")
+    ap.add_argument("--ignore_precomputed_tn_itn", action="store_true")
     ap.add_argument("--min_duration", type=float, default=0.1)
     ap.add_argument("--max_duration", type=float, default=40.0)
-    ap.add_argument("--test_ratio", type=float, default=0.05)
-    ap.add_argument("--jsonl_format", choices=["nano", "svs", "none"],
+    ap.add_argument("--dur_workers", type=int, default=8)
+    ap.add_argument("--skip_sense_voice", action="store_true")
+    ap.add_argument("--sensevoice_prefix_name", default="sense_voice")
+    ap.add_argument("--sensevoice_model_dir", default=None,
+                    help="SenseVoiceSmall dir (heuristic tagger when absent)")
+    ap.add_argument("--gpu_ids", default="0",
+                    help="accepted for reference parity")
+    ap.add_argument("--sensevoice_threads", type=int, default=1)
+    ap.add_argument("--sensevoice_batch_size", type=int, default=32)
+    ap.add_argument("--sensevoice_num_workers", type=int, default=2)
+    ap.add_argument("--split_train_test", action="store_true")
+    ap.add_argument("--test_ratio", type=float, default=0.1)
+    ap.add_argument("--split_seed", type=int, default=42)
+    ap.add_argument("--no_jsonl", action="store_true")
+    ap.add_argument("--jsonl_all", default=None,
+                    help="default: <out_dir>/all.jsonl")
+    ap.add_argument("--jsonl_train", default=None)
+    ap.add_argument("--jsonl_test", default=None)
+    ap.add_argument("--jsonl_format", choices=["nano", "svs"],
                     default="svs")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     meta = build_kaldi_and_texts(
         args.audio_dir, args.output_dir, args.label_table,
         args.min_duration, args.max_duration,
+        formats=args.formats, utt_key_mode=args.utt_key_mode,
+        ignore_excel=args.ignore_excel, apply_text_tn=args.apply_text_tn,
+        ignore_precomputed_tn_itn=args.ignore_precomputed_tn_itn,
+        dur_workers=args.dur_workers,
     )
     print(json.dumps(meta, ensure_ascii=False, indent=2))
-    train_dir, test_dir = split_train_test(args.output_dir, args.test_ratio)
-    if args.jsonl_format != "none":
-        fn = scp_to_nano_jsonl if args.jsonl_format == "nano" else scp_to_svs_jsonl
-        for d in (train_dir, test_dir):
-            n = fn(d, os.path.join(d, f"{args.jsonl_format}.jsonl"))
-            print(f"{d}: {n} jsonl lines")
+
+    if not args.skip_sense_voice:
+        # in-process tagger (the reference shells out to
+        # run_sense_voice.py, :426-448)
+        from .sensevoice_tags import make_tagger, tag_scp
+
+        tag_scp(os.path.join(args.output_dir, "wav.scp"), args.output_dir,
+                tagger=make_tagger(args.sensevoice_model_dir),
+                prefix=args.sensevoice_prefix_name)
+    else:
+        print("skipped SenseVoice (--skip_sense_voice)")
+
+    dirs = [args.output_dir]
+    if args.split_train_test:
+        train_dir, test_dir = split_train_test(
+            args.output_dir, args.test_ratio, args.split_seed,
+            sensevoice_prefix_name=args.sensevoice_prefix_name,
+        )
+        dirs += [train_dir, test_dir]
+
+    if args.no_jsonl:
+        print("skipped JSONL (--no_jsonl)")
+        return
+    fn = scp_to_nano_jsonl if args.jsonl_format == "nano" else scp_to_svs_jsonl
+    outs = {
+        args.output_dir: args.jsonl_all
+        or os.path.join(args.output_dir, "all.jsonl"),
+    }
+    if args.split_train_test:
+        outs[dirs[1]] = (args.jsonl_train
+                         or os.path.join(args.output_dir, "train.jsonl"))
+        outs[dirs[2]] = (args.jsonl_test
+                         or os.path.join(args.output_dir, "test.jsonl"))
+    for d, out in outs.items():
+        n = fn(d, out)
+        print(f"{d}: {n} jsonl lines → {out}")
 
 
 if __name__ == "__main__":

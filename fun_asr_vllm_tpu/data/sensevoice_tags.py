@@ -71,6 +71,7 @@ def tag_scp(
     out_dir: str,
     tagger: Callable[[str, str, str], str] = None,
     text_path: str = None,
+    prefix: str = "sense_voice",
 ) -> int:
     tagger = tagger or HeuristicTagger()
     items = read_scp(wav_scp_path)
@@ -83,9 +84,9 @@ def tag_scp(
         emos.append((key, emo))
         events.append((key, event))
     os.makedirs(out_dir, exist_ok=True)
-    write_scp(os.path.join(out_dir, "sense_voice_language"), langs)
-    write_scp(os.path.join(out_dir, "sense_voice_emotion"), emos)
-    write_scp(os.path.join(out_dir, "sense_voice_event"), events)
+    write_scp(os.path.join(out_dir, f"{prefix}_language"), langs)
+    write_scp(os.path.join(out_dir, f"{prefix}_emotion"), emos)
+    write_scp(os.path.join(out_dir, f"{prefix}_event"), events)
     return len(items)
 
 

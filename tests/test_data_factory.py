@@ -115,6 +115,81 @@ class TestJsonl:
         assert count_text_units("你好world 123") == 4  # 你 好 world 123
 
 
+class TestPrepareDomain:
+    @staticmethod
+    def _audio_dir(tmp_path, n=4):
+        rng = np.random.default_rng(0)
+        d = tmp_path / "raw"
+        d.mkdir()
+        for i in range(n):
+            wav = rng.normal(scale=0.05, size=16000).astype(np.float32)
+            write_wav(d / f"a{i}.wav", wav, 16000)
+            (d / f"a{i}.txt").write_text(f"第{i}句，有25个字！")
+        return d
+
+    def test_end_to_end_cli(self, tmp_path):
+        from fun_asr_vllm_tpu.data.prepare_domain import main
+
+        d = self._audio_dir(tmp_path)
+        out = tmp_path / "out"
+        main(["--audio_dir", str(d), "--out_dir", str(out),
+              "--split_train_test", "--test_ratio", "0.25",
+              "--jsonl_format", "svs"])
+        for name in ("wav.scp", "text", "wav2dur", "utt2spk", "spk2utt",
+                     "text_tn", "text_itn", "prepare_meta.json",
+                     "sense_voice_language", "all.jsonl", "train.jsonl",
+                     "test.jsonl"):
+            assert (out / name).exists(), name
+        # default text_tn is punct-strip only (reference :200-209):
+        # the ！ is gone but 25 stays undigitized
+        tn = dict(read_scp(out / "text_tn"))
+        assert tn["a0"] == "第0句有25个字"
+        # split partitions the keys
+        train = [k for k, _ in read_scp(out / "train" / "wav.scp")]
+        test = [k for k, _ in read_scp(out / "test" / "wav.scp")]
+        assert sorted(train + test) == ["a0", "a1", "a2", "a3"]
+        assert len(test) == 1
+        meta = json.loads((out / "prepare_meta.json").read_text())
+        assert meta["num_kept"] == 4
+
+    def test_apply_text_tn_and_precomputed(self, tmp_path):
+        from fun_asr_vllm_tpu.data.prepare_domain import (
+            build_kaldi_and_texts, to_text_tn,
+        )
+
+        d = self._audio_dir(tmp_path, n=2)
+        # full TN digit verbalization behind the flag
+        assert to_text_tn("有25个字！", apply_tn=True) == "有二十五个字"
+        # precomputed *_tn.txt/*_itn.txt pass through recursively merged
+        (d / "labels_tn.txt").write_text("a0 预先规整零\na1 预先规整一\n")
+        (d / "labels_itn.txt").write_text("a0 预先ITN0\na1 预先ITN1\n")
+        out = tmp_path / "out2"
+        build_kaldi_and_texts(str(d), str(out))
+        assert dict(read_scp(out / "text_tn"))["a0"] == "预先规整零"
+        assert dict(read_scp(out / "text_itn"))["a1"] == "预先ITN1"
+        # --ignore_precomputed_tn_itn regenerates from text
+        out3 = tmp_path / "out3"
+        build_kaldi_and_texts(str(d), str(out3),
+                              ignore_precomputed_tn_itn=True)
+        assert dict(read_scp(out3 / "text_tn"))["a0"] == "第0句有25个字"
+
+    def test_formats_and_relpath_keys(self, tmp_path):
+        from fun_asr_vllm_tpu.data.prepare_domain import collect_audio
+
+        d = self._audio_dir(tmp_path, n=1)
+        sub = d / "sub"
+        sub.mkdir()
+        rng = np.random.default_rng(1)
+        write_wav(sub / "b.wav", rng.normal(
+            scale=0.05, size=8000).astype(np.float32), 16000)
+        (sub / "c.flac").write_bytes(b"not really flac")
+        items = collect_audio(str(d), formats="wav",
+                              utt_key_mode="relpath")
+        keys = [k for k, _ in items]
+        assert "sub_b" in keys and "a0" in keys
+        assert not any("c" == k for k in keys)
+
+
 class TestVAD:
     def test_segments_speech_and_silence(self):
         from fun_asr_vllm_tpu.data.vad import EnergyVAD, VADConfig
