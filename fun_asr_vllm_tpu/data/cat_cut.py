@@ -712,6 +712,9 @@ def parse_args(argv=None):
     p4.add_argument("--asr_model", required=True,
                     help="model dir for the TPU pipeline")
     p4.add_argument("--batch_size", type=int, default=16)
+    p4.add_argument("--device", default=None,
+                    help="accepted for reference parity (run_audio_cat_cut"
+                         ".py:1015); 'cpu' forces the CPU backend")
     p4.add_argument("--multichannel_downmix", action="store_true")
 
     pm = sub.add_parser("align_split_asr",
@@ -731,6 +734,9 @@ def parse_args(argv=None):
     pm.add_argument("--text_type", choices=("tn", "itn"), default="tn")
     pm.add_argument("--asr_model", required=True)
     pm.add_argument("--batch_size", type=int, default=16)
+    pm.add_argument("--device", default=None,
+                    help="accepted for reference parity; 'cpu' forces "
+                         "the CPU backend")
 
     p5 = sub.add_parser("filter_wer", help="Stage 5: row-range WER filter")
     p5.add_argument("--output_dir", required=True)
@@ -745,6 +751,11 @@ def parse_args(argv=None):
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
+    if getattr(args, "device", None) and args.device.startswith("cpu"):
+        import jax
+
+        os.environ.setdefault("FUN_ASR_PLATFORM", "cpu")
+        jax.config.update("jax_platforms", "cpu")
     if args.stage == "concat":
         from .kaldi import read_scp, read_scp_dict
 
