@@ -129,6 +129,31 @@ class TestReferenceClientUnchanged:
         assert isinstance(client.asr_result, str)
         assert client.asr_stream == ""  # cleared by the 2pass-offline final
 
+    def test_reference_asr_check_unchanged(self, ref_client_module,
+                                           server_port, wav_path,
+                                           monkeypatch):
+        """The reference QA gate (asr_check.py) runs unchanged against
+        our server: ASR_Checker.check → reference client → our server →
+        reference compute_wer_line → thresholded verdict."""
+        monkeypatch.syspath_prepend("/root/reference")
+        # ASR_Checker.__init__ calls parse_args() on sys.argv
+        monkeypatch.setattr(sys, "argv", ["asr_check"])
+        spec = importlib.util.spec_from_file_location(
+            "ref_asr_check", "/root/reference/asr_check.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        checker = mod.ASR_Checker(
+            zh_server_host="127.0.0.1", zh_server_port=server_port,
+            en_server_host="127.0.0.1", en_server_port=server_port,
+        )
+        out = checker.check("今天天气不错", wav_path)
+        assert set(out) >= {"stats", "asr_text", "result"}
+        assert isinstance(out["result"], bool)
+        # random-weight transcripts cannot match the reference text
+        assert out["result"] is False
+        assert out["stats"]["wer"] >= 0.3
+
     def test_empty_audio(self, ref_client_module, server_port,
                          tmp_path_factory):
         """Zero-length audio: the reference client sends only the
