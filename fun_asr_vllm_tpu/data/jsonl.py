@@ -167,22 +167,26 @@ def _probe_duration(path: str) -> float:
 
 def _fill_durations(jobs: List[dict], max_workers: Optional[int]) -> List[str]:
     """Threaded duration probing for jobs lacking wav2dur entries
-    (reference scp2nanojsonl.py:246-267). Returns error strings."""
+    (reference scp2nanojsonl.py:246-267). Each distinct wav_path is
+    probed once and shared across its variant jobs. Returns errors."""
     to_fetch = [j for j in jobs if j["duration_sec"] is None]
     errors: List[str] = []
     if not to_fetch:
         return errors
     workers = max_workers or (os.cpu_count() or 4)
-
-    def fetch(j):
-        d = _probe_duration(j["wav_path"])
-        if d <= 0:
-            errors.append(f"{j['key']}: no duration")
-        else:
-            j["duration_sec"] = d
+    paths = sorted({j["wav_path"] for j in to_fetch})
 
     with ThreadPoolExecutor(max_workers=workers) as ex:
-        list(ex.map(fetch, to_fetch))
+        durs = dict(zip(paths, ex.map(_probe_duration, paths)))
+    seen_err = set()
+    for j in to_fetch:
+        d = durs[j["wav_path"]]
+        if d <= 0:
+            if j["key"] not in seen_err:
+                errors.append(f"{j['key']}: no duration")
+                seen_err.add(j["key"])
+        else:
+            j["duration_sec"] = d
     return errors
 
 
@@ -233,9 +237,10 @@ def nano_jsonl(
                          "text": text, "prompt": prompt,
                          "duration_sec": dur})
 
-        if key in text_itn:
+        # empty transcripts are skipped, not emitted as empty targets
+        if text_itn.get(key):
             add(text_itn[key], itn=True)
-        if key in text_tn:
+        if text_tn.get(key):
             add(text_tn[key], itn=False)
 
     errors = _fill_durations(jobs, max_workers)
@@ -317,8 +322,10 @@ def svs_jsonl(
 
     jobs = []
     for key in sorted(set(wav_scp) & (set(text_tn) | set(text_itn))):
-        with_itn = key in text_itn
+        with_itn = bool(text_itn.get(key))
         target = text_itn.get(key) or text_tn.get(key)
+        if not target:  # empty transcript — skip the utterance
+            continue
         dur = None
         if key in wav2dur:
             try:
@@ -395,7 +402,7 @@ def _load(path: Optional[str]) -> Optional[Dict[str, str]]:
     return read_scp_dict(path) if path and os.path.exists(path) else None
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser(
         description="wav.scp + text_tn/text_itn → training JSONL "
                     "(reference scp2nanojsonl.py / scp2svsjsonl.py)")
@@ -427,7 +434,7 @@ def main():
     ap.add_argument("--emotion_file", default=None)
     ap.add_argument("--event_file", default=None)
     ap.add_argument("--tokenizer_dir", default=None)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     tok = None
     if args.tokenizer_dir:
@@ -435,23 +442,10 @@ def main():
 
         tok = load_tokenizer(args.tokenizer_dir)
 
+    # --data_dir is a shorthand for --wav_scp <dir>/wav.scp; all the
+    # explicit-file flags (language/emotion/event/...) apply either way
     if args.data_dir and not args.wav_scp:
-        if args.format == "nano":
-            n = scp_to_nano_jsonl(
-                args.data_dir, args.output, tokenizer=tok,
-                text_language=args.text_language,
-                prompt_lang_seed=args.prompt_lang_seed,
-                enable_hotwords=args.enable_hotwords,
-                hotword_prob=args.hotword_prob,
-                hotword_seed=args.hotword_seed,
-                max_workers=args.max_workers,
-            )
-        else:
-            n = scp_to_svs_jsonl(args.data_dir, args.output,
-                                 max_workers=args.max_workers)
-        print(f"wrote {n} lines → {args.output}")
-        return
-
+        args.wav_scp = os.path.join(args.data_dir, "wav.scp")
     if not args.wav_scp:
         ap.error("--wav_scp (or --data_dir) is required")
     wav = dict(read_scp(args.wav_scp))
@@ -462,6 +456,10 @@ def main():
     text_itn = args.text_itn or os.path.join(wav_dir, "text_itn")
     wav2dur = args.wav2dur or os.path.join(wav_dir, "wav2dur")
     tn_map, itn_map = _load(text_tn), _load(text_itn)
+    if not tn_map and not itn_map:
+        # Kaldi-dir convention: a plain `text` file is the ITN-side
+        # (withitn) transcript source
+        itn_map = _load(os.path.join(wav_dir, "text"))
     if not tn_map and not itn_map:
         raise ValueError("need text_tn or text_itn (flag or sibling file)")
     prefix = args.sensevoice_prefix or os.path.join(wav_dir, "sense_voice")

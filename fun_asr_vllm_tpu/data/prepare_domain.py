@@ -27,7 +27,6 @@ from ..audio.io import read_wav
 from ..text.normalize import remove_angle_bracket_content
 from ..text.tn_api import normalize_text
 from ..text.zh_itn import inverse_normalize_text
-from .jsonl import scp_to_nano_jsonl, scp_to_svs_jsonl
 from .kaldi import fix_data_dir, read_scp, utt2spk_to_spk2utt, write_scp
 
 DEFAULT_FORMATS = "wav,flac,mp3"
@@ -75,13 +74,15 @@ def load_labels(
     """Labels from a CSV/Excel table (columns 音频名称/标注后文本; .xlsx
     auto-discovered in the audio dir unless ignore_excel) or per-file
     .txt sidecars (reference :266-425, 551-552)."""
+    # ignore_excel disables .xlsx auto-discovery only; an explicitly
+    # passed table is always honored
     if label_table is None and not ignore_excel:
         found = sorted(glob.glob(os.path.join(audio_dir, "**", "*.xlsx"),
                                  recursive=True))
         if found:
             label_table = found[0]
     labels: Dict[str, str] = {}
-    if label_table and not ignore_excel:
+    if label_table:
         import pandas as pd
 
         df = (pd.read_excel(label_table) if label_table.endswith(
@@ -349,7 +350,6 @@ def main(argv=None):
     if args.no_jsonl:
         print("skipped JSONL (--no_jsonl)")
         return
-    fn = scp_to_nano_jsonl if args.jsonl_format == "nano" else scp_to_svs_jsonl
     outs = {
         args.output_dir: args.jsonl_all
         or os.path.join(args.output_dir, "all.jsonl"),
@@ -360,8 +360,35 @@ def main(argv=None):
         outs[dirs[2]] = (args.jsonl_test
                          or os.path.join(args.output_dir, "test.jsonl"))
     for d, out in outs.items():
-        n = fn(d, out)
+        n = _emit_jsonl(d, out, args.jsonl_format,
+                        args.sensevoice_prefix_name)
         print(f"{d}: {n} jsonl lines → {out}")
+
+
+def _emit_jsonl(data_dir: str, out_path: str, fmt: str,
+                prefix: str = "sense_voice") -> int:
+    """JSONL over a prepared dir, honoring the configured SenseVoice
+    sidecar prefix (the scp_to_* wrappers assume the default names)."""
+    from .jsonl import nano_jsonl, svs_jsonl
+    from .kaldi import read_scp_dict
+
+    def side(name):
+        p = os.path.join(data_dir, name)
+        return read_scp_dict(p) if os.path.exists(p) else None
+
+    wav = dict(read_scp(os.path.join(data_dir, "wav.scp")))
+    lang = side(f"{prefix}_language") or {}
+    lang = {k: (v if v.startswith("<|") else f"<|{v}|>")
+            for k, v in lang.items()}
+    common = dict(
+        text_tn=side("text_tn"),
+        text_itn=side("text_itn") or side("text"),
+        wav2dur=side("wav2dur"), lang_map=lang,
+    )
+    if fmt == "nano":
+        return nano_jsonl(wav, out_path, **common)
+    return svs_jsonl(wav, out_path, emo_map=side(f"{prefix}_emotion"),
+                     evt_map=side(f"{prefix}_event"), **common)
 
 
 if __name__ == "__main__":

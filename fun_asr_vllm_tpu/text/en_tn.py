@@ -106,10 +106,10 @@ def number_to_english(s: str) -> str:
 
 def time_to_english(h: int, m: int, suffix: str = "") -> str:
     """7:05 → "seven oh five"; 3:00 → "three o'clock"; 3:30 pm →
-    "three thirty p m"."""
+    "three thirty p m". 24h hours read as-is (15:30 → fifteen thirty)."""
     if not 0 <= h <= 23 or not 0 <= m <= 59:
         raise ValueError("not a clock time")
-    hour = int_to_english(h if h <= 12 or suffix else h)
+    hour = int_to_english(h)
     if m == 0:
         out = hour + (" " if suffix else " o'clock")
     elif m < 10:
@@ -153,8 +153,10 @@ def fraction_to_english(num: int, den: int) -> str:
 
 # the reference's EN cleanup keeps apostrophes/hyphens/slashes
 # (kaldi_text_normalizer.py:108); strip the rest
-_PUNCT_RE = re.compile(r"[!\"#$&()*+,./:;<=>?@\[\\\]^_`{|}~]")
+_PUNCT_RE = re.compile(r"[!\"#$&()*+,.:;<=>?@\[\\\]^_`{|}~]")
 _NUM = r"\d+(?:\.\d+)?"
+# digits with optional thousands separators, for symbol-anchored rules
+_CNUM = r"\d{1,3}(?:,\d{3})+(?:\.\d+)?|\d+(?:\.\d+)?"
 
 
 class EnNormalizer:
@@ -162,31 +164,43 @@ class EnNormalizer:
         pass
 
     def normalize(self, text: str) -> str:
-        # comma-grouped numbers are counts — verbalize as cardinals now
-        # so the year-pair reading below can't claim them (1,234 is
-        # "one thousand…", not "twelve thirty four")
-        text = re.sub(r"(?<![\d.])\d{1,3}(?:,\d{3})+(?![\d.])",
-                      lambda m: " " + int_to_english(
-                          int(m.group(0).replace(",", ""))) + " ", text)
         # time-of-day (guard against scores/verse refs by requiring
-        # a valid clock reading)
+        # a valid clock reading); the am/pm group must end at a word
+        # boundary so it can't eat the front of the next word
         def _time(m):
             h, mi, suf = int(m.group(1)), int(m.group(2)), m.group(3) or ""
             try:
                 return " " + time_to_english(h, mi, suf.lower()) + " "
             except ValueError:
                 return m.group(0)
-        text = re.sub(r"\b(\d{1,2}):(\d{2})\s*([ap]\.?m\.?)?(?!\d)",
+        text = re.sub(r"\b(\d{1,2}):(\d{2})\s*([ap]\.?m\.?\b)?(?!\d)",
                       _time, text, flags=re.IGNORECASE)
-        # money: $3.50 / £5 / €12
+        # money: $3.50 / £5 / €1,234 — symbol-anchored rules run before
+        # the bare comma-group pass so the currency word survives
         for sym, cur in (("$", "dollar"), ("£", "pound"), ("€", "euro")):
-            text = re.sub(re.escape(sym) + r"(" + _NUM + r")",
-                          lambda m, c=cur: money_to_english(m.group(1), c),
+            text = re.sub(re.escape(sym) + r"(" + _CNUM + r")",
+                          lambda m, c=cur: money_to_english(
+                              m.group(1).replace(",", ""), c),
                           text)
-        # percent
-        text = re.sub(r"(" + _NUM + r")%",
-                      lambda m: number_to_english(m.group(1)) + " percent",
-                      text)
+        # percent (comma-grouped amounts read as plain cardinals, never
+        # the year-pair reading)
+        def _pct(m):
+            raw = m.group(1)
+            plain = raw.replace(",", "")
+            if "," in raw and "." not in plain:
+                return int_to_english(int(plain)) + " percent"
+            return number_to_english(plain) + " percent"
+        text = re.sub(r"(" + _CNUM + r")%", _pct, text)
+        # remaining comma-grouped numbers are counts — verbalize as
+        # cardinals so the year-pair reading below can't claim them
+        # (1,234 is "one thousand…", not "twelve thirty four")
+        def _comma_num(m):
+            plain = m.group(0).replace(",", "")
+            words = (number_to_english(plain) if "." in plain
+                     else int_to_english(int(plain)))
+            return " " + words + " "
+        text = re.sub(r"(?<![\d.])\d{1,3}(?:,\d{3})+(?:\.\d+)?(?!\d)",
+                      _comma_num, text)
         # ordinals: 1st / 22nd / 103rd / 5th
         text = re.sub(r"\b(\d+)(st|nd|rd|th)\b",
                       lambda m: int_to_english_ordinal(int(m.group(1))),

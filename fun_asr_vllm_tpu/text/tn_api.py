@@ -53,7 +53,9 @@ def _en_normalizer():
         return EnNormalizer()
 
 
-_EN_PUNCT_RE = re.compile(r"[^\w\s']")
+# keep letters/digits/whitespace/hyphens/apostrophes/slashes, the
+# reference's EN cleanup class (kaldi_text_normalizer.py:108)
+_EN_PUNCT_RE = re.compile(r"[^\w\s一-鿿\-'/]")
 
 
 def normalize_text(text: str, language: str = "auto") -> str:

@@ -114,6 +114,38 @@ class TestJsonl:
 
         assert count_text_units("你好world 123") == 4  # 你 好 world 123
 
+    def test_empty_transcripts_skipped(self, tmp_path):
+        """A bare-key text line (empty transcript) is skipped, not
+        emitted as an empty training target (nano) or a crash (svs)."""
+        from fun_asr_vllm_tpu.data.jsonl import nano_jsonl, svs_jsonl
+
+        d = _make_kaldi_dir(tmp_path, n=2)
+        wav = dict(read_scp(d / "wav.scp"))
+        durs = dict(read_scp(d / "wav2dur"))
+        out = tmp_path / "e.jsonl"
+        n = nano_jsonl(wav, str(out), text_itn={"u0": "", "u1": "真文本"},
+                       wav2dur=durs)
+        assert n == 1
+        assert "真文本" in out.read_text()
+        n = svs_jsonl(wav, str(out), text_itn={"u0": "", "u1": "真文本"},
+                      wav2dur=durs)
+        assert n == 1
+
+    def test_cli_flags_apply_with_data_dir(self, tmp_path):
+        """--data_dir composes with the explicit-file flags (e.g.
+        --language_file) instead of silently ignoring them."""
+        from fun_asr_vllm_tpu.data import jsonl as jsonl_mod
+
+        d = _make_kaldi_dir(tmp_path)
+        lang = tmp_path / "langs"
+        lang.write_text("u0 <|en|>\nu1 <|en|>\nu2 <|en|>\n")
+        out = tmp_path / "cli.jsonl"
+        jsonl_mod.main(["--format", "svs", "--data_dir", str(d),
+                        "--output", str(out),
+                        "--language_file", str(lang)])
+        recs = [json.loads(l) for l in out.read_text().splitlines()]
+        assert all(r["text_language"] == "<|en|>" for r in recs)
+
 
 class TestPrepareDomain:
     @staticmethod
@@ -172,6 +204,38 @@ class TestPrepareDomain:
         build_kaldi_and_texts(str(d), str(out3),
                               ignore_precomputed_tn_itn=True)
         assert dict(read_scp(out3 / "text_tn"))["a0"] == "第0句有25个字"
+
+    def test_custom_sensevoice_prefix_flows_into_jsonl(self, tmp_path):
+        """--sensevoice_prefix_name tags are read back by the JSONL step
+        (regression: the default-name wrapper ignored custom prefixes)."""
+        from fun_asr_vllm_tpu.data.prepare_domain import main
+
+        d = self._audio_dir(tmp_path, n=2)
+        out = tmp_path / "outp"
+        main(["--audio_dir", str(d), "--out_dir", str(out),
+              "--sensevoice_prefix_name", "mytags",
+              "--jsonl_format", "svs"])
+        assert (out / "mytags_language").exists()
+        # overwrite the tags and re-emit: the jsonl must reflect them
+        (out / "mytags_language").write_text("a0 <|en|>\na1 <|en|>\n")
+        from fun_asr_vllm_tpu.data.prepare_domain import _emit_jsonl
+
+        n = _emit_jsonl(str(out), str(out / "re.jsonl"), "svs", "mytags")
+        assert n == 2
+        recs = [json.loads(l)
+                for l in (out / "re.jsonl").read_text().splitlines()]
+        assert all(r["text_language"] == "<|en|>" for r in recs)
+
+    def test_label_table_with_ignore_excel(self, tmp_path):
+        """An explicit --label_table wins even with --ignore_excel
+        (which only disables auto-discovery)."""
+        from fun_asr_vllm_tpu.data.prepare_domain import load_labels
+
+        d = self._audio_dir(tmp_path, n=1)
+        csv = tmp_path / "labels.csv"
+        csv.write_text("音频名称,标注后文本\na0.wav,表格里的文本\n")
+        labels = load_labels(str(d), str(csv), ignore_excel=True)
+        assert labels["a0"] == "表格里的文本"
 
     def test_formats_and_relpath_keys(self, tmp_path):
         from fun_asr_vllm_tpu.data.prepare_domain import collect_audio

@@ -400,6 +400,28 @@ class TestEnTN:
         assert self.n.normalize("born 1987") == "born nineteen eighty seven"
         assert self.n.normalize("by 2025") == "by twenty twenty five"
 
+    def test_time_suffix_word_boundary(self):
+        # the am/pm group must not eat the front of the next word
+        assert (self.n.normalize("at 3:45 american diner")
+                == "at three forty five american diner")
+        assert (self.n.normalize("3:30 among friends")
+                == "three thirty among friends")
+
+    def test_comma_groups_with_symbols(self):
+        assert (self.n.normalize("$1,234")
+                == "one thousand two hundred thirty four dollars")
+        assert (self.n.normalize("1,234% up")
+                == "one thousand two hundred thirty four percent up")
+        assert ("one thousand two hundred thirty four point five six"
+                in self.n.normalize("1,234.56 items"))
+
+    def test_24h_time_reads_as_is(self):
+        assert self.n.normalize("at 15:30") == "at fifteen thirty"
+
+    def test_slash_kept(self):
+        # the reference EN cleanup keeps slashes/hyphens/apostrophes
+        assert self.n.normalize("and/or") == "and/or"
+
     def test_normalize_text_api_en(self):
         out = normalize_text("I have 25 apples.", language="en")
         assert out == "i have twenty five apples"
