@@ -5,7 +5,7 @@ Usage (flag parity with the reference README.md:72-80):
     python -m fun_asr_vllm_tpu.cli.infer \
         --model_dir <dir> --huggingface_dataset yuekai/speechio \
         --subset_name SPEECHIO_ASR_ZH00007 --split_name test \
-        --batch_size 16 --log_dir ./logs [--vllm_model_dir ignored-on-tpu]
+        --batch_size 16 --log_dir ./logs [--vllm_model_dir overrides decoder dir]
 
 Outputs: {log_dir}/hypos.txt, wer.txt, inference_time.txt — same files,
 same formats (reference infer.py:503-517).
@@ -33,8 +33,8 @@ def get_args():
     p.add_argument("--output_file", type=str, default="hypos.txt")
     p.add_argument("--stats_file", type=str, default="wer.txt")
     p.add_argument("--vllm_model_dir", type=str, default=None,
-                   help="engine is built-in on TPU; flag kept for parity — "
-                        "any non-None value enables the engine (default on)")
+                   help="override the decoder weight dir (reference "
+                        "infer.py:381-389); the engine itself is built-in")
     p.add_argument("--disable_engine", action="store_true")
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--quantize", type=str, default=None,
@@ -86,6 +86,7 @@ def main():
         enable_engine=not args.disable_engine,
         max_num_seqs=args.max_num_seqs or args.batch_size,
         quantize=args.quantize, packed=args.packed,
+        vllm_model_dir=args.vllm_model_dir,
     )
 
     dataset = hf_datasets.load_dataset(
