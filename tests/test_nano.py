@@ -33,6 +33,43 @@ class TestFromPretrained:
         assert m.llm_cfg.hidden_size == 64
         assert m.encoder_cfg.num_blocks == 2
 
+    def test_llm_dir_override_loads_decoder_weights(self, tmp_path):
+        """llm_dir (the --vllm_model_dir analogue, reference
+        infer_kaldidata.py:386-391) loads the decoder from an HF-format
+        dir when the model dir carries no combined checkpoint."""
+        import os
+        import shutil
+
+        import numpy as np
+        pytest.importorskip("torch")
+        from transformers import Qwen3Config as HFConfig
+        from transformers.models.qwen3 import Qwen3ForCausalLM
+
+        from fun_asr_vllm_tpu.models.nano import make_test_model_dir
+
+        model_dir = make_test_model_dir(str(tmp_path / "m"))
+        os.remove(os.path.join(model_dir, "model.safetensors"))
+
+        import torch
+
+        hf_cfg = HFConfig(
+            vocab_size=258, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            intermediate_size=128, tie_word_embeddings=True,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(3)
+        hf = Qwen3ForCausalLM(hf_cfg).eval()
+        llm_dir = str(tmp_path / "hf_llm")
+        hf.save_pretrained(llm_dir)
+
+        m, _ = FunASRNano.from_pretrained(
+            model=model_dir, dtype="float32", llm_dir=llm_dir)
+        want = hf.get_input_embeddings().weight.detach().numpy()
+        got = np.asarray(m.llm_params["embed"], dtype=np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        shutil.rmtree(llm_dir)
+
     def test_instruction_variants(self, model_dir):
         m, _ = FunASRNano.from_pretrained(model=model_dir, dtype="float32")
         assert m.build_instruction() == "语音转写："
