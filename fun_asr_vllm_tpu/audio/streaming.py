@@ -188,8 +188,13 @@ class StreamingEndpointer:
     Frames are 10 ms; a frame is speech when its RMS clears an absolute
     noise floor AND sits within `threshold_db` of the running stream
     peak (the same relative rule as `data.vad.EnergyVAD`, made causal).
-    Silence-only audio never fires; `reset()` starts the next segment
-    (the running peak is kept — it is a property of the channel)."""
+    The peak decays with a ~5 s time constant so one loud transient
+    cannot permanently raise the speech threshold. Silence-only audio
+    never fires, and pre-speech silence does not count toward
+    `max_len_ms` (the segment clock starts at the first speech frame).
+    A `tail_sil_ms` or `max_len_ms` of 0 disables that trigger.
+    `reset()` starts the next segment (the decayed peak is kept — it is
+    a property of the channel)."""
 
     def __init__(self, tail_sil_ms: int = 800, max_len_ms: int = 60000,
                  fs: int = 16000, threshold_db: float = -40.0,
@@ -223,18 +228,24 @@ class StreamingEndpointer:
         rms = np.sqrt(
             np.mean(x[: n * self.hop].reshape(n, self.hop) ** 2, axis=1)
         )
-        self._peak = max(self._peak, float(rms.max()))
+        # exponential peak decay (~0.998/frame ≈ 5 s time constant) so a
+        # single transient cannot pin the threshold high forever
+        self._peak = max(float(rms.max()), self._peak * (0.998 ** n),
+                         self.abs_floor)
         active = (rms > self.abs_floor) & (rms > self._peak * self.threshold)
         fire = False
         for a in active:
-            self._seg_ms += 10
             if a:
                 self._seen_speech = True
                 self._sil_ms = 0
             elif self._seen_speech:
                 self._sil_ms += 10
-                if self._sil_ms >= self.tail_sil_ms:
+                if 0 < self.tail_sil_ms <= self._sil_ms:
                     fire = True
-            if self._seen_speech and self._seg_ms >= self.max_len_ms:
-                fire = True
+            if self._seen_speech:
+                # the segment clock starts at the first speech frame —
+                # pre-speech silence must not eat the max_len budget
+                self._seg_ms += 10
+                if 0 < self.max_len_ms <= self._seg_ms:
+                    fire = True
         return fire

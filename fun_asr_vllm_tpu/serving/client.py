@@ -112,7 +112,11 @@ class ASR_Client:
                     self.final_text += text
                 else:
                     self.streaming_text += text
-                if meg.get("is_final") or mode in ("offline", "2pass-offline"):
+                # stop on the terminal is_final, or on the single final
+                # of plain offline mode; 2pass-offline SEGMENT finals
+                # (server-side VAD cuts) accumulate until is_final
+                # (reference ASR_client_api.py:193-197)
+                if meg.get("is_final") or mode == "offline":
                     break
         return self.final_text or self.streaming_text
 

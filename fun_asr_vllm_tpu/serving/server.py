@@ -285,11 +285,15 @@ class ASRServer:
         epd_fed = 0         # raw samples already fed to the endpointer
         loop = asyncio.get_running_loop()
 
-        async def _finalize():
+        async def _finalize(terminal: bool = True):
             """Decode the buffered utterance, send the final, reset the
             per-utterance stream state. Two triggers share this path: the
-            client's `is_speaking: false` and a server-side VAD endpoint
-            (the reference stack's vad_tail_sil/vad_max_len contract)."""
+            client's `is_speaking: false` (terminal — the reply carries
+            `is_final: true`, the protocol's end-of-session marker) and a
+            server-side VAD endpoint (a SEGMENT final with
+            `is_final: false`; protocol consumers APPEND offline-mode
+            text, reference ASR_client_api.py:186-190, so a stream cut
+            into N segments accumulates N finals client-side)."""
             nonlocal buf, emitted_upto, stream_fed, last_partial
             nonlocal stream_rs, buf16, raw_fed, epd_fed
             pcm16 = buf
@@ -320,7 +324,7 @@ class ASRServer:
                 text = (text[len(last_partial):]
                         if text.startswith(last_partial) else text)
             await websocket.send(
-                result_message(mode, hs.wav_name, text, True)
+                result_message(mode, hs.wav_name, text, terminal)
             )
             buf = np.zeros(0, dtype=np.float32)
             emitted_upto = 0.0
@@ -358,15 +362,22 @@ class ASRServer:
                                 StreamingEndpointer,
                             )
 
+                            # explicit 0 means "trigger disabled", not
+                            # "use the default" — only absent fields
+                            # fall back (ADVICE-style 0-coercion fix)
                             epd = StreamingEndpointer(
-                                tail_sil_ms=hs.vad_tail_sil or 800,
-                                max_len_ms=hs.vad_max_len or 60000,
+                                tail_sil_ms=(hs.vad_tail_sil
+                                             if hs.vad_tail_sil is not None
+                                             else 800),
+                                max_len_ms=(hs.vad_max_len
+                                            if hs.vad_max_len is not None
+                                            else 60000),
                                 fs=hs.audio_fs,
                             )
                         fire = epd.push(buf[epd_fed:])
                         epd_fed = len(buf)
                         if fire:
-                            await _finalize()
+                            await _finalize(terminal=False)
                             continue
                     if hs.mode in ("online", "2pass"):
                         dur = len(buf) / hs.audio_fs

@@ -395,8 +395,10 @@ class TestDisconnectCleanup:
                 await aio.sleep(0.05)
             # at least one partial = the session holds KV blocks now
             await aio.wait_for(ws.recv(), 120)
-            # drop the connection without the end-of-utterance message
-            await ws.close()
+            # drop the TCP transport WITHOUT the websocket close
+            # handshake — the server's recv loop must take the
+            # exception path, not a graceful StopAsyncIteration
+            ws.transport.abort()
 
         asyncio.new_event_loop().run_until_complete(run())
         deadline = time.time() + 60
@@ -458,10 +460,11 @@ class TestClientCLIJobs:
 class TestVadEndpointing:
     def test_vad_tail_sil_cuts_without_client_final(self, engine_server):
         """A 2pass stream whose handshake carries vad_tail_sil gets a
-        server-side FINAL when trailing silence exceeds it — the
+        server-side SEGMENT final (is_final=false — protocol consumers
+        append offline-mode text) when trailing silence exceeds it — the
         reference stack's VAD segmentation contract
-        (ASR_client_api.py:74-81) — and the stream keeps going for a
-        second utterance afterwards."""
+        (ASR_client_api.py:74-81) — and the terminal reply to the
+        client's is_speaking:false still carries is_final=true."""
         import asyncio as aio
         import json as js
 
@@ -488,10 +491,10 @@ class TestVadEndpointing:
                 }))
                 finals = []
 
-                async def drain_until_final():
+                async def drain_until_offline():
                     while True:
                         msg = js.loads(await aio.wait_for(ws.recv(), 120))
-                        if msg.get("is_final"):
+                        if msg.get("mode") == "2pass-offline":
                             finals.append(msg)
                             return
 
@@ -500,18 +503,22 @@ class TestVadEndpointing:
                     for i in range(0, len(x), 3200):
                         await ws.send(pcm(x[i : i + 3200]))
                         await aio.sleep(0.02)
-                await drain_until_final()
+                await drain_until_offline()
                 # utterance 2 on the SAME stream, closed by the client
                 for i in range(0, len(speech), 3200):
                     await ws.send(pcm(speech[i : i + 3200]))
                     await aio.sleep(0.02)
                 await ws.send(js.dumps({"is_speaking": False}))
-                await drain_until_final()
+                await drain_until_offline()
                 return finals
 
         finals = asyncio.new_event_loop().run_until_complete(run())
         assert len(finals) == 2
         assert all(f["mode"] == "2pass-offline" for f in finals)
+        # the VAD cut is a segment final; the client-closed utterance
+        # carries the protocol's terminal marker
+        assert finals[0]["is_final"] is False
+        assert finals[1]["is_final"] is True
 
     def test_no_vad_fields_means_no_server_cut(self, engine_server):
         """Without vad_tail_sil/vad_max_len in the handshake the server
@@ -528,6 +535,9 @@ class TestVadEndpointing:
         speech = (0.25 * np.sin(2 * np.pi * 320 * t)).astype(np.float32)
         sil = np.zeros(2 * fs, np.float32)
 
+        def pcm_bytes(x):
+            return (x * 32767).astype("<i2").tobytes()
+
         async def run():
             async with websockets.connect(
                 f"ws://127.0.0.1:{port}", subprotocols=["binary"]
@@ -541,16 +551,22 @@ class TestVadEndpointing:
                     for i in range(0, len(x), 3200):
                         await ws.send(pcm_bytes(x[i : i + 3200]))
                         await aio.sleep(0.01)
-                # no early final: nothing with is_final while we wait
+                # actively assert NO server-side final arrives while the
+                # stream idles (partials are fine) — the old version
+                # only counted finals after is_speaking:false, which
+                # passed even with an early cut
+                try:
+                    while True:
+                        msg = js.loads(await aio.wait_for(ws.recv(), 2.5))
+                        assert msg.get("mode") != "2pass-offline", (
+                            f"server cut without vad fields: {msg}")
+                except aio.TimeoutError:
+                    pass  # quiet — as required
                 await ws.send(js.dumps({"is_speaking": False}))
-                n_finals = 0
                 while True:
                     msg = js.loads(await aio.wait_for(ws.recv(), 120))
-                    if msg.get("is_final"):
-                        n_finals += 1
-                        return n_finals
-
-        def pcm_bytes(x):
-            return (x * 32767).astype("<i2").tobytes()
+                    if msg.get("mode") == "2pass-offline":
+                        assert msg.get("is_final") is True
+                        return 1
 
         assert asyncio.new_event_loop().run_until_complete(run()) == 1

@@ -145,3 +145,57 @@ class TestStreamingResampler:
         x = np.arange(100, dtype=np.float32)
         np.testing.assert_array_equal(rs.push(x), x)
         assert rs.flush().size == 0
+
+
+class TestStreamingEndpointer:
+    @staticmethod
+    def _epd(**kw):
+        from fun_asr_vllm_tpu.audio.streaming import StreamingEndpointer
+
+        return StreamingEndpointer(**kw)
+
+    @staticmethod
+    def _speech(ms, fs=16000, amp=0.3):
+        t = np.arange(int(fs * ms / 1000)) / fs
+        return (amp * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+
+    @staticmethod
+    def _sil(ms, fs=16000):
+        return np.zeros(int(fs * ms / 1000), np.float32)
+
+    def test_tail_silence_fires(self):
+        epd = self._epd(tail_sil_ms=400, max_len_ms=60000)
+        assert not epd.push(self._speech(500))
+        assert epd.push(self._sil(600))
+
+    def test_silence_only_never_fires(self):
+        epd = self._epd(tail_sil_ms=400, max_len_ms=60000)
+        assert not epd.push(self._sil(5000))
+
+    def test_pre_speech_silence_does_not_eat_max_len(self):
+        """The segment clock starts at the first speech frame: a long
+        idle stretch before speech must not trigger the force-cut the
+        moment the user starts talking."""
+        epd = self._epd(tail_sil_ms=0, max_len_ms=1000)
+        assert not epd.push(self._sil(3000))   # 3 s idle > max_len
+        assert not epd.push(self._speech(500))  # speech begins — no cut
+        assert epd.push(self._speech(600))      # ...until 1 s of speech
+
+    def test_zero_disables_trigger(self):
+        epd = self._epd(tail_sil_ms=0, max_len_ms=0)
+        assert not epd.push(self._speech(500))
+        assert not epd.push(self._sil(5000))
+
+    def test_peak_decays_after_transient(self):
+        """One loud transient must not permanently raise the speech
+        threshold: after the decay window, quieter speech re-arms the
+        endpointer and silence cuts again."""
+        epd = self._epd(tail_sil_ms=400, max_len_ms=60000)
+        epd.push(self._speech(100, amp=0.9))  # loud pop
+        epd.push(self._sil(600))              # fires for segment 1
+        epd.reset()
+        # ~30 s of quiet lets the peak decay (0.998^3000 ≈ 2e-3)
+        epd.push(self._sil(30000))
+        assert not epd.push(self._speech(500, amp=0.02))  # quiet speech
+        assert epd._seen_speech, "quiet speech not re-armed after decay"
+        assert epd.push(self._sil(600))
