@@ -64,6 +64,34 @@ def _resolve_dtype(name: str):
     return _DTYPES[name]
 
 
+def resolve_model_dir(model: str) -> str:
+    """Local dir → itself; an ``org/name`` hub id → a downloaded
+    snapshot dir (ModelScope first, then the HF hub — the reference's
+    AutoModel hub="ms" behavior, model.py:44-55). Raises a clear error
+    when the id cannot be resolved (offline / libs absent)."""
+    if model is None or os.path.isdir(model):
+        return model
+    if not re.match(r"^[\w.\-]+/[\w.\-]+$", str(model)):
+        raise FileNotFoundError(f"model dir not found: {model}")
+    errors = []
+    try:
+        from modelscope import snapshot_download as ms_download  # optional
+
+        return ms_download(model)
+    except Exception as e:  # pragma: no cover - depends on env/network
+        errors.append(f"modelscope: {e.__class__.__name__}: {e}")
+    try:
+        from huggingface_hub import snapshot_download as hf_download
+
+        return hf_download(model)
+    except Exception as e:  # pragma: no cover - depends on env/network
+        errors.append(f"huggingface_hub: {e.__class__.__name__}: {e}")
+    raise FileNotFoundError(
+        f"could not resolve model id {model!r} from the ModelScope/HF "
+        f"hubs ({'; '.join(errors)}). Pass a local model dir instead."
+    )
+
+
 class FunASRNano:
     def __init__(
         self,
@@ -597,8 +625,11 @@ class FunASRNano:
         weights random-initialize with a warning (benchmark/test mode).
         `llm_dir` overrides the decoder weight dir from the config's
         llm_conf.init_param_path (the --vllm_model_dir analogue,
-        reference infer_kaldidata.py:386-391)."""
+        reference infer_kaldidata.py:386-391). A non-local `org/name`
+        id resolves through the ModelScope/HF hubs like the reference's
+        AutoModel (model.py:44-55)."""
         jdtype = _resolve_dtype(dtype)
+        model = resolve_model_dir(model)
         cfg = NanoModelConfig.from_dir(model)
         if llm_dir:
             cfg.llm_conf["init_param_path"] = llm_dir

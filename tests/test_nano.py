@@ -267,3 +267,24 @@ class TestMultiturnVariants:
             audio_embedding_lens=audio_lens,
         )
         assert not np.allclose(e_other, e_ref)
+
+
+class TestResolveModelDir:
+    def test_local_dir_passthrough(self, model_dir):
+        from fun_asr_vllm_tpu.models.nano import resolve_model_dir
+
+        assert resolve_model_dir(model_dir) == model_dir
+
+    def test_missing_path_raises(self):
+        from fun_asr_vllm_tpu.models.nano import resolve_model_dir
+
+        with pytest.raises(FileNotFoundError, match="not found"):
+            resolve_model_dir("/no/such/model_dir")
+
+    def test_hub_id_offline_raises_clearly(self):
+        """An org/name id routes to the hubs (reference model.py:44-55);
+        offline the error names both attempts."""
+        from fun_asr_vllm_tpu.models.nano import resolve_model_dir
+
+        with pytest.raises(FileNotFoundError, match="ModelScope/HF"):
+            resolve_model_dir("FunAudioLLM/Fun-ASR-Nano-2512")
