@@ -154,6 +154,16 @@ class TestReferenceClientUnchanged:
         assert out["result"] is False
         assert out["stats"]["wer"] >= 0.3
 
+    def test_online_roundtrip(self, ref_client_module, server_port,
+                              wav_path):
+        """online mode: partials and the terminal final all carry mode
+        'online'; the reference client accumulates them in asr_stream
+        and stops on is_final."""
+        client = _roundtrip(ref_client_module, server_port, wav_path,
+                            "online")
+        assert isinstance(client.asr_stream, str)
+        assert client.asr_result == ""  # online never fills the offline slot
+
     def test_empty_audio(self, ref_client_module, server_port,
                          tmp_path_factory):
         """Zero-length audio: the reference client sends only the
