@@ -33,10 +33,15 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 from typing import Dict, Mapping, Tuple
 
 import numpy as np
+
+# runnable as `python tools/check_checkpoint.py` without installing the
+# package: the script dir (tools/) shadows the repo root on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 # --------------------------- consumption tracking ---------------------------

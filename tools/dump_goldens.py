@@ -25,6 +25,11 @@ token-exact greedy decode.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# runnable without installing the package (tools/ shadows the repo root)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
