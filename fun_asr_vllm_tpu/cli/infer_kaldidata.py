@@ -188,13 +188,9 @@ def run_shard(pipe, shard, texts, out_dir, batch_size, itn,
 def main():
     args = get_args()
     if args.device and args.device.startswith("cpu"):
-        # the package __init__ already ran (python -m imports it before
-        # main), so set the jax config directly — backends are not
-        # initialized until the first device op, so this still lands
-        os.environ.setdefault("FUN_ASR_PLATFORM", "cpu")
-        import jax
+        from ..utils.platform import force_cpu_backend
 
-        jax.config.update("jax_platforms", "cpu")
+        force_cpu_backend()
     from ..data.kaldi import merge_results, read_scp, read_scp_dict, split_scp
     from ..pipeline import BatchPipeline
 
@@ -207,19 +203,10 @@ def main():
                    args.output_file)
 
     if args.distributed:
-        import jax
+        from ..utils.platform import init_distributed
 
-        # CPU processes federate via the gloo collectives backend (the
-        # 2-process CI test path); TPU hosts use the native ICI/DCN path
-        # and ignore this. Must be set before the backend initializes.
-        plat = str(jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", ""))
-        if "cpu" in plat:
-            jax.config.update("jax_cpu_collectives_implementation", "gloo")
-        jax.distributed.initialize(
-            coordinator_address=args.coordinator,
-            num_processes=args.num_processes,
-            process_id=args.process_id,
-        )
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
 
     mesh = None
     if args.tp > 1:

@@ -44,13 +44,9 @@ def main():
     args = get_args()
     args.itn = bool(args.itn)
     if args.device and args.device.startswith("cpu"):
-        # the package __init__ already ran (python -m imports it before
-        # main), so set the jax config directly — backends are not
-        # initialized until the first device op, so this still lands
-        os.environ.setdefault("FUN_ASR_PLATFORM", "cpu")
-        import jax
+        from ..utils.platform import force_cpu_backend
 
-        jax.config.update("jax_platforms", "cpu")
+        force_cpu_backend()
     from ..models.nano import FunASRNano
 
     m, kwargs = FunASRNano.from_pretrained(

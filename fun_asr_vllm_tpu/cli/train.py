@@ -286,18 +286,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     import jax
 
     if args.distributed:
-        # CPU processes federate via gloo (the 2-process CI path); TPU
-        # hosts use native ICI/DCN and ignore the setting (same recipe
-        # as cli/infer_kaldidata.py --distributed)
-        plat = str(jax.config.jax_platforms
-                   or os.environ.get("JAX_PLATFORMS", ""))
-        if "cpu" in plat:
-            jax.config.update("jax_cpu_collectives_implementation", "gloo")
-        jax.distributed.initialize(
-            coordinator_address=args.coordinator,
-            num_processes=args.num_processes,
-            process_id=args.process_id,
-        )
+        from ..utils.platform import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
         if not (args.max_frames and args.max_seq):
             raise SystemExit(
                 "--distributed needs pinned global shapes: pass "

@@ -752,10 +752,9 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
     if getattr(args, "device", None) and args.device.startswith("cpu"):
-        import jax
+        from ..utils.platform import force_cpu_backend
 
-        os.environ.setdefault("FUN_ASR_PLATFORM", "cpu")
-        jax.config.update("jax_platforms", "cpu")
+        force_cpu_backend()
     if args.stage == "concat":
         from .kaldi import read_scp, read_scp_dict
 

@@ -154,10 +154,12 @@ def _probe_duration(path: str) -> float:
         if path.startswith(("http://", "https://")):
             from urllib.request import urlopen
 
-            resp = urlopen(path)
-            if resp.status != 200:
-                return -1.0
-            x, sr = read_wav(resp.read())
+            # bounded: one unresponsive host must not hang the threaded
+            # probe pool forever — failures record as "no duration"
+            with urlopen(path, timeout=30.0) as resp:
+                if resp.status != 200:
+                    return -1.0
+                x, sr = read_wav(resp.read())
         else:
             x, sr = read_wav(path)
         return len(x) / sr
@@ -452,6 +454,13 @@ def main(argv=None):
     wav_dir = os.path.dirname(os.path.abspath(args.wav_scp))
     # sibling auto-load (reference scp2nanojsonl.py:318-344,
     # scp2svsjsonl.py:300-312)
+    # an EXPLICITLY passed path must exist — silently falling back to the
+    # sibling would drop every record of the variant the user asked for
+    for flag, val in (("--text_tn", args.text_tn),
+                      ("--text_itn", args.text_itn),
+                      ("--wav2dur", args.wav2dur)):
+        if val and not os.path.exists(val):
+            ap.error(f"{flag} {val}: file not found")
     text_tn = args.text_tn or os.path.join(wav_dir, "text_tn")
     text_itn = args.text_itn or os.path.join(wav_dir, "text_itn")
     wav2dur = args.wav2dur or os.path.join(wav_dir, "wav2dur")

@@ -298,7 +298,10 @@ class AsyncLLM:
                 # retry individually so only the offending streams'
                 # futures fail (extend_batch never advances cached_len
                 # on failure, so per-job retries are safe)
-                survivors = []
+                from .engine import KVBlocksExhausted
+
+                now = time.monotonic()
+                survivors, requeue = [], []
                 for j in jobs:
                     if j[1] is None:
                         survivors.append(j)
@@ -307,9 +310,22 @@ class AsyncLLM:
                         extend_batch(llm, [(j[0], j[1])])
                         j[1] = None
                         survivors.append(j)
+                    except KVBlocksExhausted as e2:
+                        # transient — same requeue-until-deadline policy
+                        # as the arm half, so momentary pressure doesn't
+                        # kill a live stream that a completing request
+                        # would unblock
+                        if now > j[5]:
+                            if not j[4].done():
+                                j[4].set_exception(e2)
+                        else:
+                            requeue.append(j)
                     except Exception as e2:
                         if not j[4].done():
                             j[4].set_exception(e2)
+                if requeue:
+                    with self._cv:
+                        self._suffix_jobs.extend(requeue)
                 jobs = survivors
                 if not jobs:
                     return
@@ -317,11 +333,26 @@ class AsyncLLM:
             reqs = arm_suffix_batch(
                 llm, [(s, suf, sp) for s, _, suf, sp, *_ in jobs]
             )
-        except Exception as e:
+        except Exception:
+            # one stream's plan/dispatch failed the whole batch (e.g. a
+            # continuation over max_blocks_per_seq raises in the plan
+            # phase) — arm individually so only the offender's future
+            # fails; arm_suffix_batch rolls back fully on exception, so
+            # per-job retries are safe
+            reqs = []
             for j in jobs:
-                if not j[4].done():
-                    j[4].set_exception(e)
-            return
+                try:
+                    reqs.extend(
+                        arm_suffix_batch(llm, [(j[0], j[2], j[3])]))
+                except Exception as e2:
+                    if not j[4].done():
+                        j[4].set_exception(e2)
+                    reqs.append(False)  # consumed; do not requeue
+            jobs_reqs = [(j, r) for j, r in zip(jobs, reqs) if r is not False]
+            jobs = [j for j, _ in jobs_reqs]
+            reqs = [r for _, r in jobs_reqs]
+            if not jobs:
+                return
         any_done = False
         now = time.monotonic()
         expired = []

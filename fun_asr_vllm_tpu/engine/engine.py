@@ -47,6 +47,13 @@ from .sampling import (SamplingParams, sample_tokens,
 
 logger = logging.getLogger(__name__)
 
+
+class KVBlocksExhausted(RuntimeError):
+    """Transient: the free-block pool is empty right now. Retryable once
+    other requests complete — distinct from permanent sizing errors
+    (ValueError), which callers must surface immediately."""
+
+
 PREFILL_BUCKETS = (32, 64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
 
 
@@ -1064,7 +1071,8 @@ class PromptSession:
         while len(self.blocks) < need:
             got = self.llm._alloc_blocks(1)
             if got is None:
-                raise RuntimeError("KV cache out of blocks (PromptSession)")
+                raise KVBlocksExhausted(
+                    "KV cache out of blocks (PromptSession)")
             self.blocks.extend(got)
 
     # ----------------------------------------------------------------- API
@@ -1126,6 +1134,17 @@ class PromptSession:
         # positions past the last accepted token
         total = (self.cached_len + q + sp.max_tokens + 1
                  + llm.decode_burst_size)
+        mbps = llm.cache_cfg.max_blocks_per_seq
+        if -(-total // bs) > mbps:
+            # permanent for this stream — block-table rows are mbps wide,
+            # so a silent truncation would write suffix KV into the wrong
+            # pages and corrupt the session. Retrying cannot help; raise.
+            raise ValueError(
+                f"suffix continuation needs {-(-total // bs)} blocks "
+                f"(cached {self.cached_len} + suffix {q} + max_tokens "
+                f"{sp.max_tokens} + burst headroom) but max_blocks_per_seq "
+                f"is {mbps}; raise max_model_len or finalize the stream"
+            )
 
         scratch: List[int] = []
         blocks = list(self.blocks)
@@ -1280,7 +1299,9 @@ def arm_suffix_batch(llm: "LLM", jobs) -> List[Optional[_Request]]:
             embeds[j, : p["q"]] = p["suffix"]
             cached_lens[j] = p["cached_len"]
             new_lens[j] = p["q"]
-            tables[j, : min(len(p["blocks"]), w)] = p["blocks"][:w]
+            # always fits: _prepare_suffix raises when ceil(total/bs) >
+            # max_blocks_per_seq, and w >= ceil(max total/bs)
+            tables[j, : len(p["blocks"])] = p["blocks"]
         (logits, first_ids), llm.k_cache, llm.v_cache = extend_step(
             llm.params, llm.cfg, llm.k_cache, llm.v_cache,
             jnp.asarray(embeds), jnp.asarray(cached_lens),
@@ -1329,8 +1350,8 @@ def arm_suffix_batch(llm: "LLM", jobs) -> List[Optional[_Request]]:
         req.blocks = p["blocks"]
         llm._slots[slot] = req
         llm._block_tables[slot, :] = 0
-        wj = min(len(p["blocks"]), llm.cache_cfg.max_blocks_per_seq)
-        llm._block_tables[slot, :wj] = p["blocks"][:wj]
+        # fits by the _prepare_suffix max_blocks_per_seq guard
+        llm._block_tables[slot, : len(p["blocks"])] = p["blocks"]
         llm._positions[slot] = req.prompt_len
         llm._seq_lens[slot] = req.prompt_len + 1
         first = int(firsts[j])

@@ -59,14 +59,21 @@ class ASR_Client:
 
         from ..audio.io import load_audio
 
-        # files carry their true rate in the container header, which
-        # load_audio honors; audio_sr only labels raw sample arrays
-        # (the reference trusts --audio_sr even for files, :121-133)
-        if isinstance(audio_in, np.ndarray) and self.audio_sr != 16000:
+        # containered files carry their true rate in the header, which
+        # load_audio honors; audio_sr labels raw sample arrays AND
+        # headerless .pcm/.raw files (the reference applies --audio_fs to
+        # pcm file inputs, ASR_client_api.py:121-133)
+        headerless = isinstance(audio_in, str) and audio_in.lower().endswith(
+            (".pcm", ".raw")
+        )
+        if self.audio_sr != 16000 and (
+            isinstance(audio_in, np.ndarray) or headerless
+        ):
             from ..audio.io import resample
 
-            wav = resample(audio_in.astype(np.float32),
-                           self.audio_sr, 16000)
+            raw = (audio_in if isinstance(audio_in, np.ndarray)
+                   else load_audio(audio_in, fs=self.audio_sr))
+            wav = resample(np.asarray(raw, np.float32), self.audio_sr, 16000)
         else:
             wav = load_audio(audio_in, fs=16000)
         pcm = (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()

@@ -87,7 +87,9 @@ class ZhInverseNormalizer:
                 return m.group(0)
             return f"{num}/{den}"
 
-        text = re.sub(f"({num_cls})分之({num_cls})", frac_repl, text)
+        # numerator/denominator may be decimal (五分之二点五 → 2.5/5)
+        num_dec = f"{num_cls}(?:点{num_cls})?"
+        text = re.sub(f"({num_dec})分之({num_dec})", frac_repl, text)
 
         def repl(m: re.Match) -> str:
             run = m.group(0)

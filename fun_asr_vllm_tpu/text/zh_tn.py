@@ -161,8 +161,11 @@ class ZhNormalizer:
         # 22个 keeps 二十二个 via the generic rule. 月 is excluded: a
         # bare "2月" is a date (二月), never a duration (durations use
         # 个月, caught by 个)
+        # (?<!\d\.) keeps the 2 of a decimal fraction (1.2米) for the
+        # generic decimal rule — 一点二米, not 一两米
         text = re.sub(
-            rf"(?<!\d)2(?=[{_MEASURES.replace('月', '')}])", "两", text
+            rf"(?<!\d)(?<!\d\.)2(?=[{_MEASURES.replace('月', '')}])", "两",
+            text,
         )
         text = re.sub(r"-?\d+(?:\.\d+)?", self._number, text)
         if self.remove_erhua:

@@ -5,6 +5,8 @@ Ground truth: the engine-less `greedy_decode_simple` path (full recompute
 each step). The paged engine must produce identical token streams.
 """
 
+import time
+
 import numpy as np
 import pytest
 
@@ -487,10 +489,15 @@ class TestAsyncEngine:
             with async_llm.exclusive():
                 s = PromptSession(llm)
                 s.extend(rand_embeds(80, 40, h))
-                # a continuation needing more blocks than the pool holds
+                # drain the free pool so the (table-width-legal) arm can
+                # never allocate its scratch blocks while hoarder lives
+                hoarder = PromptSession(llm)
+                hoarder.extend(
+                    rand_embeds(82, 4 * len(llm._free_blocks) - 1, h))
+                assert not llm._free_blocks
                 fut = async_llm.submit_suffix(
                     s, rand_embeds(81, 4, h),
-                    SamplingParams(top_p=0.001, max_tokens=500),
+                    SamplingParams(top_p=0.001, max_tokens=8),
                 )
             with pytest.raises(RuntimeError, match="slot|blocks"):
                 fut.result(timeout=60)
@@ -498,6 +505,109 @@ class TestAsyncEngine:
             async_llm.shutdown()
             with async_llm.exclusive():
                 s.close()
+                hoarder.close()
+
+    def test_extend_half_exhaustion_requeues_until_blocks_free(self, setup):
+        """Transient KV exhaustion during the batched-extend half must
+        REQUEUE (like the arm half), not permanently fail the stream: the
+        blocks a completing request frees should unblock it (round-3
+        review finding)."""
+        import threading
+
+        from fun_asr_vllm_tpu.engine import AsyncLLM
+        from fun_asr_vllm_tpu.engine.engine import PromptSession
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        llm = make_llm(params, cfg, max_num_seqs=2, max_model_len=64)
+        async_llm = AsyncLLM(llm, suffix_arm_timeout_s=30.0)
+        try:
+            with async_llm.exclusive():
+                s = PromptSession(llm)
+                s.extend(rand_embeds(85, 8, h))
+                hoarder = PromptSession(llm)
+                hoarder.extend(
+                    rand_embeds(86, 4 * len(llm._free_blocks) - 1, h))
+                assert not llm._free_blocks
+                sp = SamplingParams(top_p=0.001, max_tokens=4)
+                want = None
+                fut = async_llm.submit_partial(
+                    s, rand_embeds(87, 6, h), rand_embeds(88, 3, h), sp)
+
+            def free_later():
+                time.sleep(1.0)
+                with async_llm.exclusive():
+                    hoarder.close()
+
+            t = threading.Thread(target=free_later)
+            t.start()
+            req = fut.result(timeout=120)
+            t.join()
+            # token-identity vs the single-lane path on a fresh session
+            with async_llm.exclusive():
+                s2 = PromptSession(llm)
+                s2.extend(rand_embeds(85, 8, h))
+                s2.extend(rand_embeds(87, 6, h))
+                want = s2.decode_with_suffix(rand_embeds(88, 3, h), sp)
+                s2.close()
+                s.close()
+            assert list(req.out_ids) == want
+        finally:
+            async_llm.shutdown()
+
+    def test_one_oversized_partial_does_not_poison_the_batch(self, setup):
+        """A stream whose continuation exceeds max_blocks_per_seq must
+        fail ONLY its own future when co-batched with healthy streams."""
+        from fun_asr_vllm_tpu.engine import AsyncLLM
+        from fun_asr_vllm_tpu.engine.engine import PromptSession
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        llm = make_llm(params, cfg, max_num_seqs=2, max_model_len=64)
+        async_llm = AsyncLLM(llm)
+        try:
+            with async_llm.exclusive():
+                good, bad = PromptSession(llm), PromptSession(llm)
+                good.extend(rand_embeds(90, 6, h))
+                bad.extend(rand_embeds(91, 40, h))
+                sp_ok = SamplingParams(top_p=0.001, max_tokens=4)
+                suf = rand_embeds(92, 3, h)
+                want = good.decode_with_suffix(suf, sp_ok)
+                f_good = async_llm.submit_suffix(good, suf, sp_ok)
+                f_bad = async_llm.submit_suffix(
+                    bad, rand_embeds(93, 4, h),
+                    SamplingParams(top_p=0.001, max_tokens=40))
+            with pytest.raises(ValueError, match="max_blocks_per_seq"):
+                f_bad.result(timeout=120)
+            req = f_good.result(timeout=120)
+            assert list(req.out_ids) == want
+        finally:
+            async_llm.shutdown()
+            with async_llm.exclusive():
+                good.close()
+                bad.close()
+
+    def test_suffix_over_table_width_raises_not_corrupts(self, setup):
+        """A continuation whose block need exceeds max_blocks_per_seq must
+        raise loudly at arm time: the decode block-table row is mbps wide,
+        so a silent truncation would write suffix KV into wrong pages and
+        corrupt the session (round-3 review finding)."""
+        from fun_asr_vllm_tpu.engine.engine import PromptSession
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        # plenty of free blocks overall, but the per-seq table is 16 wide
+        llm = make_llm(params, cfg, max_num_seqs=4, max_model_len=64)
+        s = PromptSession(llm)
+        s.extend(rand_embeds(95, 40, h))
+        with pytest.raises(ValueError, match="max_blocks_per_seq"):
+            s.decode_with_suffix(
+                rand_embeds(96, 4, h),
+                SamplingParams(top_p=0.001, max_tokens=40),
+            )
+        # the failed arm must not leak its slot or blocks
+        assert all(x is None for x in llm._slots)
+        s.close()
 
     def test_batched_suffix_arm_matches_single_lane(self, setup):
         """arm_suffix_batch (the packed-online dispatch sharing): three

@@ -456,6 +456,32 @@ class TestClientCLIJobs:
         text = asyncio.run(client.transcribe(wav8k, wav_name="raw8k"))
         assert isinstance(text, str)
 
+    def test_headerless_pcm_audio_sr_resamples(self, server_port, tmp_path):
+        """A .pcm file (no container header) at a non-16k audio_sr is
+        resampled client-side — the reference applies --audio_sr to file
+        inputs too (ASR_client_api.py:121-133)."""
+        from unittest import mock
+
+        from fun_asr_vllm_tpu.serving.client import ASR_Client
+
+        t = np.arange(8000) / 8000
+        wav8k = (0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        pcm_path = tmp_path / "call_8k.pcm"
+        pcm_path.write_bytes(
+            (np.clip(wav8k, -1, 1) * 32767).astype("<i2").tobytes())
+        client = ASR_Client(host="127.0.0.1", port=server_port,
+                            mode="offline", itn=False, audio_sr=8000)
+        with mock.patch("fun_asr_vllm_tpu.audio.io.resample",
+                        wraps=__import__("fun_asr_vllm_tpu.audio.io",
+                                         fromlist=["resample"]).resample
+                        ) as rs:
+            text = asyncio.run(client.transcribe(str(pcm_path)))
+        assert isinstance(text, str)
+        assert any(c.args[1:] == (8000, 16000) or
+                   (c.kwargs.get("orig_sr"), c.kwargs.get("target_sr"))
+                   == (8000, 16000) for c in rs.call_args_list), \
+            "client did not resample the 8 kHz pcm file to 16 kHz"
+
 
 class TestVadEndpointing:
     def test_vad_tail_sil_cuts_without_client_final(self, engine_server):

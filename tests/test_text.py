@@ -229,6 +229,9 @@ class TestZhTN:
         # bare 月 is a DATE (二月), not a 两-measure — durations use 个月
         assert self.tn.normalize("我2月去北京") == "我二月去北京"
         assert self.tn.normalize("住了2个月") == "住了两个月"
+        # the 2 of a decimal fraction is NOT a measure reading
+        assert self.tn.normalize("1.2米") == "一点二米"
+        assert self.tn.normalize("3.2个") == "三点二个"
 
     def test_alphanumeric_serial(self):
         assert self.tn.normalize("坐A380去") == "坐A三八零去"
@@ -536,6 +539,9 @@ class TestItnReviewFixes:
         assert inverse_normalize_text("四分之一", "zh") == "1/4"
         assert inverse_normalize_text("三百分之一", "zh") == "1/300"
         assert inverse_normalize_text("百分之五十", "zh") == "50%"
+        # decimal numerators/denominators stay inside the fraction
+        assert inverse_normalize_text("五分之二点五", "zh") == "2.5/5"
+        assert inverse_normalize_text("二点五分之五", "zh") == "5/2.5"
 
     def test_en_decimal_and_hyphen(self):
         from fun_asr_vllm_tpu.text.zh_itn import inverse_normalize_text
