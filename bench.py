@@ -54,11 +54,13 @@ def main():
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax.profiler trace of the timed epoch")
     ap.add_argument("--no_prefetch", action="store_true")
-    ap.add_argument("--pipeline_depth", type=int, default=2,
-                    help="waves in flight inside the engine (each owns a "
-                         "KV cache). 2 hides the relay's dispatch→fetch "
-                         "round trip behind the next wave's compute; "
-                         "3+ measured slower (HBM pressure)")
+    ap.add_argument("--pipeline_depth", type=int, default=1,
+                    help="waves in flight inside one generate_fused call "
+                         "(each owns slots+blocks). Inert at the default "
+                         "batch==max_num_seqs call shape (one wave per "
+                         "call) — an interleaved A/B measured no wall "
+                         "difference; relevant only when a single call "
+                         "carries multiple waves")
     ap.add_argument("--kv_cache_dtype", type=str, default=None,
                     choices=(None, "int8"),
                     help="int8-paged KV cache (halved paged-attention "
@@ -152,9 +154,8 @@ def main():
         # one burst covers a typical zh transcript → one decode dispatch
         # per batch on this high-RTT transport
         decode_burst_size=16,
-        # depth=2 (wave pipelining) overlaps wave i's fetch with wave
-        # i+1's dispatch — worth ~1.25× wall on the relay now the burst
-        # reads a hoisted gather instead of scan-carrying the KV cache
+        # wave pipelining only engages when one generate_fused call spans
+        # multiple waves; at batch==max_num_seqs it is inert (A/B'd)
         pipeline_depth=args.pipeline_depth,
         quantize=args.quantize,
         packed_prefill=args.packed,
