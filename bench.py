@@ -250,19 +250,13 @@ def main():
         futs = (None if args.no_prefetch
                 else [uploader.submit(_force_upload, b[0], b[3])
                       for b in batches])
-        for i, (pcm, frames, mean_dur, _n, plan) in enumerate(batches):
-            t_s = time.time()
-            cur = pcm if args.no_prefetch else futs[i].result()
-            tm["upload_wait"] += time.time() - t_s
-            max_toks = max(4, int(mean_dur * args.tokens_per_audio_sec))
-            sp = SamplingParams(top_p=0.001, max_tokens=max_toks)
-            t_s = time.time()
-            outs = llm.generate_fused(
-                cur, frames, enc_params, enc_cfg, ad_params, ad_cfg,
-                frontend, prefix_dev, suffix_dev, sp, frame_plan=plan,
-            )
-            tm["generate"] += time.time() - t_s
-            t_s = time.time()
+
+        def consume(handle):
+            nonlocal hyp_count
+            t_c = time.time()
+            outs = handle.result()
+            tm["generate"] += time.time() - t_c
+            t_c = time.time()
             for o in outs:
                 # reference normalizes every hyp inside the timed loop
                 # (infer.py:493-496); token ids → pseudo-text stand-in
@@ -271,7 +265,32 @@ def main():
                     language="zh",
                 )
                 hyp_count += 1
-            tm["normalize"] += time.time() - t_s
+            tm["normalize"] += time.time() - t_c
+
+        # async wave handles: dispatch batch i+1 BEFORE fetching batch
+        # i's tokens — up to pipeline_depth waves in flight (the engine
+        # sizes slot/block pools for that many)
+        from collections import deque as _deque
+
+        inflight = _deque()
+        for i, (pcm, frames, mean_dur, _n, plan) in enumerate(batches):
+            t_s = time.time()
+            cur = pcm if args.no_prefetch else futs[i].result()
+            tm["upload_wait"] += time.time() - t_s
+            max_toks = max(4, int(mean_dur * args.tokens_per_audio_sec))
+            sp = SamplingParams(top_p=0.001, max_tokens=max_toks)
+            t_s = time.time()
+            handle = llm.generate_fused(
+                cur, frames, enc_params, enc_cfg, ad_params, ad_cfg,
+                frontend, prefix_dev, suffix_dev, sp, frame_plan=plan,
+                async_result=True,
+            )
+            tm["generate"] += time.time() - t_s
+            inflight.append(handle)
+            while len(inflight) >= max(1, args.pipeline_depth):
+                consume(inflight.popleft())
+        while inflight:
+            consume(inflight.popleft())
         return hyp_count
 
     # warmup: run the exact timed workload twice — the first pass

@@ -8,9 +8,10 @@ top-p sampling, and a vLLM-call-shaped `LLM.generate` front
 """
 
 from .sampling import SamplingParams
-from .engine import LLM, CompletionOutput, RequestOutput
+from .engine import LLM, CompletionOutput, FusedWaveHandle, RequestOutput
 from .async_engine import AsyncLLM
 
 __all__ = [
-    "LLM", "AsyncLLM", "SamplingParams", "CompletionOutput", "RequestOutput",
+    "LLM", "AsyncLLM", "SamplingParams", "CompletionOutput",
+    "FusedWaveHandle", "RequestOutput",
 ]

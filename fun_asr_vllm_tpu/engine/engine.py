@@ -102,6 +102,49 @@ def build_prompt_embeds_device(
     return out, p + audio_lens + q
 
 
+def _fused_block_need(cache_cfg, n: int, extra: int, plens) -> int:
+    """KV blocks _admit_direct will request for a wave of `n` prompts."""
+    bs = cache_cfg.block_size
+    return sum(
+        min(-(-(int(p) + 1 + extra) // bs), cache_cfg.max_blocks_per_seq)
+        for p in plens[:n]
+    )
+
+
+class FusedWaveHandle:
+    """An in-flight `generate_fused(..., async_result=True)` wave.
+
+    The fused program is DISPATCHED; the host has not fetched its tokens.
+    `result()` fetches + finishes the wave (and every older in-flight
+    wave first — slots/blocks bookkeeping is FIFO) and returns the
+    `List[RequestOutput]`. Overlapping waves need `pipeline_depth >= 2`
+    on the LLM so each wave owns disjoint slots/blocks; with depth 1 the
+    next generate_fused call auto-finishes this one before admitting."""
+
+    def __init__(self, llm: "LLM", reqs, tokens, k: int, sp):
+        self._llm = llm
+        self._reqs = reqs
+        self._tokens = tokens  # device array — fetch deferred
+        self._k = k
+        self._sp = sp
+        self._finished = False
+
+    def _finish(self) -> None:
+        if self._finished:
+            return
+        self._finished = True
+        self._llm._fused_inflight.remove(self)
+        self._llm._finish_fused_wave(self._reqs, self._tokens, self._k,
+                                     self._sp)
+        self._tokens = None
+
+    def result(self) -> "List[RequestOutput]":
+        llm = self._llm
+        while not self._finished:
+            llm._fused_inflight[0]._finish()  # FIFO, self included
+        return llm._collect(self._reqs, self._sp)
+
+
 @dataclasses.dataclass
 class CompletionOutput:
     index: int
@@ -304,6 +347,8 @@ class LLM:
 
         s, mbps = self.n_slots, self.cache_cfg.max_blocks_per_seq
         self._slots: List[Optional[_Request]] = [None] * s
+        # async generate_fused waves whose token fetch is deferred (FIFO)
+        self._fused_inflight: List[FusedWaveHandle] = []
         self._free_blocks = deque(range(1, num_blocks))  # block 0 = garbage
         self._block_tables = np.zeros((s, mbps), dtype=np.int32)
         self._positions = np.zeros((s,), dtype=np.int32)
@@ -644,7 +689,9 @@ class LLM:
             req.done = False
             req.t_enqueue = time.perf_counter()
             req.t_first_token = 0.0
-            req.stop_ids = None
+            # pinned per request: an async wave may finish AFTER a later
+            # generate_fused call overwrote self._cur_sampling
+            req.stop_ids = self.eos_ids | set(sp.stop_token_ids or ())
             req.sp = None
             req.n_session_blocks = 0
             slot = self._slots.index(None)
@@ -731,6 +778,7 @@ class LLM:
         suffix_embeds: jax.Array,  # [Q, H]
         sampling_params: Optional[SamplingParams] = None,
         frame_plan=None,  # FramePack for sample-level ragged uploads
+        async_result: bool = False,
     ) -> List[RequestOutput]:
         """Whole-batch fast path: ONE dispatch runs fbank → encoder →
         adaptor → prompt assembly → prefill (engine/fused.py), then fused
@@ -740,7 +788,14 @@ class LLM:
         With `frame_plan` (packed_prefill only, one wave, lfr off),
         `speech` is ONE sample-level packed row laid out in the plan's
         frame geometry (frontend.batchify_sample_packed) — fbank runs
-        without padding and the upload carries only valid samples."""
+        without padding and the upload carries only valid samples.
+
+        With `async_result=True` (single wave, greedy) the call returns a
+        `FusedWaveHandle` right after the dispatch, WITHOUT fetching the
+        tokens: the caller can dispatch the next wave before `.result()`,
+        hiding the fetch round trip behind device compute. Overlap needs
+        `pipeline_depth >= 2` (disjoint slot/block pools per wave); with
+        depth 1 the next call auto-finishes the outstanding handle."""
         from ..models.adaptor import downsampled_length
         from .fused import fused_encode_prefill
 
@@ -804,9 +859,25 @@ class LLM:
                 "frame_plan requires packed_prefill, greedy sampling, "
                 "lfr off and a single wave (batch <= max_num_seqs)"
             )
+        if async_result and (b > self.max_num_seqs or not single_shot):
+            raise ValueError(
+                "async_result requires a single wave (batch <= "
+                "max_num_seqs) and greedy sampling (the single-shot "
+                "fused program)"
+            )
         pending = None  # (reqs, tokens device array) awaiting host fetch
         for start in range(0, b, self.max_num_seqs):
             stop = min(start + self.max_num_seqs, b)
+            # an older async wave may still hold its slots — finish it
+            # (FIFO) when this wave wouldn't fit; with pipeline_depth >= 2
+            # the pools are sized so overlapping waves coexist
+            while self._fused_inflight and (
+                self._slots.count(None) < stop - start
+                or len(self._free_blocks) < _fused_block_need(
+                    self.cache_cfg, stop - start, k if single_shot else 0,
+                    all_plens[start:stop])
+            ):
+                self._fused_inflight[0]._finish()
             frames = np.asarray(
                 [-(-int(f) // lfr_n) for f in wav_frames[start:stop]],
                 np.int32,
@@ -901,6 +972,13 @@ class LLM:
                         **fe_kw,
                     )
                 self.stats["t_dispatch"] += time.perf_counter() - t0
+                if async_result:
+                    # single wave (validated above): hand the un-fetched
+                    # tokens back so the caller can dispatch the next
+                    # wave before paying this one's fetch
+                    h = FusedWaveHandle(self, reqs, tokens, k, sp)
+                    self._fused_inflight.append(h)
+                    return h
                 # the dispatch above is async — with pipeline_depth ≥ 2
                 # (disjoint slots/blocks for two waves) process the
                 # PREVIOUS wave's tokens while this one computes

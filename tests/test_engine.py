@@ -253,6 +253,74 @@ class TestSingleShot:
 
         assert run(2) == run(1)
 
+    def test_async_wave_handles_match_sequential(self, setup):
+        """generate_fused(async_result=True): overlapping handles across
+        CALLS (dispatch batch i+1 before fetching batch i) must be
+        token-identical to sequential calls, free all slots/blocks, and
+        auto-finish the outstanding handle at depth 1."""
+        import jax.numpy as jnp
+
+        from fun_asr_vllm_tpu.audio.frontend import WavFrontend
+        from fun_asr_vllm_tpu.models import adaptor as adaptor_mod
+        from fun_asr_vllm_tpu.models import encoder as encoder_mod
+
+        params, cfg = setup
+        h = cfg.hidden_size
+        enc_cfg = encoder_mod.SANMEncoderConfig(
+            input_size=80, output_size=32, attention_heads=4,
+            linear_units=64, num_blocks=2, dtype=jnp.float32,
+        )
+        ad_cfg = adaptor_mod.NanoAdaptorConfig(
+            encoder_dim=32, llm_dim=h, ffn_dim=64, dtype=jnp.float32
+        )
+        key = jax.random.PRNGKey(3)
+        enc_params = encoder_mod.init_params(enc_cfg, key)
+        ad_params = adaptor_mod.init_params(ad_cfg, key)
+        fe = WavFrontend(dither=0.0)
+        rng = np.random.default_rng(5)
+        batches = []
+        for i in range(3):
+            wavs = [rng.normal(scale=0.05, size=8000 + 1600 * j
+                               ).astype(np.float32) for j in (2 * i, 2 * i + 1)]
+            batches.append(fe.batchify(wavs))
+        prefix = jnp.asarray(rng.normal(scale=0.3, size=(3, h)), jnp.float32)
+        suffix = jnp.asarray(rng.normal(scale=0.3, size=(2, h)), jnp.float32)
+        sp = SamplingParams(temperature=0.0, max_tokens=5)
+
+        def call(llm, pcm, frames, **kw):
+            return llm.generate_fused(
+                pcm, frames, enc_params, enc_cfg, ad_params, ad_cfg, fe,
+                prefix, suffix, sp, **kw,
+            )
+
+        def run_async(depth):
+            llm = make_llm(params, cfg, max_num_seqs=2, decode_burst_size=8,
+                           pipeline_depth=depth)
+            handles = [call(llm, pcm, fr, async_result=True)
+                       for pcm, fr in batches]
+            toks = [[o.outputs[0].token_ids for o in han.result()]
+                    for han in handles]
+            assert not llm._fused_inflight
+            assert len(llm._free_blocks) == llm.cache_cfg.num_blocks - 1
+            assert all(s is None for s in llm._slots)
+            return toks
+
+        def run_sync():
+            llm = make_llm(params, cfg, max_num_seqs=2, decode_burst_size=8)
+            return [[o.outputs[0].token_ids for o in call(llm, pcm, fr)]
+                    for pcm, fr in batches]
+
+        want = run_sync()
+        assert run_async(2) == want   # true overlap (two waves in flight)
+        assert run_async(1) == want   # auto-finish path
+        # out-of-order result() resolves FIFO without deadlock
+        llm = make_llm(params, cfg, max_num_seqs=2, decode_burst_size=8,
+                       pipeline_depth=2)
+        h1 = call(llm, *batches[0], async_result=True)
+        h2 = call(llm, *batches[1], async_result=True)
+        assert [o.outputs[0].token_ids for o in h2.result()] == want[1]
+        assert [o.outputs[0].token_ids for o in h1.result()] == want[0]
+
     def test_generate_fused_packed_matches_padded(self, setup):
         """packed_prefill=True (ragged pipeline: packed encoder + adaptor
         + varlen prefill, engine/packed.py) must produce the same token
