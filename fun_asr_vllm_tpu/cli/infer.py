@@ -40,9 +40,14 @@ def get_args():
     p.add_argument("--quantize", type=str, default=None,
                    choices=(None, "int8"),
                    help="opt-in weight-only int8 decoder")
-    p.add_argument("--packed", action="store_true",
+    p.add_argument("--packed", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="ragged mode: pack valid frames/tokens along one "
-                        "axis instead of padding each wave (engine/packed.py)")
+                        "axis instead of padding each wave "
+                        "(engine/packed.py). Token-exact vs padded "
+                        "(fuzz-tested), -16%% device time; the engine "
+                        "falls back to padded when the packed gate "
+                        "doesn't hold (mesh/lfr/non-greedy)")
     p.add_argument("--max_num_seqs", type=int, default=None)
     return p.parse_args()
 

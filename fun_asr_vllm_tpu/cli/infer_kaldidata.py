@@ -79,9 +79,14 @@ def get_args():
                    help="length-sort utterances before batching (tighter "
                         "padding buckets, ~+20%% RTFx; outputs stay "
                         "key-sorted)")
-    p.add_argument("--packed", action="store_true",
+    p.add_argument("--packed", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="ragged mode: pack valid frames/tokens along one "
-                        "axis instead of padding each wave (engine/packed.py)")
+                        "axis instead of padding each wave "
+                        "(engine/packed.py). Token-exact vs padded "
+                        "(fuzz-tested), -16%% device time; the engine "
+                        "falls back to padded when the packed gate "
+                        "doesn't hold (mesh/lfr/non-greedy)")
     p.add_argument("--max_tokens", type=int, default=500)
     p.add_argument("--disable_engine", action="store_true")
     return p.parse_args()

@@ -37,7 +37,10 @@ class BatchPipeline:
         gpu_memory_utilization: float = 0.4,  # accepted for CLI parity
         mesh=None,
         quantize=None,
-        packed: bool = False,
+        # packed (ragged) prefill: token-exact vs padded (fuzz-tested),
+        # -16% device time; the engine's packed gate falls back to the
+        # padded program when constraints don't hold (mesh/lfr/non-greedy)
+        packed: bool = True,
         kv_cache_dtype=None,
         vllm_model_dir: Optional[str] = None,
     ) -> None:
