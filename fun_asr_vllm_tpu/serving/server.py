@@ -50,6 +50,7 @@ class ASRServer:
         max_num_seqs: int = 16,
         max_tokens: int = 500,
         partial_interval_s: float = 0.6,
+        max_connections: Optional[int] = None,
     ) -> None:
         from ..models.nano import FunASRNano
 
@@ -70,6 +71,19 @@ class ASRServer:
         self._decode_lock = threading.Lock()  # engine-less fallback only
         self.partial_interval_s = partial_interval_s
         self.max_tokens = max_tokens
+        # admission control: beyond this many concurrent sessions a new
+        # connection gets a terminal error reply + close(1013 try-later)
+        # instead of silently queueing behind the engine (KV pressure).
+        # Default: 4 streams per engine slot — online sessions are idle
+        # most of the time, so modest oversubscription is safe.
+        self.max_connections = (max_connections if max_connections
+                                else 4 * max_num_seqs)
+        self._active_sessions = 0
+        self.metrics = {
+            "sessions_total": 0, "sessions_rejected": 0,
+            "finals_total": 0, "partials_total": 0,
+            "vad_segment_finals_total": 0,
+        }
 
     # -------------------------------------------------------------- decode
 
@@ -272,6 +286,26 @@ class ASRServer:
     # ------------------------------------------------------------- session
 
     async def handle(self, websocket) -> None:
+        if self._active_sessions >= self.max_connections:
+            # terminal error reply (is_final ends the reference client's
+            # receive loop cleanly) + 1013 "try again later"
+            self.metrics["sessions_rejected"] += 1
+            await websocket.send(json.dumps({
+                "mode": "offline", "wav_name": "", "text": "",
+                "is_final": True,
+                "error": (f"server at capacity "
+                          f"({self.max_connections} sessions)"),
+            }, ensure_ascii=False))
+            await websocket.close(code=1013, reason="server at capacity")
+            return
+        self._active_sessions += 1
+        self.metrics["sessions_total"] += 1
+        try:
+            await self._handle_session(websocket)
+        finally:
+            self._active_sessions -= 1
+
+    async def _handle_session(self, websocket) -> None:
         hs: Optional[Handshake] = None
         buf = np.zeros(0, dtype=np.float32)
         emitted_upto = 0.0  # seconds of audio already partial-decoded
@@ -326,6 +360,9 @@ class ASRServer:
             await websocket.send(
                 result_message(mode, hs.wav_name, text, terminal)
             )
+            self.metrics["finals_total"] += 1
+            if not terminal:
+                self.metrics["vad_segment_finals_total"] += 1
             buf = np.zeros(0, dtype=np.float32)
             emitted_upto = 0.0
             stream_fed = 0
@@ -447,6 +484,7 @@ class ASRServer:
                                     common += 1
                                 delta = text[common:]
                             last_partial = text
+                            self.metrics["partials_total"] += 1
                             if delta:
                                 mode = ("2pass-online" if hs.mode == "2pass"
                                         else "online")
@@ -474,9 +512,63 @@ class ASRServer:
                 except Exception:
                     pass
 
-    async def serve(self, host: str = "0.0.0.0", port: int = 10095):
+    # -------------------------------------------------------------- metrics
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of server + engine counters."""
+        lines = []
+
+        def emit(name, value, mtype="counter"):
+            lines.append(f"# TYPE fun_asr_{name} {mtype}")
+            lines.append(f"fun_asr_{name} {value}")
+
+        for k, v in self.metrics.items():
+            emit(k, v)
+        emit("active_sessions", self._active_sessions, "gauge")
+        emit("max_connections", self.max_connections, "gauge")
+        llm = getattr(self.model, "vllm", None)
+        if llm is not None:
+            for k, v in llm.stats.items():
+                emit(f"engine_{k}",
+                     f"{v:.6f}" if isinstance(v, float) else v)
+            emit("engine_free_kv_blocks", len(llm._free_blocks), "gauge")
+            emit("engine_total_kv_blocks", llm.cache_cfg.num_blocks, "gauge")
+        return "\n".join(lines) + "\n"
+
+    async def _serve_metrics(self, host: str, port: int):
+        """Minimal HTTP /metrics endpoint (no deps beyond asyncio)."""
+
+        async def on_conn(reader, writer):
+            try:
+                # read the request line + headers (ignored beyond line 1)
+                line = await reader.readline()
+                while (await reader.readline()).strip():
+                    pass
+                body = (self.metrics_text()
+                        if b"/metrics" in line or line.startswith(b"GET / ")
+                        else "not found\n")
+                status = ("200 OK" if body != "not found\n"
+                          else "404 Not Found")
+                payload = body.encode()
+                writer.write(
+                    f"HTTP/1.1 {status}\r\n"
+                    f"Content-Type: text/plain; version=0.0.4\r\n"
+                    f"Content-Length: {len(payload)}\r\n"
+                    f"Connection: close\r\n\r\n".encode() + payload)
+                await writer.drain()
+            finally:
+                writer.close()
+
+        srv = await asyncio.start_server(on_conn, host, port)
+        logger.info("metrics on http://%s:%d/metrics", host, port)
+        return srv
+
+    async def serve(self, host: str = "0.0.0.0", port: int = 10095,
+                    metrics_port: Optional[int] = None):
         import websockets
 
+        if metrics_port:
+            await self._serve_metrics(host, metrics_port)
         async with websockets.serve(
             self.handle, host, port, subprotocols=["binary"], max_size=None
         ):
@@ -492,6 +584,13 @@ def main():
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--max_num_seqs", type=int, default=16)
     ap.add_argument("--disable_engine", action="store_true")
+    ap.add_argument("--max_connections", type=int, default=None,
+                    help="admission cap on concurrent sessions "
+                         "(default 4x max_num_seqs); over it, new "
+                         "connections get a terminal error + close(1013)")
+    ap.add_argument("--metrics_port", type=int, default=None,
+                    help="serve Prometheus text metrics on "
+                         "http://HOST:PORT/metrics")
     args = ap.parse_args()
     logging.basicConfig(
         level=logging.INFO,
@@ -501,8 +600,10 @@ def main():
         args.model_dir, dtype=args.dtype,
         enable_engine=not args.disable_engine,
         max_num_seqs=args.max_num_seqs,
+        max_connections=args.max_connections,
     )
-    asyncio.run(server.serve(args.host, args.port))
+    asyncio.run(server.serve(args.host, args.port,
+                             metrics_port=args.metrics_port))
 
 
 if __name__ == "__main__":

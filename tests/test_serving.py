@@ -596,3 +596,77 @@ class TestVadEndpointing:
                         return 1
 
         assert asyncio.new_event_loop().run_until_complete(run()) == 1
+
+
+class TestAdmissionAndMetrics:
+    def test_capacity_rejection_and_metrics_endpoint(self, tmp_path_factory):
+        """A server at max_connections rejects a new handshake with a
+        terminal error reply + close(1013), and /metrics serves
+        Prometheus text with session/engine counters."""
+        import json as js
+        import urllib.request
+
+        from fun_asr_vllm_tpu.models.nano import make_test_model_dir
+        from fun_asr_vllm_tpu.serving.server import ASRServer
+
+        model_dir = make_test_model_dir(
+            str(tmp_path_factory.mktemp("srv_model_cap")))
+        server = ASRServer(model_dir, dtype="float32", enable_engine=False,
+                           max_tokens=4, max_connections=1)
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            mport = s.getsockname()[1]
+
+        loop = asyncio.new_event_loop()
+
+        def run_srv():
+            asyncio.set_event_loop(loop)
+            loop.run_until_complete(
+                server.serve("127.0.0.1", port, metrics_port=mport))
+
+        threading.Thread(target=run_srv, daemon=True).start()
+        for _ in range(100):
+            try:
+                with socket.create_connection(("127.0.0.1", port),
+                                              timeout=0.2):
+                    break
+            except OSError:
+                time.sleep(0.1)
+        else:
+            pytest.fail("server did not start")
+
+        async def run():
+            import websockets
+
+            uri = f"ws://127.0.0.1:{port}"
+            async with websockets.connect(uri, subprotocols=["binary"]) as a:
+                # first session occupies the single slot (no traffic yet)
+                await asyncio.sleep(0.2)
+                async with websockets.connect(
+                        uri, subprotocols=["binary"]) as b:
+                    msg = js.loads(await asyncio.wait_for(b.recv(), 10))
+                    assert msg["is_final"] is True
+                    assert "capacity" in msg.get("error", "")
+                del a
+            return True
+
+        assert asyncio.new_event_loop().run_until_complete(run())
+        txt = urllib.request.urlopen(
+            f"http://127.0.0.1:{mport}/metrics", timeout=10
+        ).read().decode()
+        assert "fun_asr_sessions_total 1" in txt
+        assert "fun_asr_sessions_rejected 1" in txt
+        assert "fun_asr_active_sessions" in txt
+        # engine-less server: no engine_* lines required, but gauge types
+        assert "# TYPE fun_asr_active_sessions gauge" in txt
+        # 404 path
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{mport}/nope",
+                                   timeout=10)
+            pytest.fail("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        loop.call_soon_threadsafe(loop.stop)
