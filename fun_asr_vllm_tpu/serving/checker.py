@@ -41,7 +41,7 @@ class ASR_Checker:
         client = ASR_Client(host=host, port=port, mode="offline", itn=self.itn)
         transcript = asyncio.run(client.transcribe(audio_path))
         result = compute_wer_line(text, transcript, tochar=True)
-        wer = result["stats"]["wer"] / 100.0
+        wer = result["stats"]["wer"]  # already a fraction (reference scale)
         if result["stats"]["all"] == 0:
             # an empty-tokenizing reference yields wer=0 regardless of
             # the hypothesis (reference compute_wer_line.py:330 parity)

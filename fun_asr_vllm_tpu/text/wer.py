@@ -340,9 +340,13 @@ def compute_wer_line(
     """Score one (ref, hyp) pair.
 
     Returns ``{'stats': {'wer','all','cor','sub','del','ins'}, 'lab', 'rec'}``
-    matching the reference's return contract
-    (reference compute_wer_line.py:278-470; used by asr_check.py:56-98 and
-    run_audio_cat_cut.py stage 4/5)."""
+    matching the reference's return contract — ``stats.wer`` is a FRACTION
+    (reference compute_wer_line.py:394; thresholds in asr_check.py:56-98
+    and run_audio_cat_cut.py stage 4/5 are written on that scale).
+    Divergences, both deliberate: ``lab``/``rec`` are token lists (the
+    reference returns verbose-mode display strings, and its verbose=0
+    path NameErrors on them — every reference caller passes verbose=1),
+    and verbose=0 works here."""
     ig = frozenset(
         (w if case_sensitive else w.upper()) for w in (ignore_words or [])
     )
@@ -365,11 +369,48 @@ def compute_wer_line(
             % (result["all"], result["cor"], result["sub"], result["del"],
                result["ins"])
         )
-        for name, seq in (("lab", result["lab"]), ("rec", result["rec"])):
-            print(f"{name}: " + " ".join(t if t else "*" for t in seq))
+        # column-aligned display, byte-matching the reference CLI
+        # (compute_wer_line.py:336-374): each aligned pair padded to the
+        # wider side's east-asian display width, gaps render as spaces
+        def _w(s: str) -> int:
+            return sum(1 + (unicodedata.east_asian_width(c) in "AFW")
+                       for c in s)
+
+        cols = [max(_w(a), _w(b))
+                for a, b in zip(result["lab"], result["rec"])]
+        # an empty alignment prints no lab/rec lines (the reference's
+        # display loop body never runs, compute_wer_line.py:349)
+        for name, seq in (((("lab", result["lab"]), ("rec", result["rec"]))
+                           if result["lab"] else ())):
+            line = "".join(t + " " * (w - _w(t)) + " "
+                           for t, w in zip(seq, cols))
+            print(f"{name}:", line)
+        # summary tail (reference compute_wer_line.py:377-418): overall +
+        # per-word-class WERs, classes in first-seen order over rec+lab
+        print("=" * 75)
+        print()
+
+        def _emit(name: str, res: Dict[str, int]) -> None:
+            w_pct = (100.0 * (res["ins"] + res["sub"] + res["del"])
+                     / res["all"] if res["all"] else 0.0)
+            print("%s -> %4.2f %%" % (name, w_pct), end=" ")
+            print("N=%d C=%d S=%d D=%d I=%d"
+                  % (res["all"], res["cor"], res["sub"], res["del"],
+                     res["ins"]))
+
+        _emit("Overall", calc.overall())
+        clusters: Dict[str, Dict[str, int]] = {}
+        for word in rec + lab:
+            clusters.setdefault(default_cluster(word), {})[word] = 1
+        for cid, words in clusters.items():
+            _emit(cid, calc.cluster(list(words)))
     return {
         "stats": {
-            "wer": wer,
+            # FRACTION, not percent (reference compute_wer_line.py:394
+            # returns wer/100.0) — asr_check thresholds (0.3) and
+            # cat_cut stage-5 range specs (START:END:THR, global cap
+            # default 1.0) are written on this scale
+            "wer": wer / 100.0,
             "all": result["all"],
             "cor": result["cor"],
             "sub": result["sub"],

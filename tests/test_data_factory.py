@@ -445,7 +445,9 @@ class TestCatCut:
                                str(tmp_path / "asr_wer_ch1.xlsx"),
                                transcribe_fn=fake_asr, batch_size=4)
         assert [r["wav_name"] for r in rows] == names
-        assert rows[0]["wer"] == 0.0 and rows[2]["wer"] > 50.0
+        # wer is a FRACTION, the scale the reference writes to the stage-4
+        # Excel and compares stage-5 range thresholds against
+        assert rows[0]["wer"] == 0.0 and rows[2]["wer"] > 0.5
 
         # fabricate the ch4 report with the same rows
         from fun_asr_vllm_tpu.data.cat_cut import _write_report
@@ -453,10 +455,11 @@ class TestCatCut:
         _write_report(str(tmp_path / "asr_wer_ch4.xlsx"),
                       ("wav_name", "text", "asr", "wer"), rows)
         kept1, kept4 = stage5_filter_wer(
-            str(tmp_path), ["0:1:0.0"], global_max_wer=60.0,
+            str(tmp_path), ["0:1:0.0"], global_max_wer=0.6,
         )
         # rows 0-1 need wer ≤ 0 (row 0 passes, row 1 fails); rows 2-3 use
-        # the global cap 60 (row 2 fails, row 3 passes)
+        # the global cap 0.6 — fraction scale, as the reference compares
+        # (row 2 fails, row 3 passes)
         assert kept1 == 2 and kept4 == 2
 
     def test_align_split_asr_merged_driver(self, tmp_path):

@@ -81,7 +81,9 @@ class TestWer:
     def test_one_sub(self):
         r = compute_wer_line("今天天气不错", "今天天汽不错")
         assert r["stats"]["sub"] == 1
-        assert abs(r["stats"]["wer"] - 100.0 / 6) < 1e-9
+        # fraction scale, matching the reference's stats dict
+        # (compute_wer_line.py:394 returns wer/100.0)
+        assert abs(r["stats"]["wer"] - 1.0 / 6) < 1e-9
 
     def test_case_insensitive(self):
         r = compute_wer_line("hello world", "HELLO WORLD")
@@ -479,7 +481,8 @@ class TestWerProperty:
             assert total_err == want, (ref, hyp, s)
             # invariants
             assert s["cor"] + s["sub"] + s["del"] == s["all"] == n
-            assert abs(s["wer"] - 100.0 * total_err / max(n, 1)) < 1e-6
+            # fraction scale (reference compute_wer_line.py:394)
+            assert abs(s["wer"] - total_err / max(n, 1)) < 1e-8
 
     def test_cjk_char_tokenization_property(self):
         import random
@@ -558,3 +561,68 @@ class TestItnReviewFixes:
 
         f = io.StringIO()
         assert write_error_stats(f, "t", [("u1", "a*b", "a*b")]) == 0.0
+
+
+class TestComputeWerLineReferenceGoldens:
+    """Byte-level conformance pins for compute_wer_line's verbose output
+    and stats dict. The expected strings were GENERATED by executing the
+    unmodified reference compute_wer_line.py on these inputs (round-3
+    conformance session; a 1500-pair random fuzz matched byte-for-byte).
+    stats.wer is a fraction, matching reference :394."""
+
+    CASES = [
+        ("Hello world, everyone. 你好世界！", "hello, anyone. 你好好四姐。",
+         {"wer": 5 / 7, "all": 7, "cor": 3, "sub": 3, "del": 1, "ins": 1},
+         "WER: 71.43 % N=7 C=3 S=3 D=1 I=1\n"
+         "lab: HELLO WORLD  EVERYONE 你 好 世 界    \n"
+         "rec: HELLO ANYONE          你 好 好 四 姐 \n"
+         + "=" * 75 + "\n\n"
+         "Overall -> 71.43 % N=7 C=3 S=3 D=1 I=1\n"
+         "English -> 66.67 % N=3 C=1 S=1 D=1 I=0\n"
+         "Mandarin -> 75.00 % N=4 C=2 S=2 D=0 I=1\n"),
+        ("今天天气不错", "今天天气不错",
+         {"wer": 0.0, "all": 6, "cor": 6, "sub": 0, "del": 0, "ins": 0},
+         "WER: 0.00 % N=6 C=6 S=0 D=0 I=0\n"
+         "lab: 今 天 天 气 不 错 \n"
+         "rec: 今 天 天 气 不 错 \n"
+         + "=" * 75 + "\n\n"
+         "Overall -> 0.00 % N=6 C=6 S=0 D=0 I=0\n"
+         "Mandarin -> 0.00 % N=6 C=6 S=0 D=0 I=0\n"),
+        ("", "今天",
+         {"wer": 0.0, "all": 0, "cor": 0, "sub": 0, "del": 0, "ins": 2},
+         "WER: 0.00 % N=0 C=0 S=0 D=0 I=2\n"
+         "lab:       \n"
+         "rec: 今 天 \n"
+         + "=" * 75 + "\n\n"
+         "Overall -> 0.00 % N=0 C=0 S=0 D=0 I=2\n"
+         "Mandarin -> 0.00 % N=0 C=0 S=0 D=0 I=2\n"),
+        ("it's co-op 3PM 测试", "its coop 3 PM 测试 extra",
+         {"wer": 1.0, "all": 5, "cor": 2, "sub": 3, "del": 0, "ins": 2},
+         "WER: 100.00 % N=5 C=2 S=3 D=0 I=2\n"
+         "lab: IT'S CO-OP 3PM    测 试       \n"
+         "rec: ITS  COOP  3   PM 测 试 EXTRA \n"
+         + "=" * 75 + "\n\n"
+         "Overall -> 100.00 % N=5 C=2 S=3 D=0 I=2\n"
+         "English -> 200.00 % N=2 C=0 S=2 D=0 I=2\n"
+         "Number -> 0.00 % N=0 C=0 S=0 D=0 I=0\n"
+         "Mandarin -> 0.00 % N=2 C=2 S=0 D=0 I=0\n"
+         "Other -> 100.00 % N=1 C=0 S=1 D=0 I=0\n"),
+        ("<Keyword>北京</Keyword> 去 上海", "北京 去 深圳",
+         {"wer": 0.4, "all": 5, "cor": 3, "sub": 2, "del": 0, "ins": 0},
+         "WER: 40.00 % N=5 C=3 S=2 D=0 I=0\n"
+         "lab: 北 京 去 上 海 \n"
+         "rec: 北 京 去 深 圳 \n"
+         + "=" * 75 + "\n\n"
+         "Overall -> 40.00 % N=5 C=3 S=2 D=0 I=0\n"
+         "Mandarin -> 40.00 % N=5 C=3 S=2 D=0 I=0\n"),
+    ]
+
+    def test_goldens(self, capsys):
+        from fun_asr_vllm_tpu.text.wer import compute_wer_line
+
+        for ref, hyp, stats, text in self.CASES:
+            out = compute_wer_line(ref, hyp, verbose=1)
+            got = capsys.readouterr().out
+            for k, v in stats.items():
+                assert abs(out["stats"][k] - v) < 1e-12, (ref, hyp, k)
+            assert got == text, (ref, hyp, repr(got))
