@@ -137,12 +137,26 @@ def nano_prompt(
     return prompt + "："
 
 
+_CTL_ZH = re.compile(r"[一-鿿㐀-䶿\U00020000-\U0002a6df]")
+_CTL_EN = re.compile(r"\b[a-zA-Z][a-zA-Z'\-]*\b")
+_CTL_NUM = re.compile(r"\b[-+]?\d[\d,.]*\b")
+_CTL_PUNCT = re.compile(
+    r"[。，、；：！？“”‘’（）《》【】「」『』〔〕…—"
+    r".,;:!?\"'()\[\]{}<>~@#$%^&*_+=|\\/\-]"
+)
+
+
 def count_text_units(text: str) -> int:
-    """SenseVoice unit counting: each han char / latin word / number run /
-    punct counts 1 (reference scp2svsjsonl.py:36-66)."""
-    units = re.findall(r"[一-鿿]|[A-Za-z']+|\d+|[^\sA-Za-z0-9一-鿿]",
-                       text)
-    return len(units)
+    """SenseVoice unit counting, regex-for-regex the reference's
+    count_text_length (scp2svsjsonl.py:36-66): han chars + \\b-anchored
+    latin words + \\b-anchored number runs + puncts, each 1 unit. The
+    \\b anchors matter: digits/words glued to CJK (句123) contribute 0
+    because CJK is a word char, and '-' inside a word double-counts as
+    punct — byte-parity with the reference requires both quirks."""
+    if not text:
+        return 0
+    return (len(_CTL_ZH.findall(text)) + len(_CTL_EN.findall(text))
+            + len(_CTL_NUM.findall(text)) + len(_CTL_PUNCT.findall(text)))
 
 
 def _probe_duration(path: str) -> float:
@@ -322,32 +336,41 @@ def svs_jsonl(
     emo_map = emo_map or {}
     evt_map = evt_map or {}
 
+    # one job per (key, variant): the reference emits BOTH a woitn and a
+    # withitn record when both transcripts exist (scp2svsjsonl.py:199-245)
     jobs = []
     for key in sorted(set(wav_scp) & (set(text_tn) | set(text_itn))):
-        with_itn = bool(text_itn.get(key))
-        target = text_itn.get(key) or text_tn.get(key)
-        if not target:  # empty transcript — skip the utterance
-            continue
         dur = None
         if key in wav2dur:
             try:
                 dur = float(wav2dur[key])
             except ValueError:
-                dur = None
-        jobs.append({"key": key, "wav_path": wav_scp[key], "text": target,
-                     "with_itn": with_itn, "duration_sec": dur})
+                # the reference warns and emits source_len=0
+                dur = 0.0
+        # empty transcripts are skipped (the reference's file parser
+        # drops valueless lines before they reach this point)
+        variants = []
+        if text_tn.get(key):
+            variants.append(("<|woitn|>", text_tn[key]))
+        if text_itn.get(key):
+            variants.append(("<|withitn|>", text_itn[key]))
+        for tag, target in variants:
+            jobs.append({"key": key, "wav_path": wav_scp[key],
+                         "text": target, "itn_tag": tag,
+                         "duration_sec": dur})
     _fill_durations(jobs, max_workers)
 
     n = 0
     with open(out_path, "w", encoding="utf-8") as f:
         for j in jobs:
-            if j["duration_sec"] is None or j["duration_sec"] <= 0:
+            if j["duration_sec"] is None or j["duration_sec"] < 0:
                 continue
             key, target = j["key"], j["text"]
+            # language picked per VARIANT text (detection may differ
+            # between the TN and ITN sides, reference :203/:228)
             tag = pick_language_tag(key, target, lang_map, text_language)
             record = {
                 "key": key,
-                "task": "<|ASR|>",
                 "text_language": tag,
                 "emo_target": f"<|{emo_map.get(key, 'NEUTRAL')}|>"
                               if not emo_map.get(key, "").startswith("<|")
@@ -355,8 +378,7 @@ def svs_jsonl(
                 "event_target": f"<|{evt_map.get(key, 'Speech')}|>"
                                 if not evt_map.get(key, "").startswith("<|")
                                 else evt_map[key],
-                "with_or_wo_itn": "<|withitn|>" if j["with_itn"]
-                                  else "<|woitn|>",
+                "with_or_wo_itn": j["itn_tag"],
                 "target": target,
                 "source": j["wav_path"],
                 "target_len": count_text_units(target),

@@ -94,12 +94,16 @@ class TestJsonl:
 
         d = _make_kaldi_dir(tmp_path)
         out = tmp_path / "svs.jsonl"
+        # BOTH variants per utt when text_tn and text_itn exist
+        # (reference scp2svsjsonl.py:199-245)
         n = scp_to_svs_jsonl(str(d), str(out))
-        assert n == 3
-        rec = json.loads(out.read_text().splitlines()[0])
-        assert rec["with_or_wo_itn"] == "<|withitn|>"
-        assert rec["source_len"] == 100  # round(1.0 * 100)
-        assert rec["text_language"] == "<|zh|>"
+        assert n == 6
+        recs = [json.loads(l) for l in out.read_text().splitlines()]
+        assert [r["with_or_wo_itn"] for r in recs[:2]] == [
+            "<|woitn|>", "<|withitn|>"]
+        assert all(r["source_len"] == 100 for r in recs)  # round(1.0*100)
+        assert all(r["text_language"] == "<|zh|>" for r in recs)
+        assert "task" not in recs[0]  # the reference emits no task field
 
     def test_explicit_language_split_deterministic(self):
         from fun_asr_vllm_tpu.data.jsonl import choose_explicit_language
@@ -112,7 +116,12 @@ class TestJsonl:
     def test_count_text_units(self):
         from fun_asr_vllm_tpu.data.jsonl import count_text_units
 
-        assert count_text_units("你好world 123") == 4  # 你 好 world 123
+        # reference count_text_length semantics (scp2svsjsonl.py:36-66):
+        # \b-anchored words/numbers — a token glued to CJK counts 0
+        assert count_text_units("你好 world 123") == 4
+        assert count_text_units("你好world 123") == 3   # world glued to 好
+        assert count_text_units("句123") == 1            # digits glued
+        assert count_text_units("co-op") == 2            # word + '-' punct
 
     def test_empty_transcripts_skipped(self, tmp_path):
         """A bare-key text line (empty transcript) is skipped, not
@@ -221,7 +230,7 @@ class TestPrepareDomain:
         from fun_asr_vllm_tpu.data.prepare_domain import _emit_jsonl
 
         n = _emit_jsonl(str(out), str(out / "re.jsonl"), "svs", "mytags")
-        assert n == 2
+        assert n == 4  # 2 utts x (woitn + withitn) variants
         recs = [json.loads(l)
                 for l in (out / "re.jsonl").read_text().splitlines()]
         assert all(r["text_language"] == "<|en|>" for r in recs)
@@ -806,3 +815,48 @@ class TestSeameSplit:
         )
         with pytest.raises(ValueError, match="repeated"):
             read_trans({}, str(trans), "PhaseII", ["NI01MAX_0101"], "/a")
+
+
+class TestSvsJsonlReferenceGoldens:
+    """Byte-level golden pins for the SVS JSONL generator, GENERATED by
+    executing the unmodified reference scp2svsjsonl.py (round-3
+    conformance session; 4 fuzz scenarios x ~70 records matched
+    byte-for-byte). Covers: dual woitn/withitn emission, the reference's
+    \\b-anchored unit counting (今天有25个人 -> 5: '25' glued to 有
+    counts 0), invalid-duration -> source_len 0, and >80%%-english
+    detection (it's 3.5%% ok -> <|en|>)."""
+
+    GOLDEN = [
+        '{"key": "u0", "text_language": "<|zh|>", "emo_target": '
+        '"<|NEUTRAL|>", "event_target": "<|Speech|>", "with_or_wo_itn": '
+        '"<|woitn|>", "target": "今天有25个人", "source": "/x/u0.wav", '
+        '"target_len": 5, "source_len": 123}',
+        '{"key": "u0", "text_language": "<|zh|>", "emo_target": '
+        '"<|NEUTRAL|>", "event_target": "<|Speech|>", "with_or_wo_itn": '
+        '"<|withitn|>", "target": "今天有二十五个人123", "source": '
+        '"/x/u0.wav", "target_len": 8, "source_len": 123}',
+        '{"key": "u1", "text_language": "<|zh|>", "emo_target": '
+        '"<|NEUTRAL|>", "event_target": "<|Speech|>", "with_or_wo_itn": '
+        '"<|woitn|>", "target": "hello 世界 co-op", "source": '
+        '"/x/u1.wav", "target_len": 5, "source_len": 0}',
+        '{"key": "u2", "text_language": "<|en|>", "emo_target": '
+        '"<|NEUTRAL|>", "event_target": "<|Speech|>", "with_or_wo_itn": '
+        '"<|withitn|>", "target": "it\'s 3.5% ok", "source": '
+        '"/x/u2.wav", "target_len": 6, "source_len": 789}',
+    ]
+
+    def test_goldens(self, tmp_path):
+        from fun_asr_vllm_tpu.data.jsonl import main
+
+        (tmp_path / "wav.scp").write_text(
+            "u0 /x/u0.wav\nu1 /x/u1.wav\nu2 /x/u2.wav\n")
+        (tmp_path / "text_tn").write_text(
+            "u0 今天有25个人\nu1 hello 世界 co-op\n")
+        (tmp_path / "text_itn").write_text(
+            "u0 今天有二十五个人123\nu2 it's 3.5% ok\n")
+        (tmp_path / "wav2dur").write_text("u0 1.234\nu1 oops\nu2 7.89\n")
+        out = tmp_path / "svs.jsonl"
+        main(["--format", "svs", "--wav_scp", str(tmp_path / "wav.scp"),
+              "--wav2dur", str(tmp_path / "wav2dur"),
+              "--output", str(out)])
+        assert out.read_text().splitlines() == self.GOLDEN
