@@ -146,6 +146,11 @@ def load_precomputed_tn_itn(
                                  recursive=True))
     if not tn_paths or not itn_paths:
         meta["precomputed_tn_itn"] = False
+        meta["reason"] = (
+            "missing *_tn.txt or *_itn.txt"
+            if not tn_paths and not itn_paths
+            else ("no *_tn.txt" if not tn_paths else "no *_itn.txt")
+        )
         return None, None, meta
 
     def merge(paths, label):
@@ -162,9 +167,11 @@ def load_precomputed_tn_itn(
                 merged[k] = v
         return merged
 
+    tn_map, itn_map = merge(tn_paths, "TN"), merge(itn_paths, "ITN")
     meta.update(precomputed_tn_itn=True,
-                tn_files=tn_paths, itn_files=itn_paths)
-    return merge(tn_paths, "TN"), merge(itn_paths, "ITN"), meta
+                tn_files=tn_paths, itn_files=itn_paths,
+                n_tn_keys=len(tn_map), n_itn_keys=len(itn_map))
+    return tn_map, itn_map, meta
 
 
 def build_kaldi_and_texts(
@@ -173,7 +180,6 @@ def build_kaldi_and_texts(
     label_table: Optional[str] = None,
     min_duration: float = 0.1,
     max_duration: float = 40.0,
-    spk_prefix: str = "spk",
     formats: str = DEFAULT_FORMATS,
     utt_key_mode: str = "basename",
     ignore_excel: bool = False,
@@ -188,20 +194,50 @@ def build_kaldi_and_texts(
     labels = load_labels(audio_dir, label_table, ignore_excel)
 
     labeled = [(k, p) for k, p in audio if k in labels]
-    skipped_label = len(audio) - len(labeled)
+    only_wav = len(audio) - len(labeled)
+    only_txt = len(set(labels) - {k for k, _ in audio})
     with ThreadPoolExecutor(max_workers=max(1, dur_workers)) as ex:
         durations = list(ex.map(lambda kp: probe_duration(kp[1]), labeled))
 
-    wav_rows, text_rows, dur_rows, u2s_rows = [], [], [], []
-    skipped_dur = 0
+    kept = []
     for (key, path), dur in zip(labeled, durations):
-        if not (min_duration <= dur <= max_duration):
-            skipped_dur += 1
-            continue
-        wav_rows.append((key, path))
-        text_rows.append((key, labels[key]))
-        dur_rows.append((key, f"{dur:.3f}"))
-        u2s_rows.append((key, f"{spk_prefix}_{key.split('_')[0]}"))
+        if min_duration <= dur <= max_duration:
+            kept.append((key, path, dur))
+    n_after_duration = len(kept)
+
+    # TN/ITN (recursively merged precomputed sidecars pass through —
+    # reference :219-258 — unless --ignore_precomputed_tn_itn). When
+    # precomputed files are used, utterances missing from them are
+    # dropped from EVERY output file (reference :360-376).
+    tn_map = itn_map = None
+    pre_meta: Dict = {}
+    if not ignore_precomputed_tn_itn:
+        tn_map, itn_map, pre_meta = load_precomputed_tn_itn(audio_dir)
+    use_precomputed = tn_map is not None and itn_map is not None
+    if use_precomputed:
+        kept = [(k, p, d) for k, p, d in kept
+                if k in tn_map and k in itn_map]
+        if not kept:
+            raise RuntimeError(
+                "precomputed *_tn.txt/*_itn.txt found but share no keys "
+                "with the labeled audio — check the utt ids"
+            )
+    else:
+        tn_map = {k: to_text_tn(labels[k], apply_text_tn)
+                  for k, _, _ in kept}
+        itn_map = {k: to_text_itn(labels[k]) for k, _, _ in kept}
+
+    wav_rows = [(k, p) for k, p, _ in kept]
+    text_rows = [(k, labels[k]) for k, _, _ in kept]
+    dur_rows = [(k, f"{d:.3f}") for k, _, d in kept]
+    # speaker = the audio's parent directory when it sits in a
+    # subdirectory of audio_dir, else "unknown" (reference :299)
+    root = os.path.abspath(audio_dir)
+    u2s_rows = []
+    for k, p, _ in kept:
+        parent = os.path.dirname(os.path.abspath(p))
+        u2s_rows.append((k, os.path.basename(parent)
+                         if parent != root else "unknown"))
 
     write_scp(os.path.join(out_dir, "wav.scp"), wav_rows)
     write_scp(os.path.join(out_dir, "text"), text_rows)
@@ -210,32 +246,21 @@ def build_kaldi_and_texts(
     write_scp(os.path.join(out_dir, "spk2utt"), utt2spk_to_spk2utt(u2s_rows))
     fix_data_dir(out_dir)
 
-    # TN/ITN (recursively merged precomputed sidecars pass through —
-    # reference :219-258 — unless --ignore_precomputed_tn_itn)
-    text_map = dict(text_rows)
-    tn_map = itn_map = None
-    pre_meta: Dict = {}
-    if not ignore_precomputed_tn_itn:
-        tn_map, itn_map, pre_meta = load_precomputed_tn_itn(audio_dir)
-    if tn_map is None:
-        tn_map = {k: to_text_tn(v, apply_text_tn)
-                  for k, v in text_map.items()}
-    if itn_map is None:
-        itn_map = {k: to_text_itn(v) for k, v in text_map.items()}
     write_scp(os.path.join(out_dir, "text_tn"),
               [(k, tn_map[k]) for k, _ in wav_rows if k in tn_map])
     write_scp(os.path.join(out_dir, "text_itn"),
               [(k, itn_map[k]) for k, _ in wav_rows if k in itn_map])
 
+    # reference meta schema (prepare_domain_asr_dataset.py:412-421)
     meta = {
-        "audio_dir": audio_dir,
-        "num_audio_files": len(audio),
-        "num_labeled": len(labels),
-        "num_kept": len(wav_rows),
-        "skipped_duration": skipped_dur,
-        "skipped_no_label": skipped_label,
-        "total_duration_s": sum(float(d) for _, d in dur_rows),
-        "duration_filter": [min_duration, max_duration],
+        "n_audio_found": len(audio),
+        "n_after_align": len(labeled),
+        "n_after_duration": n_after_duration,
+        "n_final_utterances": len(wav_rows),
+        "only_wav_no_text": only_wav,
+        "only_text_no_wav": only_txt,
+        "text_tn_itn_mode": ("precomputed_files" if use_precomputed
+                             else "from_text_normalize"),
         **pre_meta,
     }
     with open(os.path.join(out_dir, "prepare_meta.json"), "w") as f:

@@ -23,6 +23,12 @@ def detect_language(text: str, en_ratio_threshold: float = 0.2) -> str:
     The reference keeps five copies with thresholds between 0.2 and 0.5
     (kaldi_text_normalizer.py:34-59 uses >20% ascii ⇒ en); the threshold is
     a parameter here so each call-site keeps its behavior.
+
+    Deliberate divergence (verified by executing the reference): its
+    ratio counts EVERY ascii char — including spaces — against the raw
+    string length, so space-separated pure-Chinese text ("去 天 我",
+    40% ascii) classifies as "en" and silently skips zh ITN/TN. Here
+    only ascii LETTERS count, against letters+han.
     """
     letters = sum(1 for c in text if c.isascii() and c.isalpha())
     han = sum(1 for c in text if "一" <= c <= "鿿")

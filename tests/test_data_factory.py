@@ -191,7 +191,9 @@ class TestPrepareDomain:
         assert sorted(train + test) == ["a0", "a1", "a2", "a3"]
         assert len(test) == 1
         meta = json.loads((out / "prepare_meta.json").read_text())
-        assert meta["num_kept"] == 4
+        # reference meta schema (prepare_domain_asr_dataset.py:412-421)
+        assert meta["n_final_utterances"] == 4
+        assert meta["text_tn_itn_mode"] == "from_text_normalize"
 
     def test_apply_text_tn_and_precomputed(self, tmp_path):
         from fun_asr_vllm_tpu.data.prepare_domain import (
