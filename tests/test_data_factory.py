@@ -862,3 +862,38 @@ class TestSvsJsonlReferenceGoldens:
               "--wav2dur", str(tmp_path / "wav2dur"),
               "--output", str(out)])
         assert out.read_text().splitlines() == self.GOLDEN
+
+
+class TestMakeKaldiData:
+    def test_reference_byte_formats(self, tmp_path):
+        """Output-format pins GENERATED by executing the unmodified
+        reference make_kaldi_data.sh pipeline side by side (round-3
+        conformance session; all six files byte-identical). Covers: the
+        positional invocation style, parent-dir speakers, tab-keyed
+        sorted wav.scp/text/utt2spk, space-separated full-precision
+        wav2dur UNFILTERED by text presence, first-seen-order spk2utt,
+        the [0.5, 40] s duration filter, and the text_punc copy."""
+        from fun_asr_vllm_tpu.cli.make_kaldi_data import main
+
+        for spk in ("s1", "s2"):
+            d = tmp_path / "src" / spk
+            d.mkdir(parents=True)
+            for i, sec in enumerate((1.0, 0.2)):  # one in range, one short
+                write_wav(d / f"{spk}u{i}.wav",
+                          np.zeros(int(16000 * sec), np.float32), 16000)
+                (d / f"{spk}u{i}.txt").write_text(f"{spk}u{i}\t文本{i}\n")
+        # an audio file without any transcript: excluded from wav.scp
+        # but still present in wav2dur
+        write_wav(tmp_path / "src" / "s1" / "s1nolabel.wav",
+                  np.zeros(16000, np.float32), 16000)
+        out = tmp_path / "kd"
+        main([str(tmp_path / "src"), str(out), "wav"])
+        src = str(tmp_path / "src")
+        assert (out / "wav.scp").read_text() == (
+            f"s1u0\t{src}/s1/s1u0.wav\ns2u0\t{src}/s2/s2u0.wav\n")
+        assert (out / "text").read_text() == "s1u0\t文本0\ns2u0\t文本0\n"
+        assert (out / "utt2spk").read_text() == "s1u0\ts1\ns2u0\ts2\n"
+        assert (out / "spk2utt").read_text() == "s1 s1u0\ns2 s2u0\n"
+        assert (out / "wav2dur").read_text() == (
+            "s1nolabel 1.0\ns1u0 1.0\ns2u0 1.0\n")
+        assert (out / "text_punc").read_text() == (out / "text").read_text()
