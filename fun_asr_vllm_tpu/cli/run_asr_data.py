@@ -14,7 +14,7 @@ import argparse
 import os
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser(description="dataset-list ASR data driver")
     ap.add_argument("--data_dirs", nargs="+", required=True)
     ap.add_argument("--out_list", required=True)
@@ -24,7 +24,7 @@ def main():
                     help="transcribe wav.scp with the engine when no text")
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--dtype", default="bfloat16")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from ..data.jsonl import scp_to_nano_jsonl, scp_to_svs_jsonl
     from ..data.kaldi import read_scp

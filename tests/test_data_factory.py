@@ -897,3 +897,51 @@ class TestMakeKaldiData:
         assert (out / "wav2dur").read_text() == (
             "s1nolabel 1.0\ns1u0 1.0\ns2u0 1.0\n")
         assert (out / "text_punc").read_text() == (out / "text").read_text()
+
+
+class TestRunAsrData:
+    def test_tn_itn_tags_jsonl_concat(self, tmp_path):
+        """The dataset-list driver (reference run_asr_data.sh surface):
+        per-dir TN/ITN passes + tagging sidecars + JSONL, concatenated
+        into one list. No engine (dirs already carry text)."""
+        from fun_asr_vllm_tpu.cli.run_asr_data import main
+
+        dirs = []
+        for name in ("d1", "d2"):
+            (tmp_path / name).mkdir()
+            d = _make_kaldi_dir(tmp_path / name)
+            os.remove(d / "text_tn")   # force the driver's own TN pass
+            os.remove(d / "text_itn")
+            dirs.append(str(d))
+        out_list = tmp_path / "train.jsonl"
+        main(["--data_dirs", *dirs, "--out_list", str(out_list),
+              "--format", "nano"])
+        for d in dirs:
+            assert os.path.exists(os.path.join(d, "text_tn"))
+            assert os.path.exists(os.path.join(d, "text_itn"))
+            assert os.path.exists(os.path.join(d, "sense_voice_language"))
+            assert os.path.exists(os.path.join(d, "nano.jsonl"))
+        lines = out_list.read_text().splitlines()
+        per_dir = (tmp_path / "d1" / "nano.jsonl").read_text().splitlines()
+        assert len(lines) == 2 * len(per_dir) and len(per_dir) > 0
+        # the driver's ITN pass digitized the spelled number
+        itn = dict(read_scp(tmp_path / "d1" / "text_itn"))
+        assert itn["u0"] == "今天有25个人参加会议"
+
+
+class TestMergeTables:
+    def test_csv_merge_adds_source(self, tmp_path):
+        import pandas as pd
+
+        from fun_asr_vllm_tpu.data.merge_tables import merge_tables
+
+        a = tmp_path / "a.csv"
+        b = tmp_path / "b.csv"
+        pd.DataFrame({"k": ["x"], "wer": [0.1]}).to_csv(a, index=False)
+        pd.DataFrame({"k": ["y"], "wer": [0.2]}).to_csv(b, index=False)
+        out = tmp_path / "m.csv"
+        n = merge_tables([str(a), str(b)], str(out))
+        assert n == 2
+        m = pd.read_csv(out)
+        assert list(m["source"]) == ["a.csv", "b.csv"]
+        assert list(m["k"]) == ["x", "y"]
