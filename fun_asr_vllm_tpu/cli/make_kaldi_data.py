@@ -34,12 +34,20 @@ from ..data.prepare_domain import probe_duration
 
 def _find_audio(audio_dir: str, formats):
     """(key, path, spk) for every matching file; key = stem, spk = the
-    file's parent directory name (make_kaldi_data.sh awk $(NF-1))."""
+    file's parent directory name (make_kaldi_data.sh awk $(NF-1)).
+    Matching is case-sensitive like the reference's `find -name`. Keys
+    containing whitespace cannot round-trip through whitespace-delimited
+    Kaldi files (the reference pipeline breaks on them too) — warn and
+    skip rather than emit a corrupt dir."""
     out = []
     for fmt in formats:
         for p in glob.glob(os.path.join(audio_dir, "**", f"*.{fmt}"),
                            recursive=True):
             key = os.path.splitext(os.path.basename(p))[0]
+            if key != "".join(key.split()):
+                print(f"warning: skipping {p!r} — whitespace in the utt "
+                      "key breaks Kaldi scp round-trips", file=sys.stderr)
+                continue
             spk = os.path.basename(os.path.dirname(p))
             out.append((key, p, spk))
     # the reference sorts the "name\tpath" lines
@@ -55,6 +63,12 @@ def _collect_text_lines(audio_dir: str, text_scp):
         for k, v in read_scp_dict(text_scp).items():
             lines[k] = f"{k}\t{v}"
         return lines
+    # conflict semantics: the reference's fix pass (`sort -k1,1 -u`) keeps
+    # the first line per key in CONCATENATION order, which is `find`'s
+    # filesystem order — not deterministic across machines. We keep the
+    # first per key in sorted-path order: deterministic, and identical
+    # whenever keys don't conflict across files (the common case; the
+    # side-by-side conformance run was byte-identical).
     for p in sorted(glob.glob(os.path.join(audio_dir, "**", "*.txt"),
                               recursive=True)):
         for raw in open(p, encoding="utf-8"):
@@ -62,24 +76,30 @@ def _collect_text_lines(audio_dir: str, text_scp):
             if not raw.strip():
                 continue
             key = raw.split()[0]
-            if key not in lines:  # sort -u keeps the first per key
+            if key not in lines:
                 lines[key] = raw
     return lines
 
 
 def wav2dur(items, num_workers: int = 8):
     """Parallel duration probe (the utils/wav_to_duration.sh split-N
-    pattern, threaded instead of process-split). Full float precision,
-    matching utils/wav2dur.py's '{} {}'.format(id, frames/rate)."""
+    pattern, threaded instead of process-split) → (key, float seconds).
+    Written with str(d): full precision, matching utils/wav2dur.py's
+    '{} {}'.format(id, frames/rate)."""
     with cf.ThreadPoolExecutor(max_workers=num_workers) as ex:
         durs = list(ex.map(lambda kv: probe_duration(kv[1]), items))
-    return [(k, str(d)) for (k, _), d in zip(items, durs)]
+    return [(k, d) for (k, _), d in zip(items, durs)]
 
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv and not argv[0].startswith("-"):
         # reference positional style: AUDIO_DIR OUT_DIR [FORMATS...]
+        if len(argv) < 2:
+            raise SystemExit(
+                "usage: make_kaldi_data AUDIO_DIR OUT_DIR [FORMATS...]  "
+                "(or the --audio_dir/--out_dir flag style)"
+            )
         ns = argparse.Namespace(
             audio_dir=argv[0], out_dir=argv[1],
             formats=argv[2:] or ["wav"], text_scp=None,
@@ -90,8 +110,10 @@ def main(argv=None):
         ap = argparse.ArgumentParser(description="audio dir → Kaldi data dir")
         ap.add_argument("--audio_dir", required=True)
         ap.add_argument("--out_dir", required=True)
-        ap.add_argument("--formats", default="wav",
-                        help="comma-separated audio extensions")
+        ap.add_argument("--formats", default="wav,flac,mp3",
+                        help="comma-separated audio extensions (the flag "
+                             "style's historical default; the positional "
+                             "style defaults to wav like the reference)")
         ap.add_argument("--text_scp", default=None,
                         help="optional key→transcript scp (default: "
                              "concatenate every *.txt under audio_dir)")
@@ -107,8 +129,7 @@ def main(argv=None):
 
     # duration filter (wav2dur keeps every in-range key, even without text)
     dur_keep = [
-        (k, d) for (k, d) in durs
-        if args.min_dur <= float(d) <= args.max_dur
+        (k, d) for (k, d) in durs if args.min_dur <= d <= args.max_dur
     ]
     dur_keys = {k for k, _ in dur_keep}
 

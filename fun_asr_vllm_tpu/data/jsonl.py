@@ -358,7 +358,11 @@ def svs_jsonl(
             jobs.append({"key": key, "wav_path": wav_scp[key],
                          "text": target, "itn_tag": tag,
                          "duration_sec": dur})
-    _fill_durations(jobs, max_workers)
+    errors = _fill_durations(jobs, max_workers)
+    for e in errors[:10]:
+        print(f"[svs_jsonl] skip {e}")
+    if len(errors) > 10:
+        print(f"[svs_jsonl] ... and {len(errors) - 10} more")
 
     n = 0
     with open(out_path, "w", encoding="utf-8") as f:
@@ -405,10 +409,17 @@ def scp_to_svs_jsonl(
                 for k, v in lang.items()}
     for key in wav:
         lang_map.setdefault(key, f"<|{default_language}|>")
+    text_tn = _maybe(data_dir, "text_tn")
+    text_itn = _maybe(data_dir, "text_itn")
+    if not text_tn and not text_itn:
+        # Kaldi-dir convention, consistent with jsonl.main() and
+        # prepare_domain: a plain `text` file is the ITN-side (withitn)
+        # transcript source
+        text_itn = _maybe(data_dir, "text")
     return svs_jsonl(
         wav, out_path,
-        text_tn=_maybe(data_dir, "text_tn") or _maybe(data_dir, "text"),
-        text_itn=_maybe(data_dir, "text_itn"),
+        text_tn=text_tn,
+        text_itn=text_itn,
         wav2dur=_maybe(data_dir, "wav2dur"),
         lang_map=lang_map,
         emo_map=_maybe(data_dir, "sense_voice_emotion"),

@@ -215,9 +215,13 @@ def build_kaldi_and_texts(
         tn_map, itn_map, pre_meta = load_precomputed_tn_itn(audio_dir)
     use_precomputed = tn_map is not None and itn_map is not None
     if use_precomputed:
+        had_kept = bool(kept)
         kept = [(k, p, d) for k, p, d in kept
                 if k in tn_map and k in itn_map]
-        if not kept:
+        if had_kept and not kept:
+            # only blame utt ids when the sidecar filter is what emptied
+            # the set (reference :369-374); an already-empty kept means
+            # no labeled/duration-valid audio, which writes empty outputs
             raise RuntimeError(
                 "precomputed *_tn.txt/*_itn.txt found but share no keys "
                 "with the labeled audio — check the utt ids"
