@@ -211,10 +211,11 @@ def main():
         hyp_count = 0
         tm = run_epoch.timings = {"batchify": 0.0, "upload_wait": 0.0,
                                   "generate": 0.0, "normalize": 0.0}
-        t_b = time.time()
-        batches = []
-        for i in range(0, len(utt_list), args.batch_size):
-            batch = utt_list[i : i + args.batch_size]
+
+        def prep(batch):
+            """Host collation for one batch (runs in the uploader pool,
+            overlapped with compute — the DataLoader-worker analogue)."""
+            t_b = time.time()
             mean_dur = np.mean([len(b) for b in batch]) / 16000.0
             if args.upload == "sample_packed":
                 # ragged sample-level upload: only valid samples ride
@@ -228,28 +229,33 @@ def main():
                 pcm = frontend.batchify_sample_packed(
                     batch, plan.starts, plan.tt
                 )
-                batches.append((pcm, frames, mean_dur, None, plan))
-                continue
-            batchify = {
-                "packed": frontend.batchify_packed,
-                "packed_prefetch": frontend.batchify_packed,
-                "int16": frontend.batchify_int16,
-                "f32": frontend.batchify,
-            }[args.upload]
-            pcm, frames = batchify(batch)
-            n_f32 = (frontend.padded_samples(max(len(b) for b in batch))
-                     if args.upload == "packed_prefetch" else None)
-            batches.append((pcm, frames, mean_dur, n_f32, None))
-        tm["batchify"] += time.time() - t_b
-        # submit EVERY wave's upload immediately (workload HBM cost is
-        # tiny — ~15 MB/wave): a one-ahead prefetch measured 0.8 s of
-        # upload_wait per epoch because a single upload takes longer
-        # than one wave's compute; queued upfront, transfers stream
-        # while the early waves compute (reference analogue: DataLoader
-        # prefetch_factor×workers batches in flight + async H2D)
-        futs = (None if args.no_prefetch
-                else [uploader.submit(_force_upload, b[0], b[3])
-                      for b in batches])
+                n_f32 = None
+            else:
+                batchify = {
+                    "packed": frontend.batchify_packed,
+                    "packed_prefetch": frontend.batchify_packed,
+                    "int16": frontend.batchify_int16,
+                    "f32": frontend.batchify,
+                }[args.upload]
+                pcm, frames = batchify(batch)
+                n_f32 = (frontend.padded_samples(max(len(b) for b in batch))
+                         if args.upload == "packed_prefetch" else None)
+                plan = None
+            tm["batchify"] += time.time() - t_b
+            return _force_upload(pcm, n_f32), frames, mean_dur, plan
+
+        raw_batches = [utt_list[i: i + args.batch_size]
+                       for i in range(0, len(utt_list), args.batch_size)]
+        # submit EVERY wave's collation+upload immediately (workload HBM
+        # cost is tiny — ~15 MB/wave): batchify runs in the pool so the
+        # first dispatch isn't gated on collating the whole epoch, and
+        # transfers stream while the early waves compute (reference
+        # analogue: DataLoader prefetch_factor×workers + async H2D)
+        if args.no_prefetch:
+            futs = None
+            batches = [prep(b) for b in raw_batches]
+        else:
+            futs = [uploader.submit(prep, b) for b in raw_batches]
 
         def consume(handle):
             nonlocal hyp_count
@@ -273,9 +279,10 @@ def main():
         from collections import deque as _deque
 
         inflight = _deque()
-        for i, (pcm, frames, mean_dur, _n, plan) in enumerate(batches):
+        for i in range(len(raw_batches)):
             t_s = time.time()
-            cur = pcm if args.no_prefetch else futs[i].result()
+            cur, frames, mean_dur, plan = (batches[i] if args.no_prefetch
+                                           else futs[i].result())
             tm["upload_wait"] += time.time() - t_s
             max_toks = max(4, int(mean_dur * args.tokens_per_audio_sec))
             sp = SamplingParams(top_p=0.001, max_tokens=max_toks)
