@@ -102,6 +102,36 @@ def build_prompt_embeds_device(
     return out, p + audio_lens + q
 
 
+def _auto_num_blocks(cfg, block_size: int, dtype: str, util: float,
+                     kv_quant: bool) -> Optional[int]:
+    """KV pool size that fills `util` of device memory, vLLM-style.
+
+    Uses the runtime's memory introspection (weights are already
+    resident, so bytes_in_use reflects them); returns None when the
+    backend doesn't report stats (CPU, the axon relay) — callers keep
+    their static floor. Leaves a 512 MB workspace margin for XLA
+    temporaries on top of the utilization fraction."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats or "bytes_limit" not in stats:
+        return None
+    budget = int(stats["bytes_limit"] * util) - stats.get("bytes_in_use", 0)
+    budget -= 512 * 1024 * 1024
+    if budget <= 0:
+        return None
+    elem = 4 if dtype == "float32" else 2  # cache element bytes
+    per_tok = cfg.num_key_value_heads * cfg.head_dim
+    if kv_quant:
+        per_block_bytes = (cfg.num_hidden_layers * block_size
+                           * (per_tok * 1 + 4))  # int8 q + f32 scale
+    else:
+        per_block_bytes = cfg.num_hidden_layers * block_size * per_tok * elem
+    per_block_bytes *= 2  # k and v
+    return max(0, budget // per_block_bytes)
+
+
 def _fused_block_need(cache_cfg, n: int, extra: int, plens) -> int:
     """KV blocks _admit_direct will request for a wave of `n` prompts."""
     bs = cache_cfg.block_size
@@ -222,7 +252,9 @@ class LLM:
         max_model_len: int = 2048,
         num_blocks: Optional[int] = None,
         block_size: int = 16,
-        gpu_memory_utilization: float = 0.4,  # accepted, unused on TPU
+        gpu_memory_utilization: float = 0.4,  # sizes the KV pool when the
+        # backend reports memory stats (vLLM semantics); static floor
+        # otherwise (relay/CPU report nothing)
         tensor_parallel_size: int = 1,
         compilation_config: Any = None,
         mesh: Any = None,
@@ -282,8 +314,22 @@ class LLM:
         self.n_slots = max_num_seqs * self.pipeline_depth
         mb = -(-max_model_len // block_size)
         if num_blocks is None:
-            # enough pages for all slots at max length, + slack + garbage blk
+            # floor: enough pages for all slots at max length, + slack +
+            # the garbage block
             num_blocks = self.n_slots * mb + mb + 1
+            # vLLM semantics: grow the pool to fill gpu_memory_utilization
+            # of the device's memory when the runtime reports it (weights
+            # are already resident, so bytes_in_use accounts for them —
+            # the profile-then-size recipe). Relay/CPU backends report
+            # nothing and keep the floor. Extra pages serve long-lived
+            # PromptSession prompt caches (online serving), not wider
+            # decode tables.
+            auto = _auto_num_blocks(
+                config, block_size, dtype, gpu_memory_utilization,
+                kv_cache_dtype == "int8",
+            )
+            if auto is not None and auto > num_blocks:
+                num_blocks = auto
         if kv_cache_dtype not in (None, "auto", "int8"):
             raise ValueError(f"unknown kv_cache_dtype {kv_cache_dtype!r}")
         kv_quant = kv_cache_dtype == "int8"

@@ -1400,3 +1400,56 @@ class TestUploadFormats:
             return [o.outputs[0].token_ids for o in outs]
 
         assert run(fe.batchify_packed) == run(fe.batchify)
+
+
+class TestAutoKvSizing:
+    def test_memory_driven_pool_size(self, setup, monkeypatch):
+        """gpu_memory_utilization sizes the KV pool from reported device
+        memory (vLLM semantics); backends without stats keep the static
+        floor."""
+        import fun_asr_vllm_tpu.engine.engine as eng
+
+        params, cfg = setup
+
+        class FakeDev:
+            def memory_stats(self):
+                # small numbers so the CPU test cache stays tiny:
+                # budget = 0.8*680M - 16M - 512M = 16 MB
+                return {"bytes_limit": 680 * 2**20,
+                        "bytes_in_use": 16 * 2**20}
+
+        monkeypatch.setattr(eng.jax, "local_devices", lambda: [FakeDev()])
+        llm = make_llm(params, cfg, max_num_seqs=2, max_model_len=64,
+                       gpu_memory_utilization=0.8)
+        # per block (bs=4): L*bs*Nkv*D*4bytes(f32 cache)*2(k+v)
+        per_block = (cfg.num_hidden_layers * 4 * cfg.num_key_value_heads
+                     * cfg.head_dim * 4 * 2)
+        want = (int(680 * 2**20 * 0.8) - 16 * 2**20 - 512 * 2**20) \
+            // per_block
+        assert llm.cache_cfg.num_blocks == want
+        assert len(llm._free_blocks) == want - 1  # block 0 = garbage
+
+        # stats unavailable → static floor
+        class NoStats:
+            def memory_stats(self):
+                return None
+
+        monkeypatch.setattr(eng.jax, "local_devices", lambda: [NoStats()])
+        llm2 = make_llm(params, cfg, max_num_seqs=2, max_model_len=64)
+        mb = -(-64 // 4)
+        assert llm2.cache_cfg.num_blocks == llm2.n_slots * mb + mb + 1
+
+        # tiny budget never shrinks below the floor
+        class Tiny:
+            def memory_stats(self):
+                return {"bytes_limit": 600 * 2**20, "bytes_in_use": 0}
+
+        monkeypatch.setattr(eng.jax, "local_devices", lambda: [Tiny()])
+        llm3 = make_llm(params, cfg, max_num_seqs=2, max_model_len=64)
+        assert llm3.cache_cfg.num_blocks == llm2.cache_cfg.num_blocks
+
+        # explicit num_blocks always wins
+        monkeypatch.setattr(eng.jax, "local_devices", lambda: [FakeDev()])
+        llm4 = make_llm(params, cfg, max_num_seqs=2, max_model_len=64,
+                        num_blocks=33)
+        assert llm4.cache_cfg.num_blocks == 33
