@@ -670,3 +670,26 @@ class TestAdmissionAndMetrics:
         except urllib.error.HTTPError as e:
             assert e.code == 404
         loop.call_soon_threadsafe(loop.stop)
+
+
+class TestServingLoadTool:
+    def test_bench_serving_smoke(self):
+        """tools/bench_serving.py runs end-to-end (2 realtime streams,
+        tiny model) and reports sane percentiles + engine sharing."""
+        import json as js
+        import os
+        import subprocess
+        import sys
+
+        r = subprocess.run(
+            [sys.executable, "tools/bench_serving.py", "--streams", "2",
+             "--seconds", "3", "--realtime"],
+            capture_output=True, text=True, timeout=600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        out = js.loads(r.stdout.strip().splitlines()[-1])
+        assert out["streams"] == 2
+        assert out["final_p50_ms"] is not None
+        assert out["partials_computed"] >= 2
+        assert out["throughput_x_realtime"] > 0

@@ -1,0 +1,178 @@
+"""Concurrent-stream load test against the live WebSocket server.
+
+Starts an in-process ASRServer (engine + async shared-burst stepper) and
+drives N concurrent 2pass streams with synthetic speech through the real
+client, measuring what a deployment cares about:
+
+- partial latency: audio-chunk send → partial text received
+- final latency: is_speaking=false → terminal result
+- aggregate throughput: audio-seconds ingested per wall second
+- engine sharing: wave sizes (how many streams actually co-batch)
+
+Usage:
+    python tools/bench_serving.py [--streams 4] [--seconds 8]
+        [--model_dir DIR]        # default: fabricated tiny model —
+                                 # measures protocol/scheduling latency,
+                                 # NOT flagship model compute
+        [--realtime]             # pace chunks at real time (default
+                                 # firehose)
+
+Prints one JSON line with the percentiles.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import os
+import socket
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synth_speech(seconds: float, seed: int, fs: int = 16000) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * fs)) / fs
+    env = 0.3 + 0.7 * np.abs(np.sin(2 * np.pi * 1.1 * t))
+    return (rng.normal(size=t.shape) * 0.1 * env).astype(np.float32)
+
+
+async def drive_stream(port: int, wav: np.ndarray, chunk_ms: float,
+                       realtime: bool, name: str):
+    """One 2pass session; returns (partial_latencies, final_latency,
+    n_partials)."""
+    import websockets
+
+    from fun_asr_vllm_tpu.serving.protocol import Handshake
+
+    pcm = (np.clip(wav, -1, 1) * 32767).astype("<i2").tobytes()
+    stride = int(16000 * chunk_ms / 1000) * 2
+    hs = Handshake(mode="2pass", wav_name=name, itn=False)
+    partial_lat, final_lat = [], None
+    last_sent = time.perf_counter()
+    async with websockets.connect(f"ws://127.0.0.1:{port}",
+                                  subprotocols=["binary"],
+                                  max_size=None) as ws:
+        await ws.send(hs.to_json())
+
+        recv_done = asyncio.Event()
+
+        async def receiver():
+            nonlocal final_lat
+            async for msg in ws:
+                m = json.loads(msg)
+                now = time.perf_counter()
+                if m.get("mode", "").endswith("online"):
+                    partial_lat.append(now - last_sent)
+                if m.get("is_final"):
+                    final_lat = now - t_final_sent
+                    recv_done.set()
+                    return
+
+        rx = asyncio.create_task(receiver())
+        for off in range(0, len(pcm), stride):
+            await ws.send(pcm[off: off + stride])
+            last_sent = time.perf_counter()
+            await asyncio.sleep(chunk_ms / 1000 if realtime else 0.001)
+        t_final_sent = time.perf_counter()
+        await ws.send(json.dumps({"is_speaking": False}))
+        await asyncio.wait_for(recv_done.wait(), timeout=300)
+        rx.cancel()
+    return partial_lat, final_lat, len(partial_lat)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=4)
+    ap.add_argument("--seconds", type=float, default=8.0)
+    ap.add_argument("--chunk_ms", type=float, default=600.0)
+    ap.add_argument("--model_dir", default=None)
+    ap.add_argument("--realtime", action="store_true")
+    ap.add_argument("--max_num_seqs", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+
+    from fun_asr_vllm_tpu.serving.server import ASRServer
+
+    model_dir = args.model_dir
+    tiny = model_dir is None
+    if tiny:
+        from fun_asr_vllm_tpu.models.nano import make_test_model_dir
+
+        model_dir = make_test_model_dir(
+            os.path.join(tempfile.mkdtemp(), "m"))
+    server = ASRServer(model_dir, dtype="float32" if tiny else "bfloat16",
+                       enable_engine=True, max_num_seqs=args.max_num_seqs,
+                       max_tokens=32 if tiny else 500)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        mport = s.getsockname()[1]
+    loop = asyncio.new_event_loop()
+    threading.Thread(
+        target=lambda: (asyncio.set_event_loop(loop),
+                        loop.run_until_complete(
+                            server.serve("127.0.0.1", port,
+                                         metrics_port=mport))),
+        daemon=True).start()
+    for _ in range(200):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=0.2):
+                break
+        except OSError:
+            time.sleep(0.1)
+
+    async def run_all():
+        jobs = [drive_stream(port, synth_speech(args.seconds, i),
+                             args.chunk_ms, args.realtime, f"s{i}")
+                for i in range(args.streams)]
+        return await asyncio.gather(*jobs)
+
+    # warmup (compiles) then the timed run
+    asyncio.new_event_loop().run_until_complete(run_all())
+    partials_before = server.metrics["partials_total"]
+    t0 = time.perf_counter()
+    results = asyncio.new_event_loop().run_until_complete(run_all())
+    wall = time.perf_counter() - t0
+    partials_computed = server.metrics["partials_total"] - partials_before
+
+    lats = sorted(l for p, _, _ in results for l in p)
+    finals = sorted(f for _, f, _ in results if f is not None)
+    pct = lambda a, q: (a[min(len(a) - 1, int(q * len(a)))] if a else None)
+    audio_s = args.streams * args.seconds
+    out = {
+        "metric": "serving_2pass_load",
+        "streams": args.streams,
+        "audio_seconds": audio_s,
+        "wall_s": round(wall, 3),
+        "throughput_x_realtime": round(audio_s / wall, 2),
+        "partial_p50_ms": round(pct(lats, 0.5) * 1e3, 1) if lats else None,
+        "partial_p95_ms": round(pct(lats, 0.95) * 1e3, 1) if lats else None,
+        "final_p50_ms": round(pct(finals, 0.5) * 1e3, 1) if finals else None,
+        "final_p95_ms": round(pct(finals, 0.95) * 1e3, 1) if finals else None,
+        # partials RECEIVED (empty deltas are protocol-suppressed, so
+        # random weights can legitimately receive fewer than computed)
+        "n_partials": len(lats),
+        "partials_computed": partials_computed,
+        "max_wave": (max(server.async_llm.wave_sizes)
+                     if server.async_llm and server.async_llm.wave_sizes
+                     else None),
+        "tiny_model": tiny,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
