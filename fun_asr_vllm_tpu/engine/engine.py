@@ -381,6 +381,15 @@ class LLM:
         # (267-280 vs 251-259 RTFx), so the burst default is XLA; the
         # kernel remains the winner for single-step decode_step
         self.use_pallas_burst = use_pallas_burst
+        # long-context burst route: past ~1.5k-token windows the chunked
+        # streaming kernel beats the per-layer XLA gather (29 → 22
+        # ms/step at ctx 1900, BENCH_NOTES round 3); _burst_core applies
+        # the window-size threshold itself. TPU single-chip only.
+        _dev0 = jax.devices()[0]
+        self._chunked_burst = mesh is None and (
+            _dev0.platform == "tpu"
+            or "TPU" in getattr(_dev0, "device_kind", "")
+        )
 
         self.eos_ids = {config.eos_token_id, config.pad_token_id}
         if tokenizer is not None and getattr(tokenizer, "eos_token_id", None):
@@ -624,6 +633,7 @@ class LLM:
             use_pallas=self.use_pallas_burst,
             eos_ids=self._eos_arr if self.early_exit_bursts else None,
             early_exit=self.early_exit_bursts,
+            chunked_kernel=self._chunked_burst,
         )
         t1 = time.perf_counter()
         self.stats["t_dispatch"] += t1 - t0
@@ -993,6 +1003,7 @@ class LLM:
                             jnp.asarray(prompt_lens.astype(np.int32)),
                             jnp.asarray(tables[:, :mbu]),
                             num_steps=k, use_pallas=self.use_pallas_burst,
+                            chunked_kernel=self._chunked_burst,
                             eos_ids=(self._eos_arr if self.early_exit_bursts
                                      else None),
                             early_exit=self.early_exit_bursts,
@@ -1012,6 +1023,7 @@ class LLM:
                         jnp.asarray(prompt_lens.astype(np.int32)),
                         jnp.asarray(tables[:, :mbu]),
                         t_bucket=tb, num_steps=k, use_pallas=self.use_pallas_burst,
+                        chunked_kernel=self._chunked_burst,
                         eos_ids=(self._eos_arr if self.early_exit_bursts
                                  else None),
                         early_exit=self.early_exit_bursts,

@@ -80,7 +80,8 @@ def fused_encode_prefill(
     jax.jit,
     static_argnames=("enc_cfg", "ad_cfg", "llm_cfg", "t_bucket", "num_steps",
                      "frame_length", "frame_shift", "n_mels", "window_type",
-                     "fs", "use_pallas", "lfr_m", "lfr_n", "early_exit"),
+                     "fs", "use_pallas", "lfr_m", "lfr_n", "early_exit",
+                     "chunked_kernel"),
     donate_argnames=("k_cache", "v_cache"),
 )
 def fused_encode_prefill_decode(
@@ -106,6 +107,7 @@ def fused_encode_prefill_decode(
     window_type: str = "hamming",
     fs: int = 16000,
     use_pallas: bool = False,
+    chunked_kernel: bool = False,
     lfr_m: int = 1,
     lfr_n: int = 1,
     cmvn=None,               # optional (add [D], scale [D]) device arrays
@@ -132,6 +134,7 @@ def fused_encode_prefill_decode(
         llm_params, llm_cfg, k_cache, v_cache,
         first_ids, prompt_lengths, block_tables, prompt_lengths + 1,
         active, num_steps=num_steps, use_pallas=use_pallas,
+        chunked_kernel=chunked_kernel,
         eos_ids=eos_ids, early_exit=early_exit,
     )
     tokens = jnp.concatenate([first_ids[None], steps_tokens], axis=0)

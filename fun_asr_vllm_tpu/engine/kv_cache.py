@@ -253,6 +253,7 @@ def _burst_core(
     use_pallas: bool = False,
     eos_ids: Optional[jax.Array] = None,  # [E] int32 (early_exit only)
     early_exit: bool = False,
+    chunked_kernel: bool = False,  # TPU-only; engine sets per platform
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """`num_steps` fused greedy decode steps →
     (tokens [num_steps, S], caches).
@@ -283,10 +284,20 @@ def _burst_core(
     # cached region length per seq (excludes the pending token)
     cached_lens = seq_lens - 1
     if use_pallas:
-        from ..ops.paged_attention import paged_attention_pallas_stats
+        from ..ops.paged_attention import (
+            paged_attention_pallas_stats,
+            paged_attention_pallas_stats_v2,
+        )
 
-        def paged_stats(q, kc, vc, bt, lens):
-            return paged_attention_pallas_stats(q, kc, vc, bt, lens)
+        if isinstance(k_cache, dict):  # int8 pages: v1 dequants in-kernel
+            def paged_stats(q, kc, vc, bt, lens):
+                return paged_attention_pallas_stats(q, kc, vc, bt, lens)
+        else:
+            # v2 streams multi-page chunks with double-buffered DMAs —
+            # v1's (S, MB) one-page grid is launch-overhead-bound at
+            # long contexts
+            def paged_stats(q, kc, vc, bt, lens):
+                return paged_attention_pallas_stats_v2(q, kc, vc, bt, lens)
 
         k_gathered = v_gathered = None
     else:
@@ -308,7 +319,20 @@ def _burst_core(
         # cfg.dtype's width regardless of the page dtype
         itemsize = jnp.zeros((), cfg.dtype).dtype.itemsize
         hoist_bytes = 2 * L * s * mb * bs * nkv * d * itemsize
-        if hoist_bytes <= _HOIST_GATHER_BYTES_CAP:
+        # over-cap long-context route: per-layer gathers pay ~3× window
+        # traffic per step; past ~1.5k tokens the chunked streaming
+        # kernel (manual double-buffered page DMAs, v2) wins — measured
+        # crossover on v5e: ctx600 12 vs 17 ms/step (gather wins),
+        # ctx1900 29 vs 22 (kernel wins). Single-chip, non-int8 only.
+        if (chunked_kernel and hoist_bytes > _HOIST_GATHER_BYTES_CAP
+                and not isinstance(k_cache, dict) and mb * bs >= 1536):
+            from ..ops.paged_attention import paged_attention_pallas_stats_v2
+
+            def paged_stats(q, kc, vc, bt, lens):
+                return paged_attention_pallas_stats_v2(q, kc, vc, bt, lens)
+
+            k_gathered = v_gathered = None
+        elif hoist_bytes <= _HOIST_GATHER_BYTES_CAP:
             k_gathered = jax.vmap(
                 lambda c, bt: _gather_pages(c, bt, cfg.dtype),
                 in_axes=(0, None),
@@ -347,7 +371,7 @@ def _burst_core(
             vr = vr.at[lid, i].set(v.astype(vr.dtype))
 
             # segment 1: the immutable paged cache (reads only)
-            if use_pallas:
+            if paged_stats is not None:  # pallas kernel (v1/v2 routed)
                 att1, m1, l1 = paged_stats(
                     q, _cache_layer(k_cache, lid), _cache_layer(v_cache, lid),
                     block_tables, cached_lens,
@@ -428,7 +452,8 @@ def _burst_core(
 
 decode_steps = partial(
     jax.jit,
-    static_argnames=("cfg", "num_steps", "use_pallas", "early_exit"),
+    static_argnames=("cfg", "num_steps", "use_pallas", "early_exit",
+                     "chunked_kernel"),
     donate_argnames=("k_cache", "v_cache"),
 )(_burst_core)
 

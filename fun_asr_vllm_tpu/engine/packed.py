@@ -179,7 +179,8 @@ def plan_prompt_pack(
                      "frame_length", "frame_shift", "n_mels", "window_type",
                      "fs", "lfr_m", "lfr_n", "early_exit",
                      "decode_only_prefill", "frame_k_window",
-                     "prompt_k_window", "use_pallas", "sample_packed"),
+                     "prompt_k_window", "use_pallas", "sample_packed",
+                     "chunked_kernel"),
     donate_argnames=("k_cache", "v_cache"),
 )
 def fused_encode_prefill_decode_packed(
@@ -223,6 +224,7 @@ def fused_encode_prefill_decode_packed(
     frame_k_window: int = 0,
     prompt_k_window: int = 0,
     use_pallas: bool = False,
+    chunked_kernel: bool = False,
     sample_packed: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """ONE dispatch: fbank → packed encoder → packed adaptor → packed
@@ -279,6 +281,7 @@ def fused_encode_prefill_decode_packed(
         llm_params, llm_cfg, k_cache, v_cache,
         first_ids, prompt_lengths, block_tables, prompt_lengths + 1,
         active, num_steps=num_steps, use_pallas=use_pallas,
+        chunked_kernel=chunked_kernel,
         eos_ids=eos_ids, early_exit=early_exit,
     )
     tokens = jnp.concatenate([first_ids[None], steps_tokens], axis=0)

@@ -318,3 +318,224 @@ def paged_attention_pallas_stats(
         interpret=interpret,
     )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32), *operands)
     return acc, m[:, :, :1], l[:, :, :1]
+
+
+# ---------------------------------------------------------------------------
+# v2: multi-page chunks with manual double-buffered DMA
+# ---------------------------------------------------------------------------
+
+def _chunked_stats_kernel(
+    block_tables_ref,  # [S, MB] int32 (SMEM, scalar-prefetched)
+    seq_lens_ref,      # [S] int32 (SMEM)
+    q_ref,             # [1, Nq, D] VMEM — this sequence's query
+    k_hbm,             # [NB, BS, Nkv, D] ANY/HBM — whole cache
+    v_hbm,
+    acc_out_ref,       # [1, Nq, D] f32
+    m_out_ref,         # [1, Nq, 128] f32
+    l_out_ref,         # [1, Nq, 128] f32
+    *,
+    block_size: int,
+    pages_per_chunk: int,
+    num_kv_heads: int,
+    head_dim: int,
+    num_q_heads: int,
+):
+    """One grid step = one sequence. Pages stream HBM→VMEM in chunks of
+    `pages_per_chunk` (PP·BS tokens — an MXU-sized score tile) with
+    double-buffered manual DMAs, so per-page grid/launch overhead — the
+    v1 kernel's long-context killer (grid (S, MB) at 16-token pages) —
+    is amortized PP× and the copy of chunk c+1 overlaps chunk c's math."""
+    s = pl.program_id(0)
+    seq_len = seq_lens_ref[s]
+    bs, pp = block_size, pages_per_chunk
+    chunk_toks = bs * pp
+    nq, nkv, d = num_q_heads, num_kv_heads, head_dim
+    r = nq // nkv
+    mb = block_tables_ref.shape[1]
+    max_chunks = (mb + pp - 1) // pp
+    # chunks actually needed by this sequence's kv length
+    nc = jnp.minimum(
+        jax.lax.div(seq_len + chunk_toks - 1, chunk_toks), max_chunks
+    )
+
+    def body(k_buf, v_buf, acc_ref, m_ref, l_ref, sems):
+        # k_buf/v_buf: [2, PP·BS, Nkv, D] VMEM — pages land at contiguous
+        # token offsets so the chunk needs NO cross-page reshape (a
+        # tiled-layout relayout that blew scoped VMEM); sems: DMA [2,2,PP]
+
+        def start_chunk(c, slot):
+            # PP scattered pages → PP single-page DMAs on this slot's sems
+            for p in range(pp):
+                pid = block_tables_ref[s, jnp.minimum(c * pp + p, mb - 1)]
+                pltpu.make_async_copy(
+                    k_hbm.at[pid], k_buf.at[slot, pl.ds(p * bs, bs)],
+                    sems.at[slot, 0, p],
+                ).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[pid], v_buf.at[slot, pl.ds(p * bs, bs)],
+                    sems.at[slot, 1, p],
+                ).start()
+
+        def wait_chunk(c, slot):
+            for p in range(pp):
+                pid = block_tables_ref[s, jnp.minimum(c * pp + p, mb - 1)]
+                pltpu.make_async_copy(
+                    k_hbm.at[pid], k_buf.at[slot, pl.ds(p * bs, bs)],
+                    sems.at[slot, 0, p],
+                ).wait()
+                pltpu.make_async_copy(
+                    v_hbm.at[pid], v_buf.at[slot, pl.ds(p * bs, bs)],
+                    sems.at[slot, 1, p],
+                ).wait()
+
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+        @pl.when(nc > 0)
+        def _run():
+            start_chunk(0, 0)
+
+            def loop(c, _):
+                slot = jax.lax.rem(c, 2)
+
+                @pl.when(c + 1 < nc)
+                def _prefetch():
+                    start_chunk(c + 1, jax.lax.rem(c + 1, 2))
+
+                wait_chunk(c, slot)
+
+                scale = head_dim ** -0.5
+                # keep operands in the page dtype (bf16 MXU-native, f32
+                # accumulation via preferred_element_type). Per-KV-head
+                # static loop: Mosaic's matmul wants batch dims in the
+                # same position, and transposing/reshaping the chunk
+                # across page boundaries blew scoped VMEM. The kernel is
+                # DMA-bound, so the small per-head matmuls don't matter.
+                q = q_ref[0]                                  # [Nq, D]
+                k = k_buf[slot]                               # [CT, Nkv, D]
+                v = v_buf[slot]
+
+                qg = q.reshape(nkv, r, d)
+                head_scores = []
+                for h in range(nkv):
+                    # [r, D] · [CT, D]^T → [r, CT]
+                    head_scores.append(jax.lax.dot_general(
+                        qg[h], k[:, h, :],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ))
+                scores = jnp.concatenate(
+                    head_scores, axis=0
+                ).reshape(nq, chunk_toks) * scale
+
+                token_pos = c * chunk_toks + jax.lax.broadcasted_iota(
+                    jnp.int32, (nq, chunk_toks), 1
+                )
+                scores = jnp.where(token_pos < seq_len, scores, -1e30)
+
+                m_prev = m_ref[:, :1]
+                l_prev = l_ref[:, :1]
+                m_cur = jnp.max(scores, axis=-1, keepdims=True)
+                m_new = jnp.maximum(m_prev, m_cur)
+                p_ = jnp.exp(scores - m_new)
+                # fully-masked chunks must contribute 0, not exp(-1e30+1e30)
+                p_ = jnp.where(token_pos < seq_len, p_, 0.0)
+                alpha = jnp.exp(m_prev - m_new)
+                l_new = l_prev * alpha + jnp.sum(p_, axis=-1, keepdims=True)
+
+                pg = p_.astype(v.dtype).reshape(nkv, r, chunk_toks)
+                head_pv = []
+                for h in range(nkv):
+                    # [r, CT] · [CT, D] → [r, D]
+                    head_pv.append(jax.lax.dot_general(
+                        pg[h], v[:, h, :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ))
+                pv = jnp.concatenate(head_pv, axis=0).reshape(nq, d)
+
+                acc_ref[:] = acc_ref[:] * alpha + pv
+                m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+                l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+                return _
+
+            jax.lax.fori_loop(0, nc, loop, None)
+
+        acc_out_ref[0] = acc_ref[:]
+        m_out_ref[0] = m_ref[:]
+        l_out_ref[0] = l_ref[:]
+
+    pl.run_scoped(
+        body,
+        k_buf=pltpu.VMEM((2, pp * bs, nkv, d), k_hbm.dtype),
+        v_buf=pltpu.VMEM((2, pp * bs, nkv, d), v_hbm.dtype),
+        acc_ref=pltpu.VMEM((nq, d), jnp.float32),
+        m_ref=pltpu.VMEM((nq, 128), jnp.float32),
+        l_ref=pltpu.VMEM((nq, 128), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((2, 2, pp)),
+    )
+
+
+def paged_attention_pallas_stats_v2(
+    q: jax.Array,             # [S, Nq, D]
+    k_cache_l: jax.Array,     # [NB, BS, Nkv, D] (bf16/f32 pages)
+    v_cache_l: jax.Array,
+    block_tables: jax.Array,  # [S, MB] int32
+    seq_lens: jax.Array,      # [S] int32
+    *,
+    pages_per_chunk: int = 32,
+    interpret: bool = False,
+):
+    """Multi-page streaming paged-decode stats (acc, m[:, :, :1], l).
+
+    Replaces v1's (S, MB) one-page-per-grid-step layout — whose per-step
+    launch overhead dominates at long contexts — with grid (S,) and an
+    in-kernel double-buffered page streamer. bf16/f32 pages only (int8
+    pages keep the v1 kernel's in-kernel dequant path)."""
+    if isinstance(k_cache_l, dict):
+        raise NotImplementedError("v2 kernel: int8 pages use the v1 path")
+    s, nq, d = q.shape
+    nb, bs, nkv, _ = k_cache_l.shape
+    mb = block_tables.shape[1]
+    # VMEM envelope: double-buffered k+v chunks live in scratch, so cap
+    # the chunk at ~512 tokens regardless of page size (2·2·512·Nkv·D·2B
+    # ≈ 4 MB at Qwen3-0.6B shapes); bigger chunks amortize per-chunk
+    # fixed costs (semaphore waits, loop overhead, per-head matmuls)
+    pp = max(1, min(pages_per_chunk, mb, 512 // bs if bs <= 512 else 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s,),
+        in_specs=[
+            pl.BlockSpec((1, nq, d), lambda i, bt, sl: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nq, d), lambda i, bt, sl: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, 128), lambda i, bt, sl: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, 128), lambda i, bt, sl: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    kernel = functools.partial(
+        _chunked_stats_kernel,
+        block_size=bs, pages_per_chunk=pp,
+        num_kv_heads=nkv, head_dim=d, num_q_heads=nq,
+    )
+    acc, m, l = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((s, nq, d), jnp.float32),
+            jax.ShapeDtypeStruct((s, nq, 128), jnp.float32),
+            jax.ShapeDtypeStruct((s, nq, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
+      q, k_cache_l, v_cache_l)
+    return acc, m[:, :, :1], l[:, :, :1]

@@ -162,3 +162,57 @@ class TestPagedStats:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4
         )
+
+
+class TestChunkedStatsV2:
+    """The multi-page streaming kernel (v2) vs the XLA stats reference —
+    the long-context burst route (engine/kv_cache.py `chunked_kernel`)."""
+
+    def _check(self, seed, s, bs, mb, pp=None):
+        from fun_asr_vllm_tpu.engine.kv_cache import _paged_attention_stats
+        from fun_asr_vllm_tpu.ops.paged_attention import (
+            paged_attention_pallas_stats_v2,
+        )
+
+        rng = np.random.default_rng(seed)
+        nq, nkv, d = 16, 8, 128
+        nb = s * mb + 1
+        q = jnp.asarray(rng.normal(size=(s, nq, d)).astype(np.float32))
+        kc = jnp.asarray(rng.normal(size=(nb, bs, nkv, d)).astype(np.float32))
+        vc = jnp.asarray(rng.normal(size=(nb, bs, nkv, d)).astype(np.float32))
+        bt = np.zeros((s, mb), np.int32)
+        sl = np.zeros((s,), np.int32)
+        for i in range(s):
+            n = int(rng.integers(0, bs * mb + 1))
+            sl[i] = n
+            need = -(-n // bs)
+            if need:
+                bt[i, :need] = rng.choice(
+                    np.arange(1, nb), size=need, replace=False)
+        bt, sl = jnp.asarray(bt), jnp.asarray(sl)
+        kw = {} if pp is None else {"pages_per_chunk": pp}
+        a2, m2, l2 = paged_attention_pallas_stats_v2(
+            q, kc, vc, bt, sl, interpret=True, **kw)
+        a1, m1, l1 = _paged_attention_stats(q, kc, vc, bt, sl,
+                                            out_dtype=jnp.float32)
+        o1 = np.asarray(a1) / np.where(np.asarray(l1) == 0, 1, l1)
+        o2 = np.asarray(a2) / np.where(np.asarray(l2) == 0, 1, l2)
+        np.testing.assert_allclose(o2, o1, atol=3e-5, rtol=1e-4)
+        # m/l must match too (segment merging consumes them)
+        live = np.asarray(sl) > 0
+        np.testing.assert_allclose(np.asarray(m2)[live], np.asarray(m1)[live],
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(l2)[live], np.asarray(l1)[live],
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_random_lengths_incl_zero(self):
+        self._check(seed=0, s=4, bs=16, mb=9)
+
+    def test_chunk_not_dividing_pages(self):
+        self._check(seed=1, s=3, bs=16, mb=7, pp=4)  # 7 pages, chunks of 4
+
+    def test_single_page_chunks(self):
+        self._check(seed=2, s=2, bs=16, mb=5, pp=1)
+
+    def test_large_pages(self):
+        self._check(seed=3, s=2, bs=64, mb=4)
