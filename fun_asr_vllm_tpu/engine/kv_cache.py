@@ -289,7 +289,9 @@ def _burst_core(
             paged_attention_pallas_stats_v2,
         )
 
-        if isinstance(k_cache, dict):  # int8 pages: v1 dequants in-kernel
+        if isinstance(k_cache, dict):
+            # int8 pages: v1 dequants in-kernel (v2's manual DMAs can't
+            # slice the 8-lane scale pages — Mosaic 128-lane alignment)
             def paged_stats(q, kc, vc, bt, lens):
                 return paged_attention_pallas_stats(q, kc, vc, bt, lens)
         else:
@@ -326,6 +328,9 @@ def _burst_core(
         # ctx1900 29 vs 22 (kernel wins). Single-chip, non-int8 only.
         if (chunked_kernel and hoist_bytes > _HOIST_GATHER_BYTES_CAP
                 and not isinstance(k_cache, dict) and mb * bs >= 1536):
+            # int8 pages stay on the gather path: their [BS, Nkv] scale
+            # pages have an 8-wide lane dim, which Mosaic cannot slice
+            # for the kernel's manual DMAs (128-lane alignment)
             from ..ops.paged_attention import paged_attention_pallas_stats_v2
 
             def paged_stats(q, kc, vc, bt, lens):

@@ -339,6 +339,8 @@ def _chunked_stats_kernel(
     num_kv_heads: int,
     head_dim: int,
     num_q_heads: int,
+    ks_hbm=None,       # [NB, BS, Nkv] f32 — int8-page dequant scales
+    vs_hbm=None,
 ):
     """One grid step = one sequence. Pages stream HBM→VMEM in chunks of
     `pages_per_chunk` (PP·BS tokens — an MXU-sized score tile) with
@@ -358,35 +360,43 @@ def _chunked_stats_kernel(
         jax.lax.div(seq_len + chunk_toks - 1, chunk_toks), max_chunks
     )
 
-    def body(k_buf, v_buf, acc_ref, m_ref, l_ref, sems):
+    quantized = ks_hbm is not None
+
+    def body(k_buf, v_buf, ks_buf, vs_buf, acc_ref, m_ref, l_ref, sems):
         # k_buf/v_buf: [2, PP·BS, Nkv, D] VMEM — pages land at contiguous
         # token offsets so the chunk needs NO cross-page reshape (a
-        # tiled-layout relayout that blew scoped VMEM); sems: DMA [2,2,PP]
+        # tiled-layout relayout that blew scoped VMEM); sems: DMA [2,4,PP]
+        # (int8 pages add per-page scale DMAs on lanes 2/3)
 
-        def start_chunk(c, slot):
-            # PP scattered pages → PP single-page DMAs on this slot's sems
-            for p in range(pp):
-                pid = block_tables_ref[s, jnp.minimum(c * pp + p, mb - 1)]
+        def _copies(c, slot, p):
+            pid = block_tables_ref[s, jnp.minimum(c * pp + p, mb - 1)]
+            ops = [
                 pltpu.make_async_copy(
                     k_hbm.at[pid], k_buf.at[slot, pl.ds(p * bs, bs)],
-                    sems.at[slot, 0, p],
-                ).start()
+                    sems.at[slot, 0, p]),
                 pltpu.make_async_copy(
                     v_hbm.at[pid], v_buf.at[slot, pl.ds(p * bs, bs)],
-                    sems.at[slot, 1, p],
-                ).start()
+                    sems.at[slot, 1, p]),
+            ]
+            if quantized:
+                ops.append(pltpu.make_async_copy(
+                    ks_hbm.at[pid], ks_buf.at[slot, pl.ds(p * bs, bs)],
+                    sems.at[slot, 2, p]))
+                ops.append(pltpu.make_async_copy(
+                    vs_hbm.at[pid], vs_buf.at[slot, pl.ds(p * bs, bs)],
+                    sems.at[slot, 3, p]))
+            return ops
+
+        def start_chunk(c, slot):
+            # PP scattered pages → per-page DMAs on this slot's sems
+            for p in range(pp):
+                for op in _copies(c, slot, p):
+                    op.start()
 
         def wait_chunk(c, slot):
             for p in range(pp):
-                pid = block_tables_ref[s, jnp.minimum(c * pp + p, mb - 1)]
-                pltpu.make_async_copy(
-                    k_hbm.at[pid], k_buf.at[slot, pl.ds(p * bs, bs)],
-                    sems.at[slot, 0, p],
-                ).wait()
-                pltpu.make_async_copy(
-                    v_hbm.at[pid], v_buf.at[slot, pl.ds(p * bs, bs)],
-                    sems.at[slot, 1, p],
-                ).wait()
+                for op in _copies(c, slot, p):
+                    op.wait()
 
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, -1e30)
@@ -415,6 +425,13 @@ def _chunked_stats_kernel(
                 q = q_ref[0]                                  # [Nq, D]
                 k = k_buf[slot]                               # [CT, Nkv, D]
                 v = v_buf[slot]
+                if quantized:
+                    # in-VMEM dequant after the half-width DMA (v1
+                    # semantics: _gather_pages dequants to bf16)
+                    k = (k.astype(jnp.float32)
+                         * ks_buf[slot][:, :, None]).astype(jnp.bfloat16)
+                    v = (v.astype(jnp.float32)
+                         * vs_buf[slot][:, :, None]).astype(jnp.bfloat16)
 
                 qg = q.reshape(nkv, r, d)
                 head_scores = []
@@ -470,10 +487,14 @@ def _chunked_stats_kernel(
         body,
         k_buf=pltpu.VMEM((2, pp * bs, nkv, d), k_hbm.dtype),
         v_buf=pltpu.VMEM((2, pp * bs, nkv, d), v_hbm.dtype),
+        ks_buf=(pltpu.VMEM((2, pp * bs, nkv), jnp.float32) if quantized
+                else pltpu.VMEM((2, 8, nkv), jnp.float32)),
+        vs_buf=(pltpu.VMEM((2, pp * bs, nkv), jnp.float32) if quantized
+                else pltpu.VMEM((2, 8, nkv), jnp.float32)),
         acc_ref=pltpu.VMEM((nq, d), jnp.float32),
         m_ref=pltpu.VMEM((nq, 128), jnp.float32),
         l_ref=pltpu.VMEM((nq, 128), jnp.float32),
-        sems=pltpu.SemaphoreType.DMA((2, 2, pp)),
+        sems=pltpu.SemaphoreType.DMA((2, 4, pp)),
     )
 
 
@@ -491,12 +512,27 @@ def paged_attention_pallas_stats_v2(
 
     Replaces v1's (S, MB) one-page-per-grid-step layout — whose per-step
     launch overhead dominates at long contexts — with grid (S,) and an
-    in-kernel double-buffered page streamer. bf16/f32 pages only (int8
-    pages keep the v1 kernel's in-kernel dequant path)."""
-    if isinstance(k_cache_l, dict):
-        raise NotImplementedError("v2 kernel: int8 pages use the v1 path")
+    in-kernel double-buffered page streamer. int8 pages ride half-width
+    DMAs with per-page scale copies and dequantize in VMEM."""
+    quantized = isinstance(k_cache_l, dict)
+    if quantized:
+        # the int8 plumbing below is complete, but Mosaic rejects the
+        # manual-DMA destination slices for the [BS, Nkv] scale pages
+        # (Nkv=8 lane dim; 128-lane alignment required) — int8 pages
+        # stay on the v1 kernel / XLA gather until the scale layout is
+        # lane-padded at the cache level
+        raise NotImplementedError(
+            "v2 chunked kernel: int8 scale pages are not 128-lane "
+            "alignable for manual DMA; use the v1 kernel or XLA gather"
+        )
+        nb, bs, nkv, _ = k_cache_l["q"].shape
+        k_pages, v_pages = k_cache_l["q"], v_cache_l["q"]
+        k_scales = k_cache_l["s"].reshape(nb, bs, nkv)
+        v_scales = v_cache_l["s"].reshape(nb, bs, nkv)
+    else:
+        nb, bs, nkv, _ = k_cache_l.shape
+        k_pages, v_pages = k_cache_l, v_cache_l
     s, nq, d = q.shape
-    nb, bs, nkv, _ = k_cache_l.shape
     mb = block_tables.shape[1]
     # VMEM envelope: double-buffered k+v chunks live in scratch, so cap
     # the chunk at ~512 tokens regardless of page size (2·2·512·Nkv·D·2B
@@ -504,15 +540,14 @@ def paged_attention_pallas_stats_v2(
     # fixed costs (semaphore waits, loop overhead, per-head matmuls)
     pp = max(1, min(pages_per_chunk, mb, 512 // bs if bs <= 512 else 1))
 
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(s,),
         in_specs=[
             pl.BlockSpec((1, nq, d), lambda i, bt, sl: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        ] + [any_spec] * (4 if quantized else 2),
         out_specs=[
             pl.BlockSpec((1, nq, d), lambda i, bt, sl: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -522,11 +557,20 @@ def paged_attention_pallas_stats_v2(
                          memory_space=pltpu.VMEM),
         ],
     )
-    kernel = functools.partial(
+    base = functools.partial(
         _chunked_stats_kernel,
         block_size=bs, pages_per_chunk=pp,
         num_kv_heads=nkv, head_dim=d, num_q_heads=nq,
     )
+    if quantized:
+        def kernel(bt, sl, q_r, k_r, ks_r, v_r, vs_r, acc_o, m_o, l_o):
+            base(bt, sl, q_r, k_r, v_r, acc_o, m_o, l_o,
+                 ks_hbm=ks_r, vs_hbm=vs_r)
+
+        operands = (q, k_pages, k_scales, v_pages, v_scales)
+    else:
+        kernel = base
+        operands = (q, k_pages, v_pages)
     acc, m, l = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -536,6 +580,5 @@ def paged_attention_pallas_stats_v2(
             jax.ShapeDtypeStruct((s, nq, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
-      q, k_cache_l, v_cache_l)
+    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32), *operands)
     return acc, m[:, :, :1], l[:, :, :1]
