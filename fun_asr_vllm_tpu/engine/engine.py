@@ -362,19 +362,20 @@ class LLM:
             self.v_cache = jax.device_put(self.v_cache, kv_sharding)
             self._dp = mesh.shape["dp"]
 
+        # Pallas decode kernels need lane-aligned tiles: head_dim multiple
+        # of 128 and a reasonable head-count tile. Tiny test models fall
+        # back to the XLA gather paths.
+        _dev = jax.devices()[0]
+        _on_tpu = _dev.platform == "tpu" or "TPU" in getattr(
+            _dev, "device_kind", ""
+        )
+        _kernel_shapes_ok = (
+            _on_tpu
+            and config.head_dim % 128 == 0
+            and config.num_attention_heads >= 8
+        )
         if use_pallas is None:
-            # Pallas decode kernel needs lane-aligned tiles: head_dim
-            # multiple of 128 and a reasonable head-count tile. Tiny test
-            # models fall back to the XLA gather path.
-            dev = jax.devices()[0]
-            on_tpu = dev.platform == "tpu" or "TPU" in getattr(
-                dev, "device_kind", ""
-            )
-            use_pallas = (
-                on_tpu
-                and config.head_dim % 128 == 0
-                and config.num_attention_heads >= 8
-            )
+            use_pallas = _kernel_shapes_ok
         self.use_pallas = use_pallas
         # A/B at flagship shapes (BENCH_NOTES round 2): the XLA live-width
         # gather beats the per-(seq,page) Pallas kernel inside the burst
@@ -384,12 +385,10 @@ class LLM:
         # long-context burst route: past ~1.5k-token windows the chunked
         # streaming kernel beats the per-layer XLA gather (29 → 22
         # ms/step at ctx 1900, BENCH_NOTES round 3); _burst_core applies
-        # the window-size threshold itself. TPU single-chip only.
-        _dev0 = jax.devices()[0]
-        self._chunked_burst = mesh is None and (
-            _dev0.platform == "tpu"
-            or "TPU" in getattr(_dev0, "device_kind", "")
-        )
+        # the window-size threshold itself. TPU single-chip with
+        # kernel-friendly shapes only (the v2 kernel shares v1's
+        # lane-alignment preconditions).
+        self._chunked_burst = mesh is None and _kernel_shapes_ok
 
         self.eos_ids = {config.eos_token_id, config.pad_token_id}
         if tokenizer is not None and getattr(tokenizer, "eos_token_id", None):

@@ -283,23 +283,32 @@ def _burst_core(
     K = num_steps
     # cached region length per seq (excludes the pending token)
     cached_lens = seq_lens - 1
-    if use_pallas:
-        from ..ops.paged_attention import (
-            paged_attention_pallas_stats,
-            paged_attention_pallas_stats_v2,
-        )
+    # v2 (chunked streaming) eligibility: single-chip TPU with
+    # kernel-friendly shapes (the `chunked_kernel` flag carries the
+    # platform/mesh/shape gate from the engine) and non-int8 pages —
+    # v2's manual DMAs can't slice the 8-lane [BS, Nkv] scale pages
+    # (Mosaic 128-lane alignment)
+    v2_ok = chunked_kernel and not isinstance(k_cache, dict)
 
-        if isinstance(k_cache, dict):
-            # int8 pages: v1 dequants in-kernel (v2's manual DMAs can't
-            # slice the 8-lane scale pages — Mosaic 128-lane alignment)
-            def paged_stats(q, kc, vc, bt, lens):
-                return paged_attention_pallas_stats(q, kc, vc, bt, lens)
-        else:
+    def _v2_stats():
+        from ..ops.paged_attention import paged_attention_pallas_stats_v2
+
+        def f(q, kc, vc, bt, lens):
+            return paged_attention_pallas_stats_v2(q, kc, vc, bt, lens)
+
+        return f
+
+    if use_pallas:
+        if v2_ok:
             # v2 streams multi-page chunks with double-buffered DMAs —
             # v1's (S, MB) one-page grid is launch-overhead-bound at
             # long contexts
+            paged_stats = _v2_stats()
+        else:
+            from ..ops.paged_attention import paged_attention_pallas_stats
+
             def paged_stats(q, kc, vc, bt, lens):
-                return paged_attention_pallas_stats_v2(q, kc, vc, bt, lens)
+                return paged_attention_pallas_stats(q, kc, vc, bt, lens)
 
         k_gathered = v_gathered = None
     else:
@@ -326,16 +335,9 @@ def _burst_core(
         # kernel (manual double-buffered page DMAs, v2) wins — measured
         # crossover on v5e: ctx600 12 vs 17 ms/step (gather wins),
         # ctx1900 29 vs 22 (kernel wins). Single-chip, non-int8 only.
-        if (chunked_kernel and hoist_bytes > _HOIST_GATHER_BYTES_CAP
-                and not isinstance(k_cache, dict) and mb * bs >= 1536):
-            # int8 pages stay on the gather path: their [BS, Nkv] scale
-            # pages have an 8-wide lane dim, which Mosaic cannot slice
-            # for the kernel's manual DMAs (128-lane alignment)
-            from ..ops.paged_attention import paged_attention_pallas_stats_v2
-
-            def paged_stats(q, kc, vc, bt, lens):
-                return paged_attention_pallas_stats_v2(q, kc, vc, bt, lens)
-
+        if (v2_ok and hoist_bytes > _HOIST_GATHER_BYTES_CAP
+                and mb * bs >= 1536):
+            paged_stats = _v2_stats()
             k_gathered = v_gathered = None
         elif hoist_bytes <= _HOIST_GATHER_BYTES_CAP:
             k_gathered = jax.vmap(

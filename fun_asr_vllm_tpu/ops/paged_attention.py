@@ -514,24 +514,19 @@ def paged_attention_pallas_stats_v2(
     launch overhead dominates at long contexts — with grid (S,) and an
     in-kernel double-buffered page streamer. int8 pages ride half-width
     DMAs with per-page scale copies and dequantize in VMEM."""
-    quantized = isinstance(k_cache_l, dict)
-    if quantized:
-        # the int8 plumbing below is complete, but Mosaic rejects the
-        # manual-DMA destination slices for the [BS, Nkv] scale pages
-        # (Nkv=8 lane dim; 128-lane alignment required) — int8 pages
-        # stay on the v1 kernel / XLA gather until the scale layout is
-        # lane-padded at the cache level
+    if isinstance(k_cache_l, dict):
+        # the kernel-side int8 plumbing exists (_chunked_stats_kernel's
+        # ks_hbm/vs_hbm kwargs), but Mosaic rejects the manual-DMA
+        # destination slices for the [BS, Nkv] scale pages (Nkv=8 lane
+        # dim; 128-lane alignment required) — int8 pages stay on the v1
+        # kernel / XLA gather until the scale layout is lane-padded at
+        # the cache level
         raise NotImplementedError(
             "v2 chunked kernel: int8 scale pages are not 128-lane "
             "alignable for manual DMA; use the v1 kernel or XLA gather"
         )
-        nb, bs, nkv, _ = k_cache_l["q"].shape
-        k_pages, v_pages = k_cache_l["q"], v_cache_l["q"]
-        k_scales = k_cache_l["s"].reshape(nb, bs, nkv)
-        v_scales = v_cache_l["s"].reshape(nb, bs, nkv)
-    else:
-        nb, bs, nkv, _ = k_cache_l.shape
-        k_pages, v_pages = k_cache_l, v_cache_l
+    nb, bs, nkv, _ = k_cache_l.shape
+    k_pages, v_pages = k_cache_l, v_cache_l
     s, nq, d = q.shape
     mb = block_tables.shape[1]
     # VMEM envelope: double-buffered k+v chunks live in scratch, so cap
@@ -547,7 +542,8 @@ def paged_attention_pallas_stats_v2(
         in_specs=[
             pl.BlockSpec((1, nq, d), lambda i, bt, sl: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [any_spec] * (4 if quantized else 2),
+            any_spec, any_spec,
+        ],
         out_specs=[
             pl.BlockSpec((1, nq, d), lambda i, bt, sl: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -557,20 +553,12 @@ def paged_attention_pallas_stats_v2(
                          memory_space=pltpu.VMEM),
         ],
     )
-    base = functools.partial(
+    kernel = functools.partial(
         _chunked_stats_kernel,
         block_size=bs, pages_per_chunk=pp,
         num_kv_heads=nkv, head_dim=d, num_q_heads=nq,
     )
-    if quantized:
-        def kernel(bt, sl, q_r, k_r, ks_r, v_r, vs_r, acc_o, m_o, l_o):
-            base(bt, sl, q_r, k_r, v_r, acc_o, m_o, l_o,
-                 ks_hbm=ks_r, vs_hbm=vs_r)
-
-        operands = (q, k_pages, k_scales, v_pages, v_scales)
-    else:
-        kernel = base
-        operands = (q, k_pages, v_pages)
+    operands = (q, k_pages, v_pages)
     acc, m, l = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -195,18 +195,54 @@ class TestChunkedStatsV2:
             q, kc, vc, bt, sl, interpret=True, **kw)
         a1, m1, l1 = _paged_attention_stats(q, kc, vc, bt, sl,
                                             out_dtype=jnp.float32)
+        # zero-length rows diverge BY DESIGN: the XLA reference gathers
+        # garbage pages (l=T, junk acc — callers never consume dead
+        # rows), the v2 kernel emits the neutral element (acc=0, l=0,
+        # m=-1e30) which merges as a no-op — compare live rows only and
+        # pin v2's neutral stats for dead rows
+        live = np.asarray(sl) > 0
         o1 = np.asarray(a1) / np.where(np.asarray(l1) == 0, 1, l1)
         o2 = np.asarray(a2) / np.where(np.asarray(l2) == 0, 1, l2)
-        np.testing.assert_allclose(o2, o1, atol=3e-5, rtol=1e-4)
+        np.testing.assert_allclose(o2[live], o1[live], atol=3e-5, rtol=1e-4)
         # m/l must match too (segment merging consumes them)
-        live = np.asarray(sl) > 0
         np.testing.assert_allclose(np.asarray(m2)[live], np.asarray(m1)[live],
                                    atol=2e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(l2)[live], np.asarray(l1)[live],
                                    atol=2e-5, rtol=1e-4)
+        if (~live).any():
+            dead = ~live
+            assert np.all(np.asarray(a2)[dead] == 0.0)
+            assert np.all(np.asarray(l2)[dead] == 0.0)
+            assert np.all(np.asarray(m2)[dead] == -1e30)
+        return sl
 
-    def test_random_lengths_incl_zero(self):
+    def test_random_lengths(self):
         self._check(seed=0, s=4, bs=16, mb=9)
+
+    def test_zero_length_row_neutral_stats(self):
+        """A dead slot (seq_len 0) must emit the merge-neutral element."""
+        from fun_asr_vllm_tpu.ops.paged_attention import (
+            paged_attention_pallas_stats_v2,
+        )
+
+        rng = np.random.default_rng(7)
+        s_, nq, nkv, d, bs, mb = 3, 16, 8, 128, 16, 4
+        nb = s_ * mb + 1
+        q = jnp.asarray(rng.normal(size=(s_, nq, d)).astype(np.float32))
+        kc = jnp.asarray(
+            rng.normal(size=(nb, bs, nkv, d)).astype(np.float32))
+        vc = jnp.asarray(
+            rng.normal(size=(nb, bs, nkv, d)).astype(np.float32))
+        bt = jnp.asarray(
+            np.arange(s_ * mb).reshape(s_, mb) % (nb - 1) + 1, jnp.int32)
+        sl = jnp.asarray([0, 37, 0], jnp.int32)
+        a2, m2, l2 = paged_attention_pallas_stats_v2(
+            q, kc, vc, bt, sl, interpret=True)
+        for i in (0, 2):
+            assert np.all(np.asarray(a2)[i] == 0.0)
+            assert np.all(np.asarray(l2)[i] == 0.0)
+            assert np.all(np.asarray(m2)[i] == -1e30)
+        assert float(np.asarray(l2)[1].max()) > 0.0
 
     def test_chunk_not_dividing_pages(self):
         self._check(seed=1, s=3, bs=16, mb=7, pp=4)  # 7 pages, chunks of 4
