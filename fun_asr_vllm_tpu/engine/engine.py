@@ -303,6 +303,11 @@ class LLM:
             # perturbs logits, so CER impact must be validated per model.
             # Composes with mesh: shard_params places quantized leaves.
             params = qwen3_mod.quantize_params_int8(params)
+        elif quantize == "int4":
+            # group-wise (128) weight-only int4: 4× fewer weight bytes
+            # than bf16 on the decode path. More aggressive than int8 —
+            # same opt-in caveat, stronger CER validation required.
+            params = qwen3_mod.quantize_params_int4(params)
         elif quantize:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.params = params

@@ -285,10 +285,11 @@ def _burst_core(
     cached_lens = seq_lens - 1
     # v2 (chunked streaming) eligibility: single-chip TPU with
     # kernel-friendly shapes (the `chunked_kernel` flag carries the
-    # platform/mesh/shape gate from the engine) and non-int8 pages —
-    # v2's manual DMAs can't slice the 8-lane [BS, Nkv] scale pages
-    # (Mosaic 128-lane alignment)
-    v2_ok = chunked_kernel and not isinstance(k_cache, dict)
+    # platform/mesh/shape gate from the engine). int8 pages compose:
+    # data pages stream half-width; the 8-lane scale pages — which
+    # Mosaic can't DMA-slice — ride a lane-aligned XLA window gather
+    # (ops/paged_attention.py `paged_attention_pallas_stats_v2`)
+    v2_ok = chunked_kernel
 
     def _v2_stats():
         from ..ops.paged_attention import paged_attention_pallas_stats_v2
@@ -334,7 +335,8 @@ def _burst_core(
         # traffic per step; past ~1.5k tokens the chunked streaming
         # kernel (manual double-buffered page DMAs, v2) wins — measured
         # crossover on v5e: ctx600 12 vs 17 ms/step (gather wins),
-        # ctx1900 29 vs 22 (kernel wins). Single-chip, non-int8 only.
+        # ctx1900 29 vs 22 (kernel wins); int8 pages stream half-width
+        # through the same route (ctx1900 13.9 vs 23.9 gather).
         if (v2_ok and hoist_bytes > _HOIST_GATHER_BYTES_CAP
                 and mb * bs >= 1536):
             paged_stats = _v2_stats()

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -164,11 +165,24 @@ def layer_wqkv(lp: Dict) -> jax.Array:
 
 
 def mm(x: jax.Array, w) -> jax.Array:
-    """x @ w, transparently handling int8 weight-only quantized leaves
-    ({"q": int8 [in, out], "scale": f32 [1, out]}). The int8→bf16
+    """x @ w, transparently handling weight-only quantized leaves.
+
+    int8 ({"q": int8 [in, out], "scale": f32 [1, out]}): the int8→bf16
     convert fuses into the dot on TPU, so HBM weight traffic halves —
-    the decode step is weight-read-bound (BENCH_NOTES round 2)."""
+    the decode step is weight-read-bound (BENCH_NOTES round 2).
+
+    int4 ({"q4": uint8 [G, gs/2, out], "scale4": f32 [G, 1, out]}):
+    group-wise symmetric 4-bit (AWQ/GPTQ-style group_size on the input
+    dim — per-channel alone is too coarse at 4 bits), nibble-packed two
+    input rows per byte (XLA's native S4 dtype cannot cross the jit
+    boundary on the axon TPU runtime — device_put recurses on the
+    packed layout — so the packing is done by hand). Computed as G
+    partial dots with the group's scale applied to the PARTIAL SUMS,
+    i.e. Σ_g (x_g @ q_g)·s_g == x @ dequant(w); the nibble unpack is a
+    VPU shift pair that XLA fuses into the dot's operand read."""
     if isinstance(w, dict):
+        if "q4" in w:
+            return _int4_dot(x, w).astype(x.dtype)
         y = x @ w["q"].astype(x.dtype)
         return y * w["scale"].astype(x.dtype)
     return x @ w
@@ -202,6 +216,88 @@ def quantize_params_int8(params: Dict) -> Dict:
     }
     if "lm_head" in params:
         out["lm_head"] = quantize_int8(params["lm_head"])
+    return out
+
+
+def _unpack_int4(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """uint8 [..., gs/2, out] → (even, odd) int8 nibbles, sign-extended.
+
+    Byte layout: low nibble = input row 2i, high nibble = row 2i+1.
+    Both shifts are int8 VPU ops (<<4 then arithmetic >>4 sign-extends
+    the low nibble; arithmetic >>4 alone extracts the high one)."""
+    b = packed.astype(jnp.int8)
+    even = jnp.right_shift(jnp.left_shift(b, 4), 4)
+    odd = jnp.right_shift(b, 4)
+    return even, odd
+
+
+def _int4_dot(x: jax.Array, w: Dict[str, jax.Array]) -> jax.Array:
+    """x [..., in] @ nibble-packed int4 weight → f32 [..., out].
+
+    Splits x's input rows into (even, odd) pairs matching the nibble
+    packing, runs two grouped dots, and applies the per-(group, out)
+    scale to the partial sums: Σ_g (x_g @ q_g)·s_g == x @ dequant(w)."""
+    q, scale = w["q4"], w["scale4"]
+    g, gs2, out = q.shape[-3:]
+    even, odd = _unpack_int4(q)
+    # [..., in] → [..., G, gs/2, 2]: [..., g, i, 0] is input row 2i
+    xg = x.reshape(*x.shape[:-1], g, gs2, 2)
+    dot = partial(jnp.einsum, "...gi,gio->...go",
+                  preferred_element_type=jnp.float32)
+    y = dot(xg[..., 0], even.astype(x.dtype)) + dot(
+        xg[..., 1], odd.astype(x.dtype))
+    return (y * scale.reshape(g, out)).sum(axis=-2)
+
+
+def quantize_int4(w: jax.Array, group_size: int = 128) -> Dict[str, jax.Array]:
+    """Group-wise symmetric int4 quantization of [..., in, out].
+
+    The input dim is split into groups of `group_size` rows; each
+    (group, output-channel) pair gets its own f32 scale (max-abs / 7).
+    Returns {"q4": uint8 [..., G, gs/2, out] (two input rows nibble-
+    packed per byte), "scale4": f32 [..., G, 1, out]} — 4× fewer weight
+    bytes than bf16 on the HBM-bound decode path. Hand-packed instead
+    of XLA's S4 dtype: S4 jit arguments break on the axon TPU runtime
+    (device_put layout recursion), and the explicit uint8 layout also
+    keeps the leaves mesh-shardable like any other array."""
+    *lead, kin, out = w.shape
+    if kin % group_size:
+        # tiny test configs: fall back to the largest divisor ≤ group_size
+        group_size = math.gcd(kin, group_size)
+    if group_size % 2:
+        # gcd with 128 is a power of two unless kin itself is odd,
+        # which nibble packing (two input rows per byte) cannot express
+        raise ValueError(f"int4 needs an even input dim, got {kin}")
+    g = kin // group_size
+    wf = w.astype(jnp.float32).reshape(*lead, g, group_size, out)
+    scale = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 7.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    even = q[..., 0::2, :].astype(jnp.uint8) & 0xF
+    odd = jnp.left_shift(q[..., 1::2, :].astype(jnp.uint8), 4)
+    return {"q4": even | odd, "scale4": scale}
+
+
+def quantize_params_int4(params: Dict, group_size: int = 128) -> Dict:
+    """Weight-only int4 for the four big layer matmuls (+ lm_head when
+    untied). The embedding table stays per-row int8 — it is read by
+    gather (one row per token), not streamed, so int4's packing is not
+    worth the extra dequant there. Norm scales stay f32."""
+    layers = dict(params["layers"])
+    for k in ("wqkv", "wo", "w_gateup", "w_down"):
+        layers[k] = quantize_int4(layers[k], group_size)
+    out = dict(params)
+    out["layers"] = layers
+    emb = params["embed"].astype(jnp.float32)
+    row_scale = jnp.maximum(
+        jnp.max(jnp.abs(emb), axis=-1, keepdims=True) / 127.0, 1e-12
+    )
+    out["embed"] = {
+        "q": jnp.clip(jnp.round(emb / row_scale), -127, 127).astype(jnp.int8),
+        "scale": row_scale,
+    }
+    if "lm_head" in params:
+        out["lm_head"] = quantize_int4(params["lm_head"], group_size)
     return out
 
 
@@ -320,6 +416,8 @@ def lm_logits(params: Dict, cfg: Qwen3Config, hidden: jax.Array) -> jax.Array:
             return logits * emb["scale"][:, 0]
         head = emb.T
     if isinstance(head, dict):
+        if "q4" in head:  # grouped int4 head: f32 partial dots per group
+            return _int4_dot(hidden.astype(jnp.float32), head)
         logits = jnp.einsum(
             "...h,hv->...v", hidden.astype(jnp.float32),
             head["q"].astype(jnp.float32),

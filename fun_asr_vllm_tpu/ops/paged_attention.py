@@ -24,6 +24,7 @@ correctness reference; tests compare the two in interpret mode on CPU.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -330,23 +331,33 @@ def _chunked_stats_kernel(
     q_ref,             # [1, Nq, D] VMEM — this sequence's query
     k_hbm,             # [NB, BS, Nkv, D] ANY/HBM — whole cache
     v_hbm,
-    acc_out_ref,       # [1, Nq, D] f32
-    m_out_ref,         # [1, Nq, 128] f32
-    l_out_ref,         # [1, Nq, 128] f32
-    *,
+    *rest,             # [ks_ref, vs_ref,] acc_out, m_out, l_out
     block_size: int,
     pages_per_chunk: int,
     num_kv_heads: int,
     head_dim: int,
     num_q_heads: int,
-    ks_hbm=None,       # [NB, BS, Nkv] f32 — int8-page dequant scales
-    vs_hbm=None,
+    quantized: bool = False,
 ):
     """One grid step = one sequence. Pages stream HBM→VMEM in chunks of
     `pages_per_chunk` (PP·BS tokens — an MXU-sized score tile) with
     double-buffered manual DMAs, so per-page grid/launch overhead — the
     v1 kernel's long-context killer (grid (S, MB) at 16-token pages) —
-    is amortized PP× and the copy of chunk c+1 overlaps chunk c's math."""
+    is amortized PP× and the copy of chunk c+1 overlaps chunk c's math.
+
+    int8 pages (``quantized``): the data pages ride the same manual DMAs
+    at half width; the per-(token, head) dequant scales arrive as
+    lane-aligned VMEM inputs ``ks_ref``/``vs_ref`` [1, Nkv, MC·CT] f32
+    (window-gathered + transposed by the caller — Mosaic cannot DMA-slice
+    the cache's 8-lane [BS, Nkv] scale pages directly) and are applied in
+    score/probability space: q·(k·s) = (q·k)·s per token column, and
+    P·(v·s) = (P·s)·v, so the int8 pages never need an in-VMEM dequant
+    pass."""
+    if quantized:
+        ks_ref, vs_ref, acc_out_ref, m_out_ref, l_out_ref = rest
+    else:
+        ks_ref = vs_ref = None
+        acc_out_ref, m_out_ref, l_out_ref = rest
     s = pl.program_id(0)
     seq_len = seq_lens_ref[s]
     bs, pp = block_size, pages_per_chunk
@@ -360,17 +371,14 @@ def _chunked_stats_kernel(
         jax.lax.div(seq_len + chunk_toks - 1, chunk_toks), max_chunks
     )
 
-    quantized = ks_hbm is not None
-
-    def body(k_buf, v_buf, ks_buf, vs_buf, acc_ref, m_ref, l_ref, sems):
+    def body(k_buf, v_buf, acc_ref, m_ref, l_ref, sems):
         # k_buf/v_buf: [2, PP·BS, Nkv, D] VMEM — pages land at contiguous
         # token offsets so the chunk needs NO cross-page reshape (a
-        # tiled-layout relayout that blew scoped VMEM); sems: DMA [2,4,PP]
-        # (int8 pages add per-page scale DMAs on lanes 2/3)
+        # tiled-layout relayout that blew scoped VMEM); sems: DMA [2,2,PP]
 
         def _copies(c, slot, p):
             pid = block_tables_ref[s, jnp.minimum(c * pp + p, mb - 1)]
-            ops = [
+            return [
                 pltpu.make_async_copy(
                     k_hbm.at[pid], k_buf.at[slot, pl.ds(p * bs, bs)],
                     sems.at[slot, 0, p]),
@@ -378,14 +386,6 @@ def _chunked_stats_kernel(
                     v_hbm.at[pid], v_buf.at[slot, pl.ds(p * bs, bs)],
                     sems.at[slot, 1, p]),
             ]
-            if quantized:
-                ops.append(pltpu.make_async_copy(
-                    ks_hbm.at[pid], ks_buf.at[slot, pl.ds(p * bs, bs)],
-                    sems.at[slot, 2, p]))
-                ops.append(pltpu.make_async_copy(
-                    vs_hbm.at[pid], vs_buf.at[slot, pl.ds(p * bs, bs)],
-                    sems.at[slot, 3, p]))
-            return ops
 
         def start_chunk(c, slot):
             # PP scattered pages → per-page DMAs on this slot's sems
@@ -426,22 +426,30 @@ def _chunked_stats_kernel(
                 k = k_buf[slot]                               # [CT, Nkv, D]
                 v = v_buf[slot]
                 if quantized:
-                    # in-VMEM dequant after the half-width DMA (v1
-                    # semantics: _gather_pages dequants to bf16)
-                    k = (k.astype(jnp.float32)
-                         * ks_buf[slot][:, :, None]).astype(jnp.bfloat16)
-                    v = (v.astype(jnp.float32)
-                         * vs_buf[slot][:, :, None]).astype(jnp.bfloat16)
+                    # scale slice offsets are chunk-aligned; the caller
+                    # forces CT % 128 == 0 so dynamic LANE slices of the
+                    # [1, Nkv, MC·CT] scale inputs stay 128-aligned
+                    sc_off = pl.multiple_of(c * chunk_toks, 128)
 
                 qg = q.reshape(nkv, r, d)
                 head_scores = []
                 for h in range(nkv):
                     # [r, D] · [CT, D]^T → [r, CT]
-                    head_scores.append(jax.lax.dot_general(
-                        qg[h], k[:, h, :],
+                    k_h = k[:, h, :]
+                    if quantized:
+                        # int8 values are exact in f32; the per-token
+                        # dequant scale lands on the SCORES instead
+                        # (q·(k·s) = (q·k)·s column-wise)
+                        k_h = k_h.astype(jnp.float32)
+                    s_h = jax.lax.dot_general(
+                        qg[h].astype(k_h.dtype), k_h,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ))
+                    )
+                    if quantized:
+                        s_h = s_h * ks_ref[0, h:h + 1,
+                                           pl.ds(sc_off, chunk_toks)]
+                    head_scores.append(s_h)
                 scores = jnp.concatenate(
                     head_scores, axis=0
                 ).reshape(nq, chunk_toks) * scale
@@ -461,12 +469,21 @@ def _chunked_stats_kernel(
                 alpha = jnp.exp(m_prev - m_new)
                 l_new = l_prev * alpha + jnp.sum(p_, axis=-1, keepdims=True)
 
-                pg = p_.astype(v.dtype).reshape(nkv, r, chunk_toks)
+                if quantized:
+                    # dequant rides the probabilities: P·(v·s) = (P·s)·v
+                    pg = p_.reshape(nkv, r, chunk_toks)
+                else:
+                    pg = p_.astype(v.dtype).reshape(nkv, r, chunk_toks)
                 head_pv = []
                 for h in range(nkv):
                     # [r, CT] · [CT, D] → [r, D]
+                    p_h, v_h = pg[h], v[:, h, :]
+                    if quantized:
+                        p_h = p_h * vs_ref[0, h:h + 1,
+                                           pl.ds(sc_off, chunk_toks)]
+                        v_h = v_h.astype(jnp.float32)
                     head_pv.append(jax.lax.dot_general(
-                        pg[h], v[:, h, :],
+                        p_h, v_h,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ))
@@ -487,14 +504,10 @@ def _chunked_stats_kernel(
         body,
         k_buf=pltpu.VMEM((2, pp * bs, nkv, d), k_hbm.dtype),
         v_buf=pltpu.VMEM((2, pp * bs, nkv, d), v_hbm.dtype),
-        ks_buf=(pltpu.VMEM((2, pp * bs, nkv), jnp.float32) if quantized
-                else pltpu.VMEM((2, 8, nkv), jnp.float32)),
-        vs_buf=(pltpu.VMEM((2, pp * bs, nkv), jnp.float32) if quantized
-                else pltpu.VMEM((2, 8, nkv), jnp.float32)),
         acc_ref=pltpu.VMEM((nq, d), jnp.float32),
         m_ref=pltpu.VMEM((nq, 128), jnp.float32),
         l_ref=pltpu.VMEM((nq, 128), jnp.float32),
-        sems=pltpu.SemaphoreType.DMA((2, 4, pp)),
+        sems=pltpu.SemaphoreType.DMA((2, 2, pp)),
     )
 
 
@@ -512,21 +525,21 @@ def paged_attention_pallas_stats_v2(
 
     Replaces v1's (S, MB) one-page-per-grid-step layout — whose per-step
     launch overhead dominates at long contexts — with grid (S,) and an
-    in-kernel double-buffered page streamer. int8 pages ride half-width
-    DMAs with per-page scale copies and dequantize in VMEM."""
-    if isinstance(k_cache_l, dict):
-        # the kernel-side int8 plumbing exists (_chunked_stats_kernel's
-        # ks_hbm/vs_hbm kwargs), but Mosaic rejects the manual-DMA
-        # destination slices for the [BS, Nkv] scale pages (Nkv=8 lane
-        # dim; 128-lane alignment required) — int8 pages stay on the v1
-        # kernel / XLA gather until the scale layout is lane-padded at
-        # the cache level
-        raise NotImplementedError(
-            "v2 chunked kernel: int8 scale pages are not 128-lane "
-            "alignable for manual DMA; use the v1 kernel or XLA gather"
-        )
-    nb, bs, nkv, _ = k_cache_l.shape
-    k_pages, v_pages = k_cache_l, v_cache_l
+    in-kernel double-buffered page streamer.
+
+    int8 pages ({"q", "s"} pytrees): the data pages stream through the
+    same half-width manual DMAs; the per-(token, head) scales — whose
+    native [NB, BS, Nkv] page layout Mosaic cannot DMA-slice (8-lane
+    pages vs the 128-lane alignment requirement) — are window-gathered
+    by XLA into a lane-aligned [S, Nkv, MC·CT] input (~3% of the page
+    bytes) and applied to scores/probabilities in-kernel."""
+    quantized = isinstance(k_cache_l, dict)
+    if quantized:
+        k_pages, v_pages = k_cache_l["q"], v_cache_l["q"]
+        k_sc, v_sc = k_cache_l["s"], v_cache_l["s"]  # [NB, BS, Nkv, 1]
+    else:
+        k_pages, v_pages = k_cache_l, v_cache_l
+    nb, bs, nkv, _ = k_pages.shape
     s, nq, d = q.shape
     mb = block_tables.shape[1]
     # VMEM envelope: double-buffered k+v chunks live in scratch, so cap
@@ -534,16 +547,45 @@ def paged_attention_pallas_stats_v2(
     # ≈ 4 MB at Qwen3-0.6B shapes); bigger chunks amortize per-chunk
     # fixed costs (semaphore waits, loop overhead, per-head matmuls)
     pp = max(1, min(pages_per_chunk, mb, 512 // bs if bs <= 512 else 1))
+    if quantized:
+        # in-kernel scale slices are dynamic LANE slices → chunk_toks
+        # must be a multiple of 128 (pp a multiple of 128/gcd(bs, 128));
+        # alignment wins over the mb clamp (page-id DMAs clamp + the
+        # score mask kills phantom tokens)
+        align = 128 // math.gcd(bs, 128)
+        pp = max(align, (pp // align) * align)
+    max_chunks = -(-mb // pp)
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_specs = [
+        pl.BlockSpec((1, nq, d), lambda i, bt, sl: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    operands = [q, k_pages, v_pages]
+    if quantized:
+        lanes = max_chunks * pp * bs
+
+        def _window_scales(sc):
+            # [NB, BS, Nkv, 1] → per-seq window, transposed so each
+            # head's per-token scales are contiguous LANES (the layout
+            # the kernel's score multiply wants), padded to the chunk
+            # grid. Bytes ≈ window/32 (f32 scale per int8·D page row).
+            w = jnp.take(sc[..., 0], block_tables.reshape(-1), axis=0)
+            w = jnp.transpose(w.reshape(s, mb * bs, nkv), (0, 2, 1))
+            if lanes > mb * bs:
+                w = jnp.pad(w, ((0, 0), (0, 0), (0, lanes - mb * bs)))
+            return w
+
+        sc_spec = pl.BlockSpec((1, nkv, lanes), lambda i, bt, sl: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        in_specs += [sc_spec, sc_spec]
+        operands += [_window_scales(k_sc), _window_scales(v_sc)]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(s,),
-        in_specs=[
-            pl.BlockSpec((1, nq, d), lambda i, bt, sl: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            any_spec, any_spec,
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, nq, d), lambda i, bt, sl: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -557,8 +599,8 @@ def paged_attention_pallas_stats_v2(
         _chunked_stats_kernel,
         block_size=bs, pages_per_chunk=pp,
         num_kv_heads=nkv, head_dim=d, num_q_heads=nq,
+        quantized=quantized,
     )
-    operands = (q, k_pages, v_pages)
     acc, m, l = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

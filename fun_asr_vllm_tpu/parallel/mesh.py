@@ -93,6 +93,20 @@ def shard_params(mesh: Mesh, params: Dict, specs: Dict) -> Dict:
     take the weight's spec on `q`; the per-channel `scale` inherits only
     the axes whose sizes match (broadcast size-1 dims stay replicated)."""
     if isinstance(params, dict):
+        if set(params) == {"q4", "scale4"} and not isinstance(specs, dict):
+            # grouped int4 leaf: the weight's (.., in, out) spec maps to
+            # q4 [.., G, gs/2, out] (nibble-packed) — the input-dim axis
+            # shards the GROUP dim (the packed gs/2 stays whole), out
+            # keeps its axis; scale4 [.., G, 1, out] follows with the
+            # size-1 dim replicated
+            q, scale = params["q4"], params["scale4"]
+            wspec = tuple(specs) + (None,) * ((q.ndim - 1) - len(tuple(specs)))
+            qspec = P(*wspec[:-2], wspec[-2], None, wspec[-1])
+            sspec = P(*wspec[:-2], wspec[-2], None, wspec[-1])
+            return {
+                "q4": jax.device_put(q, NamedSharding(mesh, qspec)),
+                "scale4": jax.device_put(scale, NamedSharding(mesh, sspec)),
+            }
         if set(params) == {"q", "scale"} and not isinstance(specs, dict):
             q, scale = params["q"], params["scale"]
             full = tuple(specs) + (None,) * (q.ndim - len(tuple(specs)))

@@ -988,7 +988,67 @@ class TestInt8Quantization:
     def test_unknown_mode_raises(self, setup):
         params, cfg = setup
         with pytest.raises(ValueError, match="quantize"):
-            make_llm(params, cfg, quantize="int4")
+            make_llm(params, cfg, quantize="int2")
+
+
+class TestInt4Quantization:
+    def test_int4_mm_matches_dequantized_reference(self):
+        """mm's grouped partial-sum formulation must equal the explicit
+        x @ dequant(w) it factorizes (Σ_g (x_g @ q_g)·s_g), through the
+        nibble pack/unpack round trip."""
+        from fun_asr_vllm_tpu.models.qwen3 import (
+            _unpack_int4, mm, quantize_int4,
+        )
+
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(64, 24)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(3, 5, 64)).astype(np.float32))
+        qw = quantize_int4(w, group_size=16)
+        g, gs2, out = qw["q4"].shape
+        assert (g, gs2, out) == (4, 8, 24)
+        assert qw["q4"].dtype == jnp.uint8
+        even, odd = _unpack_int4(qw["q4"])
+        deq = jnp.stack([even, odd], axis=-2)  # [G, gs/2, 2, out]
+        deq = deq.reshape(g, 16, out).astype(jnp.float32) * qw["scale4"]
+        want = np.asarray(x @ deq.reshape(64, 24))
+        got = np.asarray(mm(x, qw))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_int4_generate_runs_and_tracks_reference(self, setup):
+        """Weight-only int4 is opt-in; at tiny scale the first greedy
+        token should survive the grouped 4-bit rounding."""
+        params, cfg = setup
+        e = rand_embeds(70, 8, cfg.hidden_size)
+        want = make_llm(params, cfg).generate(
+            [{"prompt_embeds": e}], SamplingParams(temperature=0.0, max_tokens=6)
+        )[0].outputs[0].token_ids
+
+        llm_q = make_llm(params, cfg, quantize="int4")
+        got = llm_q.generate(
+            [{"prompt_embeds": e}], SamplingParams(temperature=0.0, max_tokens=6)
+        )[0].outputs[0].token_ids
+        assert len(got) > 0
+        assert got[0] == want[0]
+
+    def test_int4_logits_close(self, setup):
+        """Grouped int4 keeps logits within a modest fraction of the fp
+        range — looser than int8 (4 bits), but bounded."""
+        params, cfg = setup
+        from fun_asr_vllm_tpu.models.qwen3 import (
+            forward_logits, quantize_params_int4,
+        )
+
+        qparams = quantize_params_int4(params)
+        ids = jnp.asarray(
+            np.random.default_rng(0).integers(0, cfg.vocab_size, size=(1, 7))
+        )
+        ref = np.asarray(forward_logits(params, cfg, ids))
+        got = np.asarray(forward_logits(qparams, cfg, ids))
+        scale = np.abs(ref).max()
+        # random (incompressible) weights are the worst case for 4-bit:
+        # measured ≈0.25 here vs int8's ≈0.014 — the exact 16× step-size
+        # ratio, i.e. the error is the quantizer's, not a formula bug
+        assert np.abs(got - ref).max() / scale < 0.35
 
 
 class TestInt8KVCache:

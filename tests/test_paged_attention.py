@@ -168,7 +168,7 @@ class TestChunkedStatsV2:
     """The multi-page streaming kernel (v2) vs the XLA stats reference —
     the long-context burst route (engine/kv_cache.py `chunked_kernel`)."""
 
-    def _check(self, seed, s, bs, mb, pp=None):
+    def _check(self, seed, s, bs, mb, pp=None, quantized=False):
         from fun_asr_vllm_tpu.engine.kv_cache import _paged_attention_stats
         from fun_asr_vllm_tpu.ops.paged_attention import (
             paged_attention_pallas_stats_v2,
@@ -180,6 +180,8 @@ class TestChunkedStatsV2:
         q = jnp.asarray(rng.normal(size=(s, nq, d)).astype(np.float32))
         kc = jnp.asarray(rng.normal(size=(nb, bs, nkv, d)).astype(np.float32))
         vc = jnp.asarray(rng.normal(size=(nb, bs, nkv, d)).astype(np.float32))
+        if quantized:
+            kc, vc = _quantize_cache(kc), _quantize_cache(vc)
         bt = np.zeros((s, mb), np.int32)
         sl = np.zeros((s,), np.int32)
         for i in range(s):
@@ -252,3 +254,18 @@ class TestChunkedStatsV2:
 
     def test_large_pages(self):
         self._check(seed=3, s=2, bs=64, mb=4)
+
+    def test_int8_pages_random_lengths(self):
+        """int8 pages through v2: the lane-aligned window-scale route
+        must match the XLA gather reference's f32 dequant. Scales are
+        applied in score/probability space (q·(k·s) = (q·k)·s), so only
+        f32-associativity noise separates the two."""
+        self._check(seed=4, s=4, bs=16, mb=9, quantized=True)
+
+    def test_int8_pages_multi_chunk(self):
+        # mb·bs > chunk_toks forces c > 0 — exercises the dynamic
+        # 128-aligned lane slicing of the scale inputs
+        self._check(seed=5, s=2, bs=16, mb=24, pp=8, quantized=True)
+
+    def test_int8_pages_large_pages(self):
+        self._check(seed=6, s=2, bs=64, mb=4, quantized=True)
