@@ -83,9 +83,10 @@ def main():
                          "padding buckets per wave; a scheduling freedom "
                          "vLLM also has)")
     ap.add_argument("--quantize", type=str, default=None,
-                    choices=(None, "int8"),
-                    help="weight-only int8 for the decoder (opt-in; "
-                         "perturbs logits — CER must be validated)")
+                    choices=(None, "int8", "int4"),
+                    help="weight-only decoder quantization (opt-in; "
+                         "perturbs logits — CER must be validated); int4 "
+                         "is group-wise (128) nibble-packed")
     ap.add_argument("--upload", type=str, default="packed_prefetch",
                     choices=("packed", "f32", "int16", "packed_prefetch",
                              "sample_packed"),

@@ -251,7 +251,7 @@ class LLM:
         max_num_seqs: int = 16,
         max_model_len: int = 2048,
         num_blocks: Optional[int] = None,
-        block_size: int = 16,
+        block_size: Optional[int] = None,  # None = auto by window length
         gpu_memory_utilization: float = 0.4,  # sizes the KV pool when the
         # backend reports memory stats (vLLM semantics); static floor
         # otherwise (relay/CPU report nothing)
@@ -316,6 +316,13 @@ class LLM:
         self.max_num_seqs = max_num_seqs
         self.mesh = mesh
 
+        if block_size is None:
+            # long-context windows decode through the chunked streaming
+            # kernel / per-layer gather routes, where bigger pages
+            # measure ~6-9% faster at ctx 1900 (tools/bench_longctx.py
+            # ladder); short windows keep 16-token pages for allocation
+            # granularity (a 64-token page wastes ~30% on short prompts)
+            block_size = 64 if max_model_len >= 2048 else 16
         self.n_slots = max_num_seqs * self.pipeline_depth
         mb = -(-max_model_len // block_size)
         if num_blocks is None:

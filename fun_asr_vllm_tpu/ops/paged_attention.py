@@ -518,7 +518,7 @@ def paged_attention_pallas_stats_v2(
     block_tables: jax.Array,  # [S, MB] int32
     seq_lens: jax.Array,      # [S] int32
     *,
-    pages_per_chunk: int = 32,
+    chunk_tokens: int = 512,
     interpret: bool = False,
 ):
     """Multi-page streaming paged-decode stats (acc, m[:, :, :1], l).
@@ -542,11 +542,11 @@ def paged_attention_pallas_stats_v2(
     nb, bs, nkv, _ = k_pages.shape
     s, nq, d = q.shape
     mb = block_tables.shape[1]
-    # VMEM envelope: double-buffered k+v chunks live in scratch, so cap
-    # the chunk at ~512 tokens regardless of page size (2·2·512·Nkv·D·2B
-    # ≈ 4 MB at Qwen3-0.6B shapes); bigger chunks amortize per-chunk
-    # fixed costs (semaphore waits, loop overhead, per-head matmuls)
-    pp = max(1, min(pages_per_chunk, mb, 512 // bs if bs <= 512 else 1))
+    # VMEM envelope: double-buffered k+v chunks live in scratch
+    # (2·2·chunk_tokens·Nkv·D·2B ≈ 4 MB at Qwen3-0.6B shapes and the
+    # default 512-token chunk); bigger chunks amortize per-chunk fixed
+    # costs (semaphore waits, loop overhead, per-head matmuls)
+    pp = max(1, min(mb, chunk_tokens // bs if bs <= chunk_tokens else 1))
     if quantized:
         # in-kernel scale slices are dynamic LANE slices → chunk_toks
         # must be a multiple of 128 (pp a multiple of 128/gcd(bs, 128));

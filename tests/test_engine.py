@@ -1513,3 +1513,31 @@ class TestAutoKvSizing:
         llm4 = make_llm(params, cfg, max_num_seqs=2, max_model_len=64,
                         num_blocks=33)
         assert llm4.cache_cfg.num_blocks == 33
+
+
+class TestAutoBlockSize:
+    """block_size=None auto-selects by window length (long-context
+    windows prefer bigger pages — tools/bench_longctx.py ladder)."""
+
+    def test_defaults_by_window(self, setup):
+        params, cfg = setup
+        short = LLM(params=params, config=cfg, dtype="float32",
+                    use_pallas=False, max_num_seqs=1, max_model_len=512)
+        assert short.cache_cfg.block_size == 16
+        lng = LLM(params=params, config=cfg, dtype="float32",
+                  use_pallas=False, max_num_seqs=1, max_model_len=2048,
+                  num_blocks=40)
+        assert lng.cache_cfg.block_size == 64
+
+    def test_block_size_64_token_identical_to_16(self, setup):
+        """The page size is a layout detail: greedy tokens must not
+        depend on it (covers the prefill scatter, burst gather, and
+        block-table paths at bs=64)."""
+        params, cfg = setup
+        e = rand_embeds(91, 37, cfg.hidden_size)
+        sp = SamplingParams(temperature=0.0, max_tokens=8)
+        llm16 = make_llm(params, cfg, block_size=16, max_model_len=128)
+        llm64 = make_llm(params, cfg, block_size=64, max_model_len=128)
+        t16 = llm16.generate([{"prompt_embeds": e}], sp)[0].outputs[0].token_ids
+        t64 = llm64.generate([{"prompt_embeds": e}], sp)[0].outputs[0].token_ids
+        assert t16 == t64 == ref_decode(params, cfg, e, 8)

@@ -192,7 +192,7 @@ class TestChunkedStatsV2:
                 bt[i, :need] = rng.choice(
                     np.arange(1, nb), size=need, replace=False)
         bt, sl = jnp.asarray(bt), jnp.asarray(sl)
-        kw = {} if pp is None else {"pages_per_chunk": pp}
+        kw = {} if pp is None else {"chunk_tokens": pp * bs}
         a2, m2, l2 = paged_attention_pallas_stats_v2(
             q, kc, vc, bt, sl, interpret=True, **kw)
         a1, m1, l1 = _paged_attention_stats(q, kc, vc, bt, sl,
