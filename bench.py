@@ -78,6 +78,16 @@ def main():
                          "is reported — the shared TPU relay adds multi-"
                          "hundred-ms noise per epoch, and best-of-N is the "
                          "stable estimator of the machine's capability")
+    ap.add_argument("--single_dispatch", action="store_true",
+                    help="scan ALL waves inside {8,4,2,1}-wave fused "
+                         "dispatches (engine.generate_fused_multi): the "
+                         "epoch pays ~log2(waves) dispatch->fetch round "
+                         "trips instead of one per wave. Token-exact vs "
+                         "the per-wave path, but measured ~2x SLOWER on "
+                         "this relay (fetch waits are device time here, "
+                         "not idle RTT, and common-geometry padding + "
+                         "serialized uploads cost real time — see "
+                         "BENCH_NOTES); for true high-RTT attaches only")
     ap.add_argument("--sort_by_duration", action="store_true",
                     help="length-sort utterances before batching (tighter "
                          "padding buckets per wave; a scheduling freedom "
@@ -247,6 +257,80 @@ def main():
 
         raw_batches = [utt_list[i: i + args.batch_size]
                        for i in range(0, len(utt_list), args.batch_size)]
+
+        if args.single_dispatch:
+            # common geometry across ALL waves, then one multi-call:
+            # {8,4,2,1}-wave scanned dispatches inside the engine
+            from fun_asr_vllm_tpu.engine.packed import plan_frame_pack
+
+            frames_w = [np.asarray([frontend.frame_count(len(b))
+                                    for b in batch], np.int32)
+                        for batch in raw_batches]
+            # pad the tail wave to a uniform batch (outputs dropped)
+            pad_counts = [args.batch_size - len(b) for b in raw_batches]
+            uni_batches = [
+                b + [np.zeros(1600, np.float32)] * pc
+                for b, pc in zip(raw_batches, pad_counts)
+            ]
+            frames_w = [
+                np.concatenate([fr, np.full(pc, frontend.frame_count(1600),
+                                            np.int32)]) if pc else fr
+                for fr, pc in zip(frames_w, pad_counts)
+            ]
+            if args.upload == "sample_packed":
+                tt = max(plan_frame_pack(fr, 0).tt for fr in frames_w)
+
+                def prep_m(batch, fr):
+                    t_b = time.time()
+                    plan = plan_frame_pack(fr, 0, bucket=tt)
+                    pcm = frontend.batchify_sample_packed(
+                        batch, plan.starts, plan.tt)
+                    tm["batchify"] += time.time() - t_b
+                    return _force_upload(pcm), fr, plan
+            else:
+                n_common = max(
+                    frontend.padded_samples(max(len(b) for b in batch))
+                    for batch in uni_batches)
+
+                def prep_m(batch, fr):
+                    t_b = time.time()
+                    pcm, _ = frontend.batchify(batch)
+                    pcm = np.pad(pcm,
+                                 ((0, 0), (0, n_common - pcm.shape[1])))
+                    tm["batchify"] += time.time() - t_b
+                    return _force_upload(pcm), fr, None
+
+            futs = [uploader.submit(prep_m, b, fr)
+                    for b, fr in zip(uni_batches, frames_w)]
+            # per-wave decode budgets (dispatch groups are duration-
+            # adjacent under --sort_by_duration, so short waves keep
+            # short bursts)
+            sps = [
+                SamplingParams(
+                    top_p=0.001,
+                    max_tokens=max(4, int(
+                        np.mean([len(b) for b in batch]) / 16000.0
+                        * args.tokens_per_audio_sec)))
+                for batch in raw_batches
+            ]
+            t_s = time.time()
+            waves = [f.result() for f in futs]
+            tm["upload_wait"] += time.time() - t_s
+            t_s = time.time()
+            results = llm.generate_fused_multi(
+                waves, enc_params, enc_cfg, ad_params, ad_cfg,
+                frontend, prefix_dev, suffix_dev, sps)
+            tm["generate"] += time.time() - t_s
+            t_c = time.time()
+            for outs, batch in zip(results, raw_batches):
+                for o in outs[: len(batch)]:
+                    _ = normalize_text(
+                        " ".join(str(t) for t in o.outputs[0].token_ids),
+                        language="zh",
+                    )
+                    hyp_count += 1
+            tm["normalize"] += time.time() - t_c
+            return hyp_count
         # submit EVERY wave's collation+upload immediately (workload HBM
         # cost is tiny — ~15 MB/wave): batchify runs in the pool so the
         # first dispatch isn't gated on collating the whole epoch, and

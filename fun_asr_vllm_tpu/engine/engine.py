@@ -1083,6 +1083,253 @@ class LLM:
             all_reqs.extend(prev_reqs)
         return self._collect(all_reqs, sp)
 
+    def generate_fused_multi(
+        self,
+        waves,                     # list of (speech_dev, wav_frames, plan)
+        enc_params, enc_cfg, ad_params, ad_cfg,
+        frontend,
+        prefix_embeds: jax.Array,  # [P, H]
+        suffix_embeds: jax.Array,  # [Q, H]
+        sampling_params=None,  # SamplingParams or one per wave
+    ) -> List[List[RequestOutput]]:
+        """Whole-dataset fast path: MANY waves per dispatch.
+
+        On RPC-attached TPUs each dispatch→fetch round trip costs
+        ~0.1-0.2 s; a per-wave loop pays it per batch. This path scans
+        the packed fused program over wave-stacked inputs on device
+        (engine/packed.py `fused_encode_prefill_decode_packed_multi`),
+        grouping waves into {8, 4, 2, 1}-sized dispatches to bound
+        compile variants — the whole eval becomes a handful of round
+        trips. Wave i+1's prefill REUSES wave i's KV pages, so the
+        in-shot burst is sized to cover sampling_params.max_tokens
+        outright (early-exit keeps the tail cheap) — continuation
+        bursts are impossible once pages are overwritten.
+
+        Requirements (ValueError otherwise): packed_prefill engine on a
+        single chip, greedy sampling, every wave the same batch size
+        (pad the tail wave with dummy short utterances and drop their
+        outputs), and either every wave carries a `frame_plan` built at
+        a COMMON tt (sample-level packed rows, lfr off) or none does
+        (padded [B, N] uploads sharing one N).
+
+        → one List[RequestOutput] per wave, in submission order."""
+        from .packed import (
+            fused_encode_prefill_decode_packed_multi,
+            plan_frame_pack,
+            plan_prompt_pack,
+        )
+        from ..models.adaptor import downsampled_length
+
+        if not waves:
+            return []
+        if isinstance(sampling_params, (list, tuple)):
+            if len(sampling_params) != len(waves):
+                raise ValueError("need one SamplingParams per wave")
+            sps = list(sampling_params)
+        else:
+            sps = [sampling_params or SamplingParams()] * len(waves)
+        if not all(s.is_greedy for s in sps):
+            raise ValueError("generate_fused_multi is greedy-only (the "
+                             "single-shot fused program)")
+        if self.mesh is not None or not self.packed_prefill:
+            raise ValueError("generate_fused_multi needs packed_prefill "
+                             "on a single chip")
+        sp = sps[0]
+        self._cur_sampling = sp
+        self._all_greedy = True
+        p, q = prefix_embeds.shape[0], suffix_embeds.shape[0]
+        lfr_n, lfr_m = frontend.lfr_n, frontend.lfr_m
+        bsz = len(waves[0][1])
+        if any(len(w[1]) != bsz for w in waves) or bsz > self.max_num_seqs:
+            raise ValueError("all waves must share one batch size ≤ "
+                             "max_num_seqs (pad the tail wave)")
+        plans = [w[2] for w in waves]
+        sample_packed = plans[0] is not None
+        if any((pl is not None) != sample_packed for pl in plans):
+            raise ValueError("frame plans must be all-or-none across waves")
+        if sample_packed and (lfr_n != 1 or lfr_m != 1):
+            raise ValueError("sample-packed waves require lfr off")
+        if sample_packed and len({pl.tt for pl in plans}) > 1:
+            raise ValueError("frame plans must share a common tt "
+                             "(plan_frame_pack(bucket=max_tt))")
+        # the burst must COVER each wave's max_tokens: later waves
+        # overwrite the KV pages, so there is no continuation path (the
+        # prefill emits token 0). Per-wave bursts are sized per dispatch
+        # GROUP (groups are duration-adjacent under sorted scheduling,
+        # so a long wave doesn't inflate every group's burst)
+        k_w = [max(8, -(-(s.max_tokens - 1) // 8) * 8) for s in sps]
+        k = max(k_w)
+        fe_kw = dict(
+            frame_length=frontend._frame_len_samp,
+            frame_shift=frontend._frame_shift_samp,
+            n_mels=frontend.n_mels, window_type=frontend.window,
+            fs=frontend.fs, lfr_m=lfr_m, lfr_n=lfr_n,
+            cmvn=frontend.cmvn_dev(),
+        )
+        # frame math → per-wave prompt lengths; validate before admitting
+        frames_w, plens_w = [], []
+        for speech, wav_frames, plan in waves:
+            fr = np.asarray([-(-int(f) // lfr_n) for f in wav_frames],
+                            np.int32)
+            frames_w.append(fr)
+            plens_w.append(np.asarray(
+                [p + downsampled_length(int(f)) + q for f in fr], np.int64))
+        max_plens = np.max(np.stack(plens_w), axis=0)
+        if int(max_plens.max()) + 1 + k > self.cache_cfg.max_model_len:
+            raise ValueError(
+                f"prompt {int(max_plens.max())} + burst {k} + 1 exceeds "
+                f"max_model_len {self.cache_cfg.max_model_len} — raise "
+                "max_model_len or lower max_tokens")
+        # an outstanding async wave still owns slots/pages — finish it
+        while self._fused_inflight:
+            self._fused_inflight[0]._finish()
+        # ONE page allocation serves every wave (device-sequential reuse);
+        # per-slot tables sized for the largest prompt at that slot
+        anchor_reqs, tables = self._admit_direct(max_plens, sp, extra=k)
+        bs_blk = self.cache_cfg.block_size
+        need = -(-(int(max_plens.max()) + k + 1) // bs_blk)
+        mbu = min(self.cache_cfg.max_blocks_per_seq, -(-need // 8) * 8)
+        tables_dev = jnp.asarray(tables[:, :mbu])
+        try:
+            if not sample_packed:
+                ns = {w[0].shape[-1] for w in waves}
+                if len(ns) > 1:
+                    raise ValueError("padded waves must share one padded "
+                                     "sample count (repad to the max)")
+            # common packed-layout buckets across ALL waves
+            if sample_packed:
+                fps = plans
+            else:
+                n_samples = waves[0][0].shape[-1]
+                if waves[0][0].dtype == jnp.uint32:
+                    n_samples *= 2
+                t_pad_feat = frontend.frame_count(n_samples)
+                if lfr_n != 1:
+                    t_pad_feat = -(-t_pad_feat // lfr_n)
+                fps = [plan_frame_pack(fr, t_pad_feat) for fr in frames_w]
+                tt = max(fp.tt for fp in fps)
+                fps = [fp if fp.tt == tt
+                       else plan_frame_pack(fr, t_pad_feat, bucket=tt)
+                       for fp, fr in zip(fps, frames_w)]
+            ppks = [plan_prompt_pack(p, q, fp.tok_starts, fp.tok_counts,
+                                     tables, bs_blk) for fp in fps]
+            ttp = max(pk.ttp for pk in ppks)
+            ppks = [pk if pk.ttp == ttp
+                    else plan_prompt_pack(p, q, fp.tok_starts,
+                                          fp.tok_counts, tables, bs_blk,
+                                          bucket=ttp)
+                    for pk, fp in zip(ppks, fps)]
+            fkw = max(fp.k_window for fp in fps)
+            pkw = max(pk.k_window for pk in ppks)
+
+            # group waves into descending power-of-two dispatches so jit
+            # compiles at most log2 scan lengths per geometry
+            order = list(range(len(waves)))
+            groups, i = [], 0
+            while i < len(order):
+                g = 8
+                while g > len(order) - i:
+                    g //= 2
+                groups.append(order[i:i + g])
+                i += g
+            handles = []  # (wave indices, k_g, device tokens)
+            t0 = time.perf_counter()
+            for g in groups:
+                k_g = max(k_w[i] for i in g)
+                stk = lambda f: jnp.asarray(np.stack([f(i) for i in g]))
+                speech_g = jnp.stack([
+                    waves[i][0][0] if sample_packed else waves[i][0]
+                    for i in g])
+                kwargs = {}
+                if lfr_n != 1 or lfr_m != 1:
+                    kwargs["pre_lfr_frames"] = stk(
+                        lambda i: np.asarray(waves[i][1], np.int32))
+                tokens, self.k_cache, self.v_cache = (
+                    fused_encode_prefill_decode_packed_multi(
+                        enc_params, ad_params, self.params,
+                        enc_cfg, ad_cfg, self.cfg,
+                        self.k_cache, self.v_cache,
+                        speech_g,
+                        stk(lambda i: fps[i].src_idx),
+                        stk(lambda i: fps[i].seg_ids),
+                        stk(lambda i: fps[i].pos_ids),
+                        stk(lambda i: fps[i].m1),
+                        stk(lambda i: fps[i].m2),
+                        stk(lambda i: ppks[i].emb_src),
+                        stk(lambda i: ppks[i].seg_ids),
+                        stk(lambda i: ppks[i].pos_ids),
+                        stk(lambda i: ppks[i].write_blocks),
+                        stk(lambda i: ppks[i].write_offsets),
+                        stk(lambda i: ppks[i].last_idx),
+                        prefix_embeds, suffix_embeds,
+                        stk(lambda i: plens_w[i].astype(np.int32)),
+                        tables_dev,
+                        num_steps=k_g, use_pallas=self.use_pallas_burst,
+                        chunked_kernel=self._chunked_burst,
+                        eos_ids=(self._eos_arr if self.early_exit_bursts
+                                 else None),
+                        early_exit=self.early_exit_bursts,
+                        frame_k_window=fkw, prompt_k_window=pkw,
+                        sample_packed=sample_packed,
+                        **fe_kw, **kwargs,
+                    )
+                )
+                handles.append((g, k_g, tokens))
+            self.stats["t_dispatch"] += time.perf_counter() - t0
+            # ONE fetch per group (the RTT count is per GROUP, not per
+            # wave)
+            results: List[Optional[List[RequestOutput]]] = (
+                [None] * len(waves))
+            for g, k_g, tokens in handles:
+                t0 = time.perf_counter()
+                toks_np = np.asarray(tokens)  # [Wg, k_g+1, B]
+                now = time.perf_counter()
+                self.stats["t_fetch"] += now - t0
+                for row, wi in enumerate(g):
+                    sp_w = sps[wi]
+                    self.stats["steps"] += k_g
+                    reqs = []
+                    for j in range(bsz):
+                        req = _Request.__new__(_Request)
+                        req.rid = self._next_rid
+                        self._next_rid += 1
+                        req.embeds = None
+                        req.prompt_len = int(plens_w[wi][j])
+                        req.max_tokens = min(
+                            sp_w.max_tokens,
+                            max(1, self.cache_cfg.max_model_len
+                                - req.prompt_len))
+                        req.out_ids = []
+                        req.done = False
+                        req.t_enqueue = now
+                        req.t_first_token = now
+                        req.stop_ids = (self.eos_ids
+                                        | set(sp_w.stop_token_ids or ()))
+                        req.sp = None
+                        req.n_session_blocks = 0
+                        req.slot = -1
+                        req.blocks = []
+                        self.stats["prefill_tokens"] += req.prompt_len
+                        for step in range(toks_np.shape[1]):
+                            if req.done:
+                                break
+                            tok = int(toks_np[row, step, j])
+                            if step > 0:
+                                self.stats["decode_tokens"] += 1
+                            if tok in req.stop_ids:
+                                req.done = True
+                                break
+                            req.out_ids.append(tok)
+                            if len(req.out_ids) >= req.max_tokens:
+                                req.done = True
+                        reqs.append(req)
+                    results[wi] = self._collect(reqs, sp_w)
+        finally:
+            for r in anchor_reqs:
+                if r.blocks:
+                    self._free(r)
+        return results
+
     def _finish_fused_wave(self, reqs, tokens, k: int, sp) -> None:
         """Fetch a fused wave's tokens, arm its slots, run continuations."""
         t0 = time.perf_counter()

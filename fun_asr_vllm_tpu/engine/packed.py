@@ -231,6 +231,32 @@ def fused_encode_prefill_decode_packed(
     prompt assembly → ragged prefill → K fused greedy decode steps.
     → (tokens [num_steps+1, B], k_cache, v_cache); with
     `decode_only_prefill`, tokens is [1, B] (first ids only)."""
+    return _packed_core(
+        enc_params, ad_params, llm_params, enc_cfg, ad_cfg, llm_cfg,
+        k_cache, v_cache, speech, frame_src, frame_seg, frame_pos, m1, m2,
+        emb_src, p_seg, p_pos, write_blocks, write_offsets, last_idx,
+        prefix, suffix, prompt_lengths, block_tables,
+        num_steps=num_steps, frame_length=frame_length,
+        frame_shift=frame_shift, n_mels=n_mels, window_type=window_type,
+        fs=fs, lfr_m=lfr_m, lfr_n=lfr_n, cmvn=cmvn,
+        pre_lfr_frames=pre_lfr_frames, eos_ids=eos_ids,
+        early_exit=early_exit, decode_only_prefill=decode_only_prefill,
+        frame_k_window=frame_k_window, prompt_k_window=prompt_k_window,
+        use_pallas=use_pallas, chunked_kernel=chunked_kernel,
+        sample_packed=sample_packed,
+    )
+
+
+def _packed_core(
+    enc_params, ad_params, llm_params, enc_cfg, ad_cfg, llm_cfg,
+    k_cache, v_cache, speech, frame_src, frame_seg, frame_pos, m1, m2,
+    emb_src, p_seg, p_pos, write_blocks, write_offsets, last_idx,
+    prefix, suffix, prompt_lengths, block_tables,
+    *, num_steps, frame_length, frame_shift, n_mels, window_type, fs,
+    lfr_m, lfr_n, cmvn, pre_lfr_frames, eos_ids, early_exit,
+    decode_only_prefill, frame_k_window, prompt_k_window, use_pallas,
+    chunked_kernel, sample_packed,
+):
     if speech.dtype == jnp.uint32:
         # bit-packed int16-pair upload (frontend.batchify_packed)
         from ..audio.frontend import unpack_pairs
@@ -285,4 +311,104 @@ def fused_encode_prefill_decode_packed(
         eos_ids=eos_ids, early_exit=early_exit,
     )
     tokens = jnp.concatenate([first_ids[None], steps_tokens], axis=0)
+    return tokens, k_cache, v_cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=("enc_cfg", "ad_cfg", "llm_cfg", "num_steps",
+                     "frame_length", "frame_shift", "n_mels", "window_type",
+                     "fs", "lfr_m", "lfr_n", "early_exit",
+                     "frame_k_window", "prompt_k_window", "use_pallas",
+                     "sample_packed", "chunked_kernel"),
+    donate_argnames=("k_cache", "v_cache"),
+)
+def fused_encode_prefill_decode_packed_multi(
+    enc_params: Dict,
+    ad_params: Dict,
+    llm_params: Dict,
+    enc_cfg: encoder_mod.SANMEncoderConfig,
+    ad_cfg: adaptor_mod.NanoAdaptorConfig,
+    llm_cfg: Qwen3Config,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    speech: jax.Array,          # [W, NS] (sample_packed) or [W, B, N]
+    frame_src: jax.Array,       # [W, TT] FramePack arrays, wave-stacked
+    frame_seg: jax.Array,
+    frame_pos: jax.Array,
+    m1: jax.Array,              # [W, TT//2, 1]
+    m2: jax.Array,              # [W, TT//4, 1]
+    emb_src: jax.Array,         # [W, TTP] PromptPack arrays, wave-stacked
+    p_seg: jax.Array,
+    p_pos: jax.Array,
+    write_blocks: jax.Array,
+    write_offsets: jax.Array,
+    last_idx: jax.Array,        # [W, B]
+    prefix: jax.Array,          # [P, H] (shared)
+    suffix: jax.Array,          # [Q, H] (shared)
+    prompt_lengths: jax.Array,  # [W, B]
+    block_tables: jax.Array,    # [B, MB] — SHARED: wave i+1's prefill
+    num_steps: int = 16,        #   overwrites wave i's pages on device
+    frame_length: int = 400,
+    frame_shift: int = 160,
+    n_mels: int = 80,
+    window_type: str = "hamming",
+    fs: int = 16000,
+    lfr_m: int = 1,
+    lfr_n: int = 1,
+    cmvn=None,
+    pre_lfr_frames=None,        # [W, B] when LFR is on
+    eos_ids=None,
+    early_exit: bool = False,
+    frame_k_window: int = 0,
+    prompt_k_window: int = 0,
+    use_pallas: bool = False,
+    chunked_kernel: bool = False,
+    sample_packed: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """W waves in ONE dispatch: `lax.scan` over wave-stacked inputs, each
+    iteration running the full packed fused program and REUSING the same
+    KV pages (the burst must therefore cover every request's max_tokens —
+    there is no continuation path once a later wave overwrites the
+    pages). → (tokens [W, num_steps+1, B], k_cache, v_cache).
+
+    Why: on RPC-attached TPUs every dispatch→fetch round trip costs
+    ~0.1-0.2 s of relay latency; a 5-wave eval epoch pays it 5×. Scanning
+    the waves on device amortizes it to once per call, with per-wave
+    early-exit (the while_loop) intact inside the scan. All waves must
+    share layout geometry (TT/TTP buckets, batch size, k-windows) — the
+    host planner pads to common buckets (engine.generate_fused_multi)."""
+    xs = {
+        "speech": speech, "frame_src": frame_src, "frame_seg": frame_seg,
+        "frame_pos": frame_pos, "m1": m1, "m2": m2, "emb_src": emb_src,
+        "p_seg": p_seg, "p_pos": p_pos, "write_blocks": write_blocks,
+        "write_offsets": write_offsets, "last_idx": last_idx,
+        "prompt_lengths": prompt_lengths,
+    }
+    if pre_lfr_frames is not None:
+        xs["pre_lfr_frames"] = pre_lfr_frames
+
+    def body(carry, x):
+        kc, vc = carry
+        sp_ = x["speech"]
+        if sample_packed:
+            sp_ = sp_[None]  # [NS] -> [1, NS]
+        toks, kc, vc = _packed_core(
+            enc_params, ad_params, llm_params, enc_cfg, ad_cfg, llm_cfg,
+            kc, vc, sp_, x["frame_src"], x["frame_seg"], x["frame_pos"],
+            x["m1"], x["m2"], x["emb_src"], x["p_seg"], x["p_pos"],
+            x["write_blocks"], x["write_offsets"], x["last_idx"],
+            prefix, suffix, x["prompt_lengths"], block_tables,
+            num_steps=num_steps, frame_length=frame_length,
+            frame_shift=frame_shift, n_mels=n_mels,
+            window_type=window_type, fs=fs, lfr_m=lfr_m, lfr_n=lfr_n,
+            cmvn=cmvn, pre_lfr_frames=x.get("pre_lfr_frames"),
+            eos_ids=eos_ids, early_exit=early_exit,
+            decode_only_prefill=False, frame_k_window=frame_k_window,
+            prompt_k_window=prompt_k_window, use_pallas=use_pallas,
+            chunked_kernel=chunked_kernel, sample_packed=sample_packed,
+        )
+        return (kc, vc), toks
+
+    (k_cache, v_cache), tokens = jax.lax.scan(body, (k_cache, v_cache), xs)
     return tokens, k_cache, v_cache

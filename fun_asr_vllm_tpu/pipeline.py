@@ -165,6 +165,72 @@ class BatchPipeline:
                 self.timings["generate"] += time.perf_counter() - t0
                 yield [o.outputs[0].text for o in outs]
 
+    def transcribe_all(self, batches, *, upload: str = "packed"):
+        """All batches in as FEW device round trips as possible: the
+        engine scans the fused program over wave-stacked inputs
+        (engine.generate_fused_multi, {8,4,2,1}-wave dispatch groups),
+        so an N-wave eval pays ~log(N) dispatch→fetch round trips
+        instead of N. Worth it only on attaches where fetch RTT is idle
+        wire time — on execution-serialized relays the per-wave path
+        wins (measured; BENCH_NOTES "multi-wave single-dispatch A/B").
+        Token-identical to transcribe_many (tested). Falls back to
+        transcribe_many when the multi path doesn't apply (engine off,
+        mesh, non-greedy). Returns one list of texts per input batch."""
+        import jax
+
+        m = self.model
+        llm = m.vllm
+        sp = m.vllm_sampling_params or self.sampling
+        batches = [list(b) for b in batches]
+        if (llm is None or not getattr(llm, "packed_prefill", False)
+                or llm.mesh is not None or not sp.is_greedy
+                or not batches):
+            return list(self.transcribe_many(batches, upload=upload))
+        fe = m.frontend
+        bsz = min(max(len(b) for b in batches), llm.max_num_seqs)
+        # uniform wave size: split big batches, pad the tail of each
+        # with short dummy utterances (outputs dropped)
+        wave_wavs, owners = [], []  # owners[w] = (batch idx, real count)
+        for bi, wavs in enumerate(batches):
+            for s in range(0, len(wavs), bsz):
+                chunk = wavs[s:s + bsz]
+                real = len(chunk)
+                chunk = chunk + [np.zeros(1600, np.float32)] * (bsz - real)
+                wave_wavs.append(chunk)
+                owners.append((bi, real))
+        sample_packed = (fe.lfr_m == 1 and fe.lfr_n == 1
+                         and m.adaptor_cfg.use_low_frame_rate)
+        frames_w = [np.asarray([fe.frame_count(len(w)) for w in wavs],
+                               np.int32) for wavs in wave_wavs]
+        waves = []
+        if sample_packed:
+            from .engine.packed import plan_frame_pack
+
+            tt = max(plan_frame_pack(fr, 0).tt for fr in frames_w)
+            for wavs, fr in zip(wave_wavs, frames_w):
+                plan = plan_frame_pack(fr, 0, bucket=tt)
+                packed = fe.batchify_sample_packed(wavs, plan.starts,
+                                                   plan.tt)
+                waves.append((jax.device_put(packed), fr, plan))
+        else:
+            n = max(fe.padded_samples(max(len(w) for w in wavs))
+                    for wavs in wave_wavs)
+            for wavs, fr in zip(wave_wavs, frames_w):
+                batch, _ = fe.batchify(wavs)
+                batch = np.pad(batch, ((0, 0), (0, n - batch.shape[1])))
+                waves.append((jax.device_put(batch), fr, None))
+        t0 = time.perf_counter()
+        res = llm.generate_fused_multi(
+            waves, m.encoder_params, m.encoder_cfg,
+            m.adaptor_params, m.adaptor_cfg, fe,
+            self._prefix_dev, self._suffix_dev, sp,
+        )
+        self.timings["generate"] += time.perf_counter() - t0
+        texts: List[List[str]] = [[] for _ in batches]
+        for (bi, real), outs in zip(owners, res):
+            texts[bi].extend(o.outputs[0].text for o in outs[:real])
+        return texts
+
     def transcribe_batch(self, wavs: Sequence[np.ndarray]) -> List[str]:
         m = self.model
         fe = m.frontend
