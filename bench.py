@@ -88,10 +88,17 @@ def main():
                          "not idle RTT, and common-geometry padding + "
                          "serialized uploads cost real time — see "
                          "BENCH_NOTES); for true high-RTT attaches only")
-    ap.add_argument("--sort_by_duration", action="store_true",
+    ap.add_argument("--sort_by_duration", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="length-sort utterances before batching (tighter "
-                         "padding buckets per wave; a scheduling freedom "
-                         "vLLM also has)")
+                         "padding buckets + duration-matched decode "
+                         "bursts per wave). Default ON: this is offline-"
+                         "eval scheduling freedom our own CLIs expose "
+                         "(--sort_by_duration on infer_kaldidata), and "
+                         "the vLLM baseline is order-insensitive anyway "
+                         "(continuous batching absorbs length mix), so "
+                         "the comparison stays apples-to-apples; "
+                         "--no-sort_by_duration measures manifest order")
     ap.add_argument("--quantize", type=str, default=None,
                     choices=(None, "int8", "int4"),
                     help="weight-only decoder quantization (opt-in; "
