@@ -338,6 +338,7 @@ def _chunked_stats_kernel(
     head_dim: int,
     num_q_heads: int,
     quantized: bool = False,
+    num_buffers: int = 2,
 ):
     """One grid step = one sequence. Pages stream HBM→VMEM in chunks of
     `pages_per_chunk` (PP·BS tokens — an MXU-sized score tile) with
@@ -402,16 +403,26 @@ def _chunked_stats_kernel(
         m_ref[:] = jnp.full_like(m_ref, -1e30)
         l_ref[:] = jnp.zeros_like(l_ref)
 
+        nbuf = num_buffers
+
         @pl.when(nc > 0)
         def _run():
-            start_chunk(0, 0)
+            # prologue: fill nbuf-1 slots ahead
+            for i in range(nbuf - 1):
+                if i == 0:
+                    start_chunk(0, 0)
+                else:
+                    @pl.when(i < nc)
+                    def _pro(i=i):
+                        start_chunk(i, i)
 
             def loop(c, _):
-                slot = jax.lax.rem(c, 2)
+                slot = jax.lax.rem(c, nbuf)
 
-                @pl.when(c + 1 < nc)
+                @pl.when(c + nbuf - 1 < nc)
                 def _prefetch():
-                    start_chunk(c + 1, jax.lax.rem(c + 1, 2))
+                    start_chunk(c + nbuf - 1,
+                                jax.lax.rem(c + nbuf - 1, nbuf))
 
                 wait_chunk(c, slot)
 
@@ -502,12 +513,12 @@ def _chunked_stats_kernel(
 
     pl.run_scoped(
         body,
-        k_buf=pltpu.VMEM((2, pp * bs, nkv, d), k_hbm.dtype),
-        v_buf=pltpu.VMEM((2, pp * bs, nkv, d), v_hbm.dtype),
+        k_buf=pltpu.VMEM((num_buffers, pp * bs, nkv, d), k_hbm.dtype),
+        v_buf=pltpu.VMEM((num_buffers, pp * bs, nkv, d), v_hbm.dtype),
         acc_ref=pltpu.VMEM((nq, d), jnp.float32),
         m_ref=pltpu.VMEM((nq, 128), jnp.float32),
         l_ref=pltpu.VMEM((nq, 128), jnp.float32),
-        sems=pltpu.SemaphoreType.DMA((2, 2, pp)),
+        sems=pltpu.SemaphoreType.DMA((num_buffers, 2, pp)),
     )
 
 
@@ -519,6 +530,7 @@ def paged_attention_pallas_stats_v2(
     seq_lens: jax.Array,      # [S] int32
     *,
     chunk_tokens: int = 512,
+    num_buffers: int = 2,
     interpret: bool = False,
 ):
     """Multi-page streaming paged-decode stats (acc, m[:, :, :1], l).
@@ -599,7 +611,7 @@ def paged_attention_pallas_stats_v2(
         _chunked_stats_kernel,
         block_size=bs, pages_per_chunk=pp,
         num_kv_heads=nkv, head_dim=d, num_q_heads=nq,
-        quantized=quantized,
+        quantized=quantized, num_buffers=num_buffers,
     )
     acc, m, l = pl.pallas_call(
         kernel,

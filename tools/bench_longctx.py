@@ -55,6 +55,8 @@ def main():
     ap.add_argument("--chunk_tokens", type=int, nargs="+", default=[0],
                     help="v2 kernel chunk sweep (0 = kernel default); "
                          "patches the kernel default per run")
+    ap.add_argument("--num_buffers", type=int, nargs="+", default=[2],
+                    help="v2 kernel DMA slot-depth sweep")
     args = ap.parse_args()
 
     from fun_asr_vllm_tpu.engine.kv_cache import (
@@ -92,10 +94,17 @@ def main():
 
         for route in args.routes:
             chunked = route == "v2"
-            for ct in (args.chunk_tokens if chunked else [0]):
+            for ct, nb_ in [(c, n)
+                            for c in (args.chunk_tokens if chunked else [0])
+                            for n in (args.num_buffers if chunked else [2])]:
+                kw = {}
+                if ct:
+                    kw["chunk_tokens"] = ct
+                if nb_ != 2:
+                    kw["num_buffers"] = nb_
                 pa_mod.paged_attention_pallas_stats_v2 = (
-                    v2_orig if ct == 0
-                    else functools.partial(v2_orig, chunk_tokens=ct))
+                    v2_orig if not kw
+                    else functools.partial(v2_orig, **kw))
 
                 @jax.jit
                 def run(p, kc, vc, ti, bt):
@@ -104,7 +113,8 @@ def main():
                         active, num_steps=K, chunked_kernel=chunked)
                     return toks.sum()
 
-                tag = f" ct={ct:5d}" if chunked else "         "
+                tag = (f" ct={ct:5d} nb={nb_}" if chunked
+                       else "              ")
                 try:
                     dt = timeit(lambda: run(params, k_cache, v_cache,
                                             token_ids, block_tables))
