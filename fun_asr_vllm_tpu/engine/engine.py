@@ -369,7 +369,8 @@ class LLM:
             self.params = shard_params(
                 mesh, self.params, qwen3_param_sharding(mesh)
             )
-            kv_sharding = NamedSharding(mesh, P(None, None, None, "tp", None))
+            # head-major pages [L, NB, Nkv, BS, D]: KV heads (dim 2) over tp
+            kv_sharding = NamedSharding(mesh, P(None, None, "tp", None, None))
             self.k_cache = jax.device_put(self.k_cache, kv_sharding)
             self.v_cache = jax.device_put(self.v_cache, kv_sharding)
             self._dp = mesh.shape["dp"]

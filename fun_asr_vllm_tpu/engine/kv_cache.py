@@ -6,7 +6,13 @@ graphs for batch sizes 1..B — here every step is a jit-compiled XLA
 program over *fixed* slot/bucket shapes, so the same effect falls out of
 jit's compile cache).
 
-Layout: k_cache/v_cache ``[L, num_blocks, block_size, Nkv, D]`` in HBM.
+Layout: k_cache/v_cache ``[L, num_blocks, Nkv, block_size, D]`` in HBM —
+HEAD-MAJOR pages. Each (page, head) is a dense ``[BS, D]`` tile, so the
+decode kernels get per-head views for free AND page DMAs land dense in
+VMEM; the previous token-major ``[.., BS, Nkv, D]`` layout forced either
+sublane-strided per-head slices (relayout copies serializing ~4 ms/step
+against the page DMAs at 2k-token windows) or 256-byte scattered DMA
+writes — measured 405 vs 509 GB/s effective KV streaming on v5e.
 Block 0 is reserved as a garbage sink — padding positions and inactive
 slots write there, which keeps every step fully dense (no host-side
 branching inside jit).
@@ -53,13 +59,13 @@ class CacheConfig:
 
 def init_cache(cfg: Qwen3Config, cc: CacheConfig):
     """→ (k_cache, v_cache). Each is a plain array, or — with
-    `kv_quant` — a pytree ``{"q": int8 [L,NB,BS,Nkv,D], "s": f32
-    [L,NB,BS,Nkv,1]}`` (symmetric per-token-per-head scales): halves the
+    `kv_quant` — a pytree ``{"q": int8 [L,NB,Nkv,BS,D], "s": f32
+    [L,NB,Nkv,BS,1]}`` (symmetric per-token-per-head scales): halves the
     paged-attention HBM reads, the decode bottleneck at long contexts.
     jit/donation handle the pytree transparently."""
     shape = (
-        cfg.num_hidden_layers, cc.num_blocks, cc.block_size,
-        cfg.num_key_value_heads, cfg.head_dim,
+        cfg.num_hidden_layers, cc.num_blocks,
+        cfg.num_key_value_heads, cc.block_size, cfg.head_dim,
     )
     if cc.kv_quant:
         def one():
@@ -71,7 +77,7 @@ def init_cache(cfg: Qwen3Config, cc: CacheConfig):
 
 
 def cache_block_size(cache) -> int:
-    return (cache["q"] if isinstance(cache, dict) else cache).shape[2]
+    return (cache["q"] if isinstance(cache, dict) else cache).shape[3]
 
 
 def _quantize_kv(x: jax.Array):
@@ -89,38 +95,55 @@ def _cache_layer(cache, lid):
 
 
 def _cache_write(cache, idx, values, dtype):
-    """Scatter `values` [..., D] at cache[idx] (idx = tuple of index
-    arrays addressing [..., D] slots), quantizing when the cache is
-    int8-paged."""
+    """Scatter token K/V rows into head-major pages, quantizing when the
+    cache is int8-paged.
+
+    ``idx = (layer_sel, blocks, offsets)`` addresses N token slots;
+    ``values`` is [N, Nkv, D] (single traced layer) or [L, N, Nkv, D]
+    (``layer_sel = slice(None)``). The head axis rides a full slice
+    between the block and offset index arrays — advanced-index
+    broadcasting puts the N axis first, matching the values layout."""
+    lsel, blocks, offsets = idx
+    if isinstance(lsel, slice):
+        # cache[:, blocks, :, offsets] → [N, L, Nkv, D/1]
+        values = jnp.swapaxes(values, 0, 1)
+        full_idx = (lsel, blocks, slice(None), offsets)
+    else:
+        # cache[lid, blocks, :, offsets] → [N, Nkv, D/1]
+        full_idx = (lsel, blocks, slice(None), offsets)
     if isinstance(cache, dict):
         q, s = _quantize_kv(values)
-        return {"q": cache["q"].at[idx].set(q),
-                "s": cache["s"].at[idx].set(s)}
-    return cache.at[idx].set(values.astype(dtype))
+        return {"q": cache["q"].at[full_idx].set(q),
+                "s": cache["s"].at[full_idx].set(s)}
+    return cache.at[full_idx].set(values.astype(dtype))
 
 
 def _gather_pages(cache_l, block_tables: jax.Array,
                   out_dtype=None) -> jax.Array:
-    """cache_l [NB, BS, Nkv, D] (or int8+scale pytree), block_tables
-    [S, MB] → [S, MB*BS, Nkv, D]; int8 pages dequantize AFTER the
-    gather, so the HBM read is half-width."""
+    """cache_l [NB, Nkv, BS, D] head-major (or int8+scale pytree),
+    block_tables [S, MB] → [S, MB*BS, Nkv, D]; int8 pages dequantize
+    AFTER the gather, so the HBM read is half-width."""
     s, mb = block_tables.shape
+
+    def _to_window(pages, nkv, bs, d):
+        # [S·MB, Nkv, BS, D] → [S, MB·BS, Nkv, D]
+        w = pages.reshape(s, mb, nkv, bs, d).transpose(0, 1, 3, 2, 4)
+        return w.reshape(s, mb * bs, nkv, d)
+
     if isinstance(cache_l, dict):
-        nb, bs, nkv, d = cache_l["q"].shape
+        nb, nkv, bs, d = cache_l["q"].shape
         q = jnp.take(cache_l["q"], block_tables.reshape(-1), axis=0)
         sc = jnp.take(cache_l["s"], block_tables.reshape(-1), axis=0)
         out = q.astype(jnp.float32) * sc
-        return out.reshape(s, mb * bs, nkv, d).astype(
-            out_dtype or jnp.bfloat16
-        )
-    nb, bs, nkv, d = cache_l.shape
+        return _to_window(out, nkv, bs, d).astype(out_dtype or jnp.bfloat16)
+    nb, nkv, bs, d = cache_l.shape
     pages = jnp.take(cache_l, block_tables.reshape(-1), axis=0)
-    return pages.reshape(s, mb * bs, nkv, d)
+    return _to_window(pages, nkv, bs, d)
 
 
 def paged_attention_xla(
     q: jax.Array,            # [S, Nq, D] one new token per slot
-    k_cache_l: jax.Array,    # [NB, BS, Nkv, D]
+    k_cache_l: jax.Array,    # [NB, Nkv, BS, D]
     v_cache_l: jax.Array,
     block_tables: jax.Array,  # [S, MB]
     seq_lens: jax.Array,      # [S] kv length incl. current token
@@ -147,15 +170,6 @@ def paged_attention_xla(
         preferred_element_type=jnp.float32,
     )
     return out.reshape(s, nq, d).astype(q.dtype)
-
-
-def _scatter_token_kv(
-    cache_l: jax.Array,      # [NB, BS, Nkv, D]
-    new: jax.Array,          # [S, Nkv, D]
-    block_ids: jax.Array,    # [S]
-    offsets: jax.Array,      # [S]
-) -> jax.Array:
-    return cache_l.at[block_ids, offsets].set(new)
 
 
 def _decode_core(
@@ -331,14 +345,15 @@ def _burst_core(
         # cfg.dtype's width regardless of the page dtype
         itemsize = jnp.zeros((), cfg.dtype).dtype.itemsize
         hoist_bytes = 2 * L * s * mb * bs * nkv * d * itemsize
-        # over-cap long-context route: per-layer gathers pay ~3× window
-        # traffic per step; past ~1.5k tokens the chunked streaming
-        # kernel (manual double-buffered page DMAs, v2) wins — measured
-        # crossover on v5e: ctx600 12 vs 17 ms/step (gather wins),
-        # ctx1900 29 vs 22 (kernel wins); int8 pages stream half-width
-        # through the same route (ctx1900 13.9 vs 23.9 gather).
-        if (v2_ok and hoist_bytes > _HOIST_GATHER_BYTES_CAP
-                and mb * bs >= 1536):
+        # over-cap route: per-layer gathers pay ~3× window traffic per
+        # step; with head-major pages the chunked streaming kernel (v2)
+        # beats them at EVERY over-cap window — measured on v5e at S=16:
+        # ctx600 5.1-5.6 (v2, bs 16-128) vs 7.8 ms/step (gather),
+        # ctx1900 14.1 vs 37.6; int8 pages stream half-width through the
+        # same route (ctx1900 7.1 ms/step). Under the cap the hoisted
+        # window gather stays (3.46 ≈ v2's 3.48 at ctx120, and it keeps
+        # the weights-bound short-context path on plain XLA).
+        if v2_ok and hoist_bytes > _HOIST_GATHER_BYTES_CAP:
             paged_stats = _v2_stats()
             k_gathered = v_gathered = None
         elif hoist_bytes <= _HOIST_GATHER_BYTES_CAP:
@@ -469,7 +484,7 @@ decode_steps = partial(
 
 def _paged_attention_stats(
     q: jax.Array,            # [S, Nq, D]
-    k_cache_l: jax.Array,    # [NB, BS, Nkv, D]
+    k_cache_l: jax.Array,    # [NB, Nkv, BS, D]
     v_cache_l: jax.Array,
     block_tables: jax.Array,  # [S, MB]
     kv_lens: jax.Array,       # [S] valid cached length

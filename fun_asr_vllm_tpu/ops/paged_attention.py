@@ -7,9 +7,10 @@ PAPERS.md):
 
 - grid = (num_seqs, max_blocks_per_seq); scalar-prefetched block tables
   drive the BlockSpec index_map, so each step DMAs exactly one KV page
-  [block_size, Nkv, D] from HBM into VMEM — non-resident pages are never
-  touched (unlike the XLA gather fallback which materializes the full
-  padded KV window);
+  [Nkv, block_size, D] (head-major — per-head dense [BS, D] tiles, see
+  engine/kv_cache.py layout note) from HBM into VMEM — non-resident
+  pages are never touched (unlike the XLA gather fallback which
+  materializes the full padded KV window);
 - online-softmax accumulation in f32 VMEM scratch across a sequence's
   pages (flash-attention style m/l running stats);
 - whole-sequence early exit: pages past `seq_len` are masked, and the
@@ -25,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +40,8 @@ def _paged_decode_body(
     seq_lens_ref,      # [S] int32 (SMEM)
     # inputs
     q_ref,             # [Nq, D] VMEM — this sequence's query
-    k_page_ref,        # [BS, Nkv, D] VMEM — current page
-    v_page_ref,        # [BS, Nkv, D] VMEM
+    k_page_ref,        # [Nkv, BS, D] VMEM — current page (head-major)
+    v_page_ref,        # [Nkv, BS, D] VMEM
     # scratch
     acc_ref,           # [Nq, D] f32
     m_ref,             # [Nq, 128] f32 running max (lane-replicated)
@@ -49,7 +51,7 @@ def _paged_decode_body(
     num_kv_heads: int,
     head_dim: int,
     num_q_heads: int,
-    k_scale_ref=None,  # [BS, Nkv] f32 — int8-page dequant scales
+    k_scale_ref=None,  # [Nkv, BS] f32 — int8-page dequant scales
     v_scale_ref=None,
 ):
     """Shared online-softmax page accumulation (init + process).
@@ -73,18 +75,18 @@ def _paged_decode_body(
         r = num_q_heads // num_kv_heads
         scale = head_dim ** -0.5
         q = q_ref[:].astype(jnp.float32) * scale  # [Nq, D]
-        k = k_page_ref[:].astype(jnp.float32)  # [BS, Nkv, D]
+        k = k_page_ref[:].astype(jnp.float32)  # [Nkv, BS, D] head-major
         v = v_page_ref[:].astype(jnp.float32)
         if k_scale_ref is not None:
-            k = k * k_scale_ref[:].reshape(block_size, num_kv_heads, 1)
-            v = v * v_scale_ref[:].reshape(block_size, num_kv_heads, 1)
+            k = k * k_scale_ref[:].reshape(num_kv_heads, block_size, 1)
+            v = v * v_scale_ref[:].reshape(num_kv_heads, block_size, 1)
 
-        # GQA scores: head h uses kv group h // r
+        # GQA scores: head h uses kv group h // r; head-major pages put
+        # the batch (head) dim leading on both operands — no transposes
         qg = q.reshape(num_kv_heads, r, head_dim)
-        kg = k.transpose(1, 2, 0)  # [Nkv, D, BS]
         scores = jax.lax.dot_general(
-            qg, kg,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            qg, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [Nkv, r, BS]
         scores = scores.reshape(num_q_heads, block_size)
@@ -103,9 +105,8 @@ def _paged_decode_body(
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
         pg = p.reshape(num_kv_heads, r, block_size)
-        vg = v.transpose(1, 0, 2)  # [Nkv, BS, D]
         pv = jax.lax.dot_general(
-            pg, vg,
+            pg, v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).reshape(num_q_heads, head_dim)
@@ -174,15 +175,15 @@ def _paged_decode_stats_kernel(
 
 def _page_in_specs(nq, d, bs, nkv, quantized: bool):
     """BlockSpecs for [q, k-page(s), v-page(s)]: int8 caches add a
-    [BS, Nkv] f32 scale page after each data page."""
+    [Nkv, BS] f32 scale page after each data page."""
     q_spec = pl.BlockSpec((1, nq, d), lambda i, j, bt, sl: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    page = pl.BlockSpec((1, bs, nkv, d),
+    page = pl.BlockSpec((1, nkv, bs, d),
                         lambda i, j, bt, sl: (bt[i, j], 0, 0, 0),
                         memory_space=pltpu.VMEM)
     if not quantized:
         return [q_spec, page, page]
-    scale = pl.BlockSpec((1, bs, nkv),
+    scale = pl.BlockSpec((1, nkv, bs),
                          lambda i, j, bt, sl: (bt[i, j], 0, 0),
                          memory_space=pltpu.VMEM)
     return [q_spec, page, scale, page, scale]
@@ -191,18 +192,18 @@ def _page_in_specs(nq, d, bs, nkv, quantized: bool):
 def _page_operands(q, k_cache_l, v_cache_l):
     """(operands, quantized, (bs, nkv)) for array or int8-dict caches."""
     if isinstance(k_cache_l, dict):
-        nb, bs, nkv, _ = k_cache_l["q"].shape
-        ops = (q, k_cache_l["q"], k_cache_l["s"].reshape(nb, bs, nkv),
-               v_cache_l["q"], v_cache_l["s"].reshape(nb, bs, nkv))
+        nb, nkv, bs, _ = k_cache_l["q"].shape
+        ops = (q, k_cache_l["q"], k_cache_l["s"].reshape(nb, nkv, bs),
+               v_cache_l["q"], v_cache_l["s"].reshape(nb, nkv, bs))
         return ops, True, (bs, nkv)
-    nb, bs, nkv, _ = k_cache_l.shape
+    nb, nkv, bs, _ = k_cache_l.shape
     return (q, k_cache_l, v_cache_l), False, (bs, nkv)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def paged_attention_pallas(
     q: jax.Array,           # [S, Nq, D]
-    k_cache_l,              # [NB, BS, Nkv, D] or int8 {"q", "s"} pytree
+    k_cache_l,              # [NB, Nkv, BS, D] or int8 {"q", "s"} pytree
     v_cache_l,
     block_tables: jax.Array,  # [S, MB] int32
     seq_lens: jax.Array,      # [S] int32
@@ -258,7 +259,7 @@ def paged_attention_pallas(
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def paged_attention_pallas_stats(
     q: jax.Array,           # [S, Nq, D]
-    k_cache_l,              # [NB, BS, Nkv, D] or int8 {"q", "s"} pytree
+    k_cache_l,              # [NB, Nkv, BS, D] or int8 {"q", "s"} pytree
     v_cache_l,
     block_tables: jax.Array,  # [S, MB] int32
     seq_lens: jax.Array,      # [S] int32
@@ -329,7 +330,7 @@ def _chunked_stats_kernel(
     block_tables_ref,  # [S, MB] int32 (SMEM, scalar-prefetched)
     seq_lens_ref,      # [S] int32 (SMEM)
     q_ref,             # [1, Nq, D] VMEM — this sequence's query
-    k_hbm,             # [NB, BS, Nkv, D] ANY/HBM — whole cache
+    k_hbm,             # [NB, Nkv, BS, D] ANY/HBM — whole cache, head-major
     v_hbm,
     *rest,             # [ks_ref, vs_ref,] acc_out, m_out, l_out
     block_size: int,
@@ -339,6 +340,7 @@ def _chunked_stats_kernel(
     num_q_heads: int,
     quantized: bool = False,
     num_buffers: int = 2,
+    dma_only: bool = False,
 ):
     """One grid step = one sequence. Pages stream HBM→VMEM in chunks of
     `pages_per_chunk` (PP·BS tokens — an MXU-sized score tile) with
@@ -346,14 +348,26 @@ def _chunked_stats_kernel(
     v1 kernel's long-context killer (grid (S, MB) at 16-token pages) —
     is amortized PP× and the copy of chunk c+1 overlaps chunk c's math.
 
+    HEAD-MAJOR pages are load-bearing here: each page lands as dense
+    per-head [BS, D] tiles in a [Nkv, CT, D] chunk buffer, so per-head
+    k/v views are leading-axis indexes (free). The previous token-major
+    buffer [CT, Nkv, D] made k[:, h, :] a sublane-strided relayout copy
+    per head per chunk (~4 ms/step of copy work serialized against the
+    DMAs at 2k windows), while flattening to [CT, Nkv·D] scattered the
+    DMA writes into 256 B runs (dma-floor 13.4 → 22.9 ms/step). Measured
+    on v5e at ctx=1900: 405 → 509 GB/s effective KV streaming, with the
+    chunk math now fully hidden behind the copies.
+
     int8 pages (``quantized``): the data pages ride the same manual DMAs
     at half width; the per-(token, head) dequant scales arrive as
     lane-aligned VMEM inputs ``ks_ref``/``vs_ref`` [1, Nkv, MC·CT] f32
-    (window-gathered + transposed by the caller — Mosaic cannot DMA-slice
-    the cache's 8-lane [BS, Nkv] scale pages directly) and are applied in
-    score/probability space: q·(k·s) = (q·k)·s per token column, and
-    P·(v·s) = (P·s)·v, so the int8 pages never need an in-VMEM dequant
-    pass."""
+    (window-gathered by the caller — Mosaic cannot DMA-slice the cache's
+    8-lane scale pages directly) and are applied in score/probability
+    space: q·(k·s) = (q·k)·s per token column, and P·(v·s) = (P·s)·v, so
+    the int8 pages never need an in-VMEM dequant pass.
+
+    ``dma_only`` (env FUN_ASR_V2_DMA_ONLY) streams pages but skips the
+    math — a profiling aid that exposes the kernel's DMA floor in situ."""
     if quantized:
         ks_ref, vs_ref, acc_out_ref, m_out_ref, l_out_ref = rest
     else:
@@ -373,18 +387,18 @@ def _chunked_stats_kernel(
     )
 
     def body(k_buf, v_buf, acc_ref, m_ref, l_ref, sems):
-        # k_buf/v_buf: [2, PP·BS, Nkv, D] VMEM — pages land at contiguous
-        # token offsets so the chunk needs NO cross-page reshape (a
-        # tiled-layout relayout that blew scoped VMEM); sems: DMA [2,2,PP]
+        # k_buf/v_buf: [NBUF, Nkv, PP·BS, D] VMEM — each head-major page
+        # lands as Nkv dense [BS, D] tiles at contiguous token offsets;
+        # sems: DMA [NBUF, 2, PP]
 
         def _copies(c, slot, p):
             pid = block_tables_ref[s, jnp.minimum(c * pp + p, mb - 1)]
             return [
                 pltpu.make_async_copy(
-                    k_hbm.at[pid], k_buf.at[slot, pl.ds(p * bs, bs)],
+                    k_hbm.at[pid], k_buf.at[slot, :, pl.ds(p * bs, bs)],
                     sems.at[slot, 0, p]),
                 pltpu.make_async_copy(
-                    v_hbm.at[pid], v_buf.at[slot, pl.ds(p * bs, bs)],
+                    v_hbm.at[pid], v_buf.at[slot, :, pl.ds(p * bs, bs)],
                     sems.at[slot, 1, p]),
             ]
 
@@ -426,16 +440,16 @@ def _chunked_stats_kernel(
 
                 wait_chunk(c, slot)
 
+                if dma_only:  # profiling: stream pages, skip the math
+                    return _
+
                 scale = head_dim ** -0.5
                 # keep operands in the page dtype (bf16 MXU-native, f32
                 # accumulation via preferred_element_type). Per-KV-head
-                # static loop: Mosaic's matmul wants batch dims in the
-                # same position, and transposing/reshaping the chunk
-                # across page boundaries blew scoped VMEM. The kernel is
-                # DMA-bound, so the small per-head matmuls don't matter.
+                # static loop in the flash-native q·kᵀ orientation; the
+                # head-major chunk buffer makes every per-head view a
+                # free leading-axis index.
                 q = q_ref[0]                                  # [Nq, D]
-                k = k_buf[slot]                               # [CT, Nkv, D]
-                v = v_buf[slot]
                 if quantized:
                     # scale slice offsets are chunk-aligned; the caller
                     # forces CT % 128 == 0 so dynamic LANE slices of the
@@ -446,7 +460,7 @@ def _chunked_stats_kernel(
                 head_scores = []
                 for h in range(nkv):
                     # [r, D] · [CT, D]^T → [r, CT]
-                    k_h = k[:, h, :]
+                    k_h = k_buf[slot, h]
                     if quantized:
                         # int8 values are exact in f32; the per-token
                         # dequant scale lands on the SCORES instead
@@ -484,11 +498,11 @@ def _chunked_stats_kernel(
                     # dequant rides the probabilities: P·(v·s) = (P·s)·v
                     pg = p_.reshape(nkv, r, chunk_toks)
                 else:
-                    pg = p_.astype(v.dtype).reshape(nkv, r, chunk_toks)
+                    pg = p_.astype(v_buf.dtype).reshape(nkv, r, chunk_toks)
                 head_pv = []
                 for h in range(nkv):
                     # [r, CT] · [CT, D] → [r, D]
-                    p_h, v_h = pg[h], v[:, h, :]
+                    p_h, v_h = pg[h], v_buf[slot, h]
                     if quantized:
                         p_h = p_h * vs_ref[0, h:h + 1,
                                            pl.ds(sc_off, chunk_toks)]
@@ -513,8 +527,8 @@ def _chunked_stats_kernel(
 
     pl.run_scoped(
         body,
-        k_buf=pltpu.VMEM((num_buffers, pp * bs, nkv, d), k_hbm.dtype),
-        v_buf=pltpu.VMEM((num_buffers, pp * bs, nkv, d), v_hbm.dtype),
+        k_buf=pltpu.VMEM((num_buffers, nkv, pp * bs, d), k_hbm.dtype),
+        v_buf=pltpu.VMEM((num_buffers, nkv, pp * bs, d), v_hbm.dtype),
         acc_ref=pltpu.VMEM((nq, d), jnp.float32),
         m_ref=pltpu.VMEM((nq, 128), jnp.float32),
         l_ref=pltpu.VMEM((nq, 128), jnp.float32),
@@ -524,7 +538,7 @@ def _chunked_stats_kernel(
 
 def paged_attention_pallas_stats_v2(
     q: jax.Array,             # [S, Nq, D]
-    k_cache_l: jax.Array,     # [NB, BS, Nkv, D] (bf16/f32 pages)
+    k_cache_l: jax.Array,     # [NB, Nkv, BS, D] (bf16/f32 pages)
     v_cache_l: jax.Array,
     block_tables: jax.Array,  # [S, MB] int32
     seq_lens: jax.Array,      # [S] int32
@@ -540,18 +554,19 @@ def paged_attention_pallas_stats_v2(
     in-kernel double-buffered page streamer.
 
     int8 pages ({"q", "s"} pytrees): the data pages stream through the
-    same half-width manual DMAs; the per-(token, head) scales — whose
-    native [NB, BS, Nkv] page layout Mosaic cannot DMA-slice (8-lane
-    pages vs the 128-lane alignment requirement) — are window-gathered
-    by XLA into a lane-aligned [S, Nkv, MC·CT] input (~3% of the page
-    bytes) and applied to scores/probabilities in-kernel."""
+    same half-width manual DMAs; the per-(token, head) scales are
+    window-gathered by XLA into a lane-aligned [S, Nkv, MC·CT] input
+    (~3% of the page bytes) and applied to scores/probabilities
+    in-kernel. (Head-major scale pages [Nkv, BS] are now themselves
+    lane-aligned, so DMA-ing them alongside the data pages is a possible
+    follow-up that would drop the XLA gather.)"""
     quantized = isinstance(k_cache_l, dict)
     if quantized:
         k_pages, v_pages = k_cache_l["q"], v_cache_l["q"]
-        k_sc, v_sc = k_cache_l["s"], v_cache_l["s"]  # [NB, BS, Nkv, 1]
+        k_sc, v_sc = k_cache_l["s"], v_cache_l["s"]  # [NB, Nkv, BS, 1]
     else:
         k_pages, v_pages = k_cache_l, v_cache_l
-    nb, bs, nkv, _ = k_pages.shape
+    nb, nkv, bs, _ = k_pages.shape
     s, nq, d = q.shape
     mb = block_tables.shape[1]
     # VMEM envelope: double-buffered k+v chunks live in scratch
@@ -579,12 +594,13 @@ def paged_attention_pallas_stats_v2(
         lanes = max_chunks * pp * bs
 
         def _window_scales(sc):
-            # [NB, BS, Nkv, 1] → per-seq window, transposed so each
-            # head's per-token scales are contiguous LANES (the layout
-            # the kernel's score multiply wants), padded to the chunk
-            # grid. Bytes ≈ window/32 (f32 scale per int8·D page row).
+            # [NB, Nkv, BS, 1] → per-seq window with each head's
+            # per-token scales as contiguous LANES (the layout the
+            # kernel's score multiply wants), padded to the chunk grid.
+            # Bytes ≈ window/32 (f32 scale per int8·D page row).
             w = jnp.take(sc[..., 0], block_tables.reshape(-1), axis=0)
-            w = jnp.transpose(w.reshape(s, mb * bs, nkv), (0, 2, 1))
+            w = w.reshape(s, mb, nkv, bs).transpose(0, 2, 1, 3)
+            w = w.reshape(s, nkv, mb * bs)
             if lanes > mb * bs:
                 w = jnp.pad(w, ((0, 0), (0, 0), (0, lanes - mb * bs)))
             return w
@@ -612,6 +628,7 @@ def paged_attention_pallas_stats_v2(
         block_size=bs, pages_per_chunk=pp,
         num_kv_heads=nkv, head_dim=d, num_q_heads=nq,
         quantized=quantized, num_buffers=num_buffers,
+        dma_only=bool(os.environ.get("FUN_ASR_V2_DMA_ONLY")),
     )
     acc, m, l = pl.pallas_call(
         kernel,

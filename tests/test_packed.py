@@ -200,7 +200,7 @@ class TestPrefillPacked:
                 blk = tables[i][t // cc.block_size]
                 o = t % cc.block_size
                 np.testing.assert_allclose(
-                    np.asarray(kc_p)[:, blk, o], np.asarray(kc_ref)[:, blk, o],
+                    np.asarray(kc_p)[:, blk, :, o], np.asarray(kc_ref)[:, blk, :, o],
                     atol=1e-4, rtol=1e-3,
                 )
 

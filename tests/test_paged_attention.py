@@ -13,8 +13,9 @@ from fun_asr_vllm_tpu.ops.paged_attention import paged_attention_pallas
 def _setup(seed=0, s=3, nq=8, nkv=4, d=128, nb=16, bs=8, mb=4):
     rng = np.random.default_rng(seed)
     q = rng.normal(size=(s, nq, d)).astype(np.float32)
-    k_cache = rng.normal(size=(nb, bs, nkv, d)).astype(np.float32)
-    v_cache = rng.normal(size=(nb, bs, nkv, d)).astype(np.float32)
+    # head-major pages [NB, Nkv, BS, D] (engine/kv_cache.py layout)
+    k_cache = rng.normal(size=(nb, nkv, bs, d)).astype(np.float32)
+    v_cache = rng.normal(size=(nb, nkv, bs, d)).astype(np.float32)
     # distinct random block tables (block 0 reserved garbage)
     block_tables = np.zeros((s, mb), dtype=np.int32)
     avail = list(range(1, nb))
@@ -178,8 +179,8 @@ class TestChunkedStatsV2:
         nq, nkv, d = 16, 8, 128
         nb = s * mb + 1
         q = jnp.asarray(rng.normal(size=(s, nq, d)).astype(np.float32))
-        kc = jnp.asarray(rng.normal(size=(nb, bs, nkv, d)).astype(np.float32))
-        vc = jnp.asarray(rng.normal(size=(nb, bs, nkv, d)).astype(np.float32))
+        kc = jnp.asarray(rng.normal(size=(nb, nkv, bs, d)).astype(np.float32))
+        vc = jnp.asarray(rng.normal(size=(nb, nkv, bs, d)).astype(np.float32))
         if quantized:
             kc, vc = _quantize_cache(kc), _quantize_cache(vc)
         bt = np.zeros((s, mb), np.int32)
@@ -232,9 +233,9 @@ class TestChunkedStatsV2:
         nb = s_ * mb + 1
         q = jnp.asarray(rng.normal(size=(s_, nq, d)).astype(np.float32))
         kc = jnp.asarray(
-            rng.normal(size=(nb, bs, nkv, d)).astype(np.float32))
+            rng.normal(size=(nb, nkv, bs, d)).astype(np.float32))
         vc = jnp.asarray(
-            rng.normal(size=(nb, bs, nkv, d)).astype(np.float32))
+            rng.normal(size=(nb, nkv, bs, d)).astype(np.float32))
         bt = jnp.asarray(
             np.arange(s_ * mb).reshape(s_, mb) % (nb - 1) + 1, jnp.int32)
         sl = jnp.asarray([0, 37, 0], jnp.int32)

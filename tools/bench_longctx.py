@@ -52,6 +52,11 @@ def main():
                     help="int8 pages + f32 scales")
     ap.add_argument("--routes", type=str, nargs="+",
                     default=["v2", "xla"], choices=("v2", "xla"))
+    ap.add_argument("--use_pallas", action="store_true",
+                    help="use_pallas=True: route v2 = chunked kernel at "
+                         "ANY window, route xla = v1 page kernel "
+                         "(without it both routes ride the XLA gathers "
+                         "below the v2 window thresholds)")
     ap.add_argument("--chunk_tokens", type=int, nargs="+", default=[0],
                     help="v2 kernel chunk sweep (0 = kernel default); "
                          "patches the kernel default per run")
@@ -110,7 +115,8 @@ def main():
                 def run(p, kc, vc, ti, bt):
                     toks, kc, vc = _burst_core(
                         p, cfg, kc, vc, ti, positions, bt, seq_lens,
-                        active, num_steps=K, chunked_kernel=chunked)
+                        active, num_steps=K, chunked_kernel=chunked,
+                        use_pallas=args.use_pallas)
                     return toks.sum()
 
                 tag = (f" ct={ct:5d} nb={nb_}" if chunked

@@ -58,16 +58,16 @@ def main():
     key = jax.random.PRNGKey(0)
     q = jax.random.normal(key, (s, nq, d), jnp.bfloat16)
     if args.kv_quant:
-        k_cache = {"q": jax.random.randint(key, (nb, bs, nkv, d), -127, 128,
+        k_cache = {"q": jax.random.randint(key, (nb, nkv, bs, d), -127, 128,
                                            jnp.int8),
-                   "s": jnp.full((nb, bs, nkv, 1), 0.01, jnp.float32)}
-        v_cache = {"q": jax.random.randint(key, (nb, bs, nkv, d), -127, 128,
+                   "s": jnp.full((nb, nkv, bs, 1), 0.01, jnp.float32)}
+        v_cache = {"q": jax.random.randint(key, (nb, nkv, bs, d), -127, 128,
                                            jnp.int8),
-                   "s": jnp.full((nb, bs, nkv, 1), 0.01, jnp.float32)}
+                   "s": jnp.full((nb, nkv, bs, 1), 0.01, jnp.float32)}
         kv_bytes = 2 * nb * bs * nkv * d
     else:
-        k_cache = jax.random.normal(key, (nb, bs, nkv, d), jnp.bfloat16)
-        v_cache = jax.random.normal(key, (nb, bs, nkv, d), jnp.bfloat16)
+        k_cache = jax.random.normal(key, (nb, nkv, bs, d), jnp.bfloat16)
+        v_cache = jax.random.normal(key, (nb, nkv, bs, d), jnp.bfloat16)
         kv_bytes = 2 * nb * bs * nkv * d * 2
     block_tables = jnp.asarray(
         (1 + np.arange(s * mb).reshape(s, mb)).astype(np.int32))
