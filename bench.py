@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import threading
 import time
 
 import numpy as np
@@ -229,6 +230,13 @@ def main():
         hyp_count = 0
         tm = run_epoch.timings = {"batchify": 0.0, "upload_wait": 0.0,
                                   "generate": 0.0, "normalize": 0.0}
+        # prep() runs in the 2-worker uploader pool: the += on the shared
+        # float must be serialized or increments are lost
+        tm_lock = threading.Lock()
+
+        def _tm_add(key, dt):
+            with tm_lock:
+                tm[key] += dt
 
         def prep(batch):
             """Host collation for one batch (runs in the uploader pool,
@@ -259,7 +267,7 @@ def main():
                 n_f32 = (frontend.padded_samples(max(len(b) for b in batch))
                          if args.upload == "packed_prefetch" else None)
                 plan = None
-            tm["batchify"] += time.time() - t_b
+            _tm_add("batchify", time.time() - t_b)
             return _force_upload(pcm, n_f32), frames, mean_dur, plan
 
         raw_batches = [utt_list[i: i + args.batch_size]
@@ -292,20 +300,37 @@ def main():
                     plan = plan_frame_pack(fr, 0, bucket=tt)
                     pcm = frontend.batchify_sample_packed(
                         batch, plan.starts, plan.tt)
-                    tm["batchify"] += time.time() - t_b
+                    _tm_add("batchify", time.time() - t_b)
                     return _force_upload(pcm), fr, plan
             else:
                 n_common = max(
                     frontend.padded_samples(max(len(b) for b in batch))
                     for batch in uni_batches)
+                # honor --upload for the wire bytes (finding: this path
+                # used to force full-width f32 — 4x the default's bytes —
+                # which polluted the single-dispatch-vs-per-wave A/B).
+                # packed_prefetch (the default) ships uint32 int16-pairs
+                # and unpacks on device inside the prefetch thread; other
+                # modes fall back to f32 (in-graph unpack is a per-wave-
+                # path feature).
+                pack_wire = args.upload == "packed_prefetch"
+                if n_common % 2:
+                    n_common += 1
 
                 def prep_m(batch, fr):
                     t_b = time.time()
                     pcm, _ = frontend.batchify(batch)
                     pcm = np.pad(pcm,
                                  ((0, 0), (0, n_common - pcm.shape[1])))
-                    tm["batchify"] += time.time() - t_b
-                    return _force_upload(pcm), fr, None
+                    n_unpack = None
+                    if pack_wire:
+                        i16 = np.clip(pcm, -32768, 32767).astype("<i2")
+                        pcm = np.ascontiguousarray(
+                            i16.reshape(i16.shape[0], -1, 2)
+                            .view("<u4")[:, :, 0])
+                        n_unpack = n_common
+                    _tm_add("batchify", time.time() - t_b)
+                    return _force_upload(pcm, n_unpack), fr, None
 
             futs = [uploader.submit(prep_m, b, fr)
                     for b, fr in zip(uni_batches, frames_w)]
@@ -344,8 +369,11 @@ def main():
         # transfers stream while the early waves compute (reference
         # analogue: DataLoader prefetch_factor×workers + async H2D)
         if args.no_prefetch:
+            # lazy baseline: collate+upload each wave IN the loop, right
+            # before its dispatch — the serialized-upload cost the
+            # prefetch path exists to hide (all of it lands in
+            # upload_wait)
             futs = None
-            batches = [prep(b) for b in raw_batches]
         else:
             futs = [uploader.submit(prep, b) for b in raw_batches]
 
@@ -373,7 +401,8 @@ def main():
         inflight = _deque()
         for i in range(len(raw_batches)):
             t_s = time.time()
-            cur, frames, mean_dur, plan = (batches[i] if args.no_prefetch
+            cur, frames, mean_dur, plan = (prep(raw_batches[i])
+                                           if args.no_prefetch
                                            else futs[i].result())
             tm["upload_wait"] += time.time() - t_s
             max_toks = max(4, int(mean_dur * args.tokens_per_audio_sec))

@@ -124,8 +124,10 @@ def _auto_num_blocks(cfg, block_size: int, dtype: str, util: float,
     elem = 4 if dtype == "float32" else 2  # cache element bytes
     per_tok = cfg.num_key_value_heads * cfg.head_dim
     if kv_quant:
+        # int8 q (Nkv*D bytes) + one f32 scale PER (token, head):
+        # s is [L, NB, Nkv, BS, 1] f32 (kv_cache.init_cache).
         per_block_bytes = (cfg.num_hidden_layers * block_size
-                           * (per_tok * 1 + 4))  # int8 q + f32 scale
+                           * (per_tok + cfg.num_key_value_heads * 4))
     else:
         per_block_bytes = cfg.num_hidden_layers * block_size * per_tok * elem
     per_block_bytes *= 2  # k and v
@@ -400,8 +402,12 @@ class LLM:
         # ms/step at ctx 1900, BENCH_NOTES round 3); _burst_core applies
         # the window-size threshold itself. TPU single-chip with
         # kernel-friendly shapes only (the v2 kernel shares v1's
-        # lane-alignment preconditions).
-        self._chunked_burst = mesh is None and _kernel_shapes_ok
+        # lane-alignment preconditions). An explicit use_pallas=False
+        # opt-out disables this route too — it must be possible to run
+        # with no Pallas kernels at all.
+        self._chunked_burst = (
+            mesh is None and _kernel_shapes_ok and self.use_pallas
+        )
 
         self.eos_ids = {config.eos_token_id, config.pad_token_id}
         if tokenizer is not None and getattr(tokenizer, "eos_token_id", None):
@@ -733,6 +739,34 @@ class LLM:
         waiting = deque(reqs)
         return self._run(reqs, waiting, sp, use_tqdm)
 
+    def _new_request(self, prompt_len: int, sp: SamplingParams) -> _Request:
+        """Build a _Request with no slot/blocks yet (slot=-1, blocks=[]).
+
+        The single construction point for every fast path — _admit_direct
+        assigns slot/blocks afterwards; generate_fused_multi keeps the
+        slotless form (its KV pages belong to per-group anchor requests)."""
+        req = _Request.__new__(_Request)
+        req.rid = self._next_rid
+        self._next_rid += 1
+        req.embeds = None
+        req.prompt_len = int(prompt_len)
+        req.max_tokens = min(
+            sp.max_tokens,
+            max(1, self.cache_cfg.max_model_len - req.prompt_len),
+        )
+        req.out_ids = []
+        req.done = False
+        req.t_enqueue = time.perf_counter()
+        req.t_first_token = 0.0
+        # pinned per request: an async wave may finish AFTER a later
+        # generate_fused call overwrote self._cur_sampling
+        req.stop_ids = self.eos_ids | set(sp.stop_token_ids or ())
+        req.sp = None
+        req.n_session_blocks = 0
+        req.slot = -1
+        req.blocks = []
+        return req
+
     def _admit_direct(self, prompt_lens: np.ndarray, sp: SamplingParams,
                       extra: int = 0):
         """Allocate slots/blocks for a wave of known prompt lengths →
@@ -744,24 +778,7 @@ class LLM:
         reqs: List[_Request] = []
         tables = np.zeros((len(prompt_lens), mbps), np.int32)
         for j, plen in enumerate(prompt_lens):
-            req = _Request.__new__(_Request)
-            req.rid = self._next_rid
-            self._next_rid += 1
-            req.embeds = None
-            req.prompt_len = int(plen)
-            req.max_tokens = min(
-                sp.max_tokens,
-                max(1, self.cache_cfg.max_model_len - req.prompt_len),
-            )
-            req.out_ids = []
-            req.done = False
-            req.t_enqueue = time.perf_counter()
-            req.t_first_token = 0.0
-            # pinned per request: an async wave may finish AFTER a later
-            # generate_fused call overwrote self._cur_sampling
-            req.stop_ids = self.eos_ids | set(sp.stop_token_ids or ())
-            req.sp = None
-            req.n_session_blocks = 0
+            req = self._new_request(int(plen), sp)
             slot = self._slots.index(None)
             need = min(-(-(req.prompt_len + 1 + extra) // bs),
                        self.cache_cfg.max_blocks_per_seq)
@@ -1291,38 +1308,17 @@ class LLM:
                     self.stats["steps"] += k_g
                     reqs = []
                     for j in range(bsz):
-                        req = _Request.__new__(_Request)
-                        req.rid = self._next_rid
-                        self._next_rid += 1
-                        req.embeds = None
-                        req.prompt_len = int(plens_w[wi][j])
-                        req.max_tokens = min(
-                            sp_w.max_tokens,
-                            max(1, self.cache_cfg.max_model_len
-                                - req.prompt_len))
-                        req.out_ids = []
-                        req.done = False
+                        req = self._new_request(int(plens_w[wi][j]), sp_w)
                         req.t_enqueue = now
                         req.t_first_token = now
-                        req.stop_ids = (self.eos_ids
-                                        | set(sp_w.stop_token_ids or ()))
-                        req.sp = None
-                        req.n_session_blocks = 0
-                        req.slot = -1
-                        req.blocks = []
                         self.stats["prefill_tokens"] += req.prompt_len
                         for step in range(toks_np.shape[1]):
                             if req.done:
                                 break
-                            tok = int(toks_np[row, step, j])
                             if step > 0:
                                 self.stats["decode_tokens"] += 1
-                            if tok in req.stop_ids:
-                                req.done = True
-                                break
-                            req.out_ids.append(tok)
-                            if len(req.out_ids) >= req.max_tokens:
-                                req.done = True
+                            self._handle_token(
+                                req, int(toks_np[row, step, j]))
                         reqs.append(req)
                     results[wi] = self._collect(reqs, sp_w)
         finally:

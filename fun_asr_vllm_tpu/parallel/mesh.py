@@ -101,8 +101,21 @@ def shard_params(mesh: Mesh, params: Dict, specs: Dict) -> Dict:
             # size-1 dim replicated
             q, scale = params["q4"], params["scale4"]
             wspec = tuple(specs) + (None,) * ((q.ndim - 1) - len(tuple(specs)))
-            qspec = P(*wspec[:-2], wspec[-2], None, wspec[-1])
-            sspec = P(*wspec[:-2], wspec[-2], None, wspec[-1])
+            # the group dim G = in/group_size is much smaller than the
+            # input dim it stands in for — a tp size that divides `in`
+            # need not divide G (e.g. tp=16, in=3072 → G=24). Replicate
+            # the group dim when it doesn't split evenly rather than
+            # failing at device_put.
+            gax = wspec[-2]
+            if gax is not None:
+                names = (gax,) if isinstance(gax, str) else tuple(gax)
+                nshards = 1
+                for nm in names:
+                    nshards *= mesh.shape[nm]
+                if q.shape[-3] % nshards != 0:
+                    gax = None
+            qspec = P(*wspec[:-2], gax, None, wspec[-1])
+            sspec = P(*wspec[:-2], gax, None, wspec[-1])
             return {
                 "q4": jax.device_put(q, NamedSharding(mesh, qspec)),
                 "scale4": jax.device_put(scale, NamedSharding(mesh, sspec)),

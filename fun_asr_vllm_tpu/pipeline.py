@@ -188,6 +188,8 @@ class BatchPipeline:
             return list(self.transcribe_many(batches, upload=upload))
         fe = m.frontend
         bsz = min(max(len(b) for b in batches), llm.max_num_seqs)
+        if bsz == 0:  # every batch empty — transcribe_many contract
+            return [[] for _ in batches]
         # uniform wave size: split big batches, pad the tail of each
         # with short dummy utterances (outputs dropped)
         wave_wavs, owners = [], []  # owners[w] = (batch idx, real count)
@@ -215,10 +217,26 @@ class BatchPipeline:
         else:
             n = max(fe.padded_samples(max(len(w) for w in wavs))
                     for wavs in wave_wavs)
+            # honor upload="packed" (the default): uint32 int16-pairs on
+            # the wire (half the bytes — this path exists for high-RTT
+            # attaches where transfer time is real), unpacked to f32 by
+            # a device op before the fused program
+            pack_wire = upload != "f32"
+            if pack_wire and n % 2:
+                n += 1
+            from .audio.frontend import unpack_pairs_f32
+
             for wavs, fr in zip(wave_wavs, frames_w):
                 batch, _ = fe.batchify(wavs)
                 batch = np.pad(batch, ((0, 0), (0, n - batch.shape[1])))
-                waves.append((jax.device_put(batch), fr, None))
+                if pack_wire:
+                    i16 = np.clip(batch, -32768, 32767).astype("<i2")
+                    pairs = np.ascontiguousarray(
+                        i16.reshape(i16.shape[0], -1, 2).view("<u4")[:, :, 0])
+                    dev = unpack_pairs_f32(jax.device_put(pairs), n)
+                else:
+                    dev = jax.device_put(batch)
+                waves.append((dev, fr, None))
         t0 = time.perf_counter()
         res = llm.generate_fused_multi(
             waves, m.encoder_params, m.encoder_cfg,

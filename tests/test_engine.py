@@ -1541,3 +1541,56 @@ class TestAutoBlockSize:
         t16 = llm16.generate([{"prompt_embeds": e}], sp)[0].outputs[0].token_ids
         t64 = llm64.generate([{"prompt_embeds": e}], sp)[0].outputs[0].token_ids
         assert t16 == t64 == ref_decode(params, cfg, e, 8)
+
+
+class TestReviewRegressions:
+    """Round-3 review findings (engine): int8-KV pool accounting and the
+    explicit Pallas opt-out reaching the chunked long-context route."""
+
+    def test_auto_pool_counts_per_head_scales(self, setup, monkeypatch):
+        """int8 KV pages carry one f32 scale PER (token, head) — the
+        auto-sizer must charge Nkv*4 bytes, not 4 (undercounting
+        oversubscribes gpu_memory_utilization by ~3% at Nkv=8)."""
+        import fun_asr_vllm_tpu.engine.engine as eng
+
+        params, cfg = setup
+
+        class FakeDev:
+            def memory_stats(self):
+                return {"bytes_limit": 680 * 2**20,
+                        "bytes_in_use": 16 * 2**20}
+
+        monkeypatch.setattr(eng.jax, "local_devices", lambda: [FakeDev()])
+        llm = make_llm(params, cfg, max_num_seqs=2, max_model_len=64,
+                       gpu_memory_utilization=0.8, kv_cache_dtype="int8")
+        per_tok = cfg.num_key_value_heads * cfg.head_dim
+        per_block = (cfg.num_hidden_layers * 4
+                     * (per_tok + cfg.num_key_value_heads * 4) * 2)
+        want = (int(680 * 2**20 * 0.8) - 16 * 2**20 - 512 * 2**20) \
+            // per_block
+        assert llm.cache_cfg.num_blocks == want
+
+    def test_use_pallas_false_disables_chunked_burst(self, monkeypatch):
+        """LLM(use_pallas=False) must run with NO Pallas kernels at all:
+        the chunked long-context burst route (v2 kernel) honors the
+        opt-out even on TPU with kernel-friendly shapes."""
+        import fun_asr_vllm_tpu.engine.engine as eng
+
+        class FakeTpu:
+            platform = "tpu"
+            device_kind = "TPU v5"
+
+            def memory_stats(self):
+                return None
+
+        monkeypatch.setattr(eng.jax, "devices", lambda *a: [FakeTpu()])
+        cfg = Qwen3Config(dtype=jnp.float32, **{
+            **TINY, "num_attention_heads": 8, "num_key_value_heads": 2,
+            "head_dim": 128,
+        })
+        params = init_params(cfg, jax.random.PRNGKey(5))
+        auto = make_llm(params, cfg)  # make_llm pins use_pallas=False
+        assert auto._chunked_burst is False
+        on = LLM(params=params, config=cfg, dtype="float32",
+                 max_num_seqs=2, max_model_len=64, block_size=4)
+        assert on._chunked_burst is True

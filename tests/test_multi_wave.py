@@ -184,3 +184,43 @@ class TestTranscribeAll:
         ref = list(pipe.transcribe_many([list(b) for b in batches]))
         got = pipe.transcribe_all([list(b) for b in batches])
         assert got == ref
+
+    def test_empty_batches(self, tmp_path):
+        """All-empty input follows the transcribe_many contract instead
+        of crashing on range(0, 0, 0) (review finding)."""
+        from fun_asr_vllm_tpu.models.nano import make_test_model_dir
+        from fun_asr_vllm_tpu.pipeline import BatchPipeline
+
+        md = make_test_model_dir(str(tmp_path))
+        pipe = BatchPipeline(md, dtype="float32", enable_engine=True,
+                             max_num_seqs=2, max_tokens=4,
+                             max_model_len=256)
+        assert pipe.transcribe_all([[], []]) == [[], []]
+
+    def test_f32_upload_matches_packed_wire(self, tmp_path):
+        """The PADDED multi path ships uint32 int16-pairs by default
+        (half the wire bytes); upload="f32" must produce identical
+        texts — the packing is lossless for int16-range PCM. The
+        sample_packed route is forced off so the padded branch (where
+        the wire format lives) is the one under test."""
+        import dataclasses
+
+        from fun_asr_vllm_tpu.models.nano import make_test_model_dir
+        from fun_asr_vllm_tpu.pipeline import BatchPipeline
+
+        md = make_test_model_dir(str(tmp_path))
+        rng = np.random.default_rng(7)
+        batches = [
+            [(rng.normal(size=int(rng.integers(3200, 9600)))
+              .astype(np.float32) * 3000).round() for _ in range(n)]
+            for n in (2, 1)
+        ]
+        pipe = BatchPipeline(md, dtype="float32", enable_engine=True,
+                             max_num_seqs=2, max_tokens=6,
+                             max_model_len=512)
+        pipe.model.adaptor_cfg = dataclasses.replace(
+            pipe.model.adaptor_cfg, use_low_frame_rate=False)
+        packed = pipe.transcribe_all([list(b) for b in batches])
+        f32 = pipe.transcribe_all([list(b) for b in batches],
+                                  upload="f32")
+        assert packed == f32

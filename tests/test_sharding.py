@@ -195,3 +195,31 @@ class TestMeshEngine:
         got = [o.outputs[0].token_ids for o in llm1.generate(
             [{"prompt_embeds": e} for e in embeds], sp)]
         assert got == want
+
+
+class TestInt4GroupDimSharding:
+    def test_indivisible_group_dim_replicates(self):
+        """A tp size that divides the input dim but not G = in/group_size
+        must replicate the int4 group dim instead of failing device_put
+        (review finding: tp=4 with G=6 raised at engine init)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import PartitionSpec as P
+
+        from fun_asr_vllm_tpu.models.qwen3 import quantize_int4
+        from fun_asr_vllm_tpu.parallel.mesh import make_mesh, shard_params
+
+        mesh = make_mesh(dp=2, tp=4)
+        w = jnp.asarray(
+            np.random.default_rng(0).normal(size=(768, 16)), jnp.float32)
+        leaf = quantize_int4(w, group_size=128)  # G = 6, not % 4
+        out = shard_params(mesh, leaf, P("tp", None))
+        # replicated group dim: every device holds all 6 groups
+        assert out["q4"].sharding.spec == P(None, None, None)
+        # divisible case keeps the tp axis on the group dim
+        w2 = jnp.asarray(
+            np.random.default_rng(1).normal(size=(1024, 16)), jnp.float32)
+        leaf2 = quantize_int4(w2, group_size=128)  # G = 8, % 4 ok
+        out2 = shard_params(mesh, leaf2, P("tp", None))
+        assert out2["q4"].sharding.spec == P("tp", None, None)

@@ -57,6 +57,10 @@ async def drive_stream(port: int, wav: np.ndarray, chunk_ms: float,
     hs = Handshake(mode="2pass", wav_name=name, itn=False)
     partial_lat, final_lat = [], None
     last_sent = time.perf_counter()
+    # assigned again right before {"is_speaking": false}; initialized here
+    # so an EARLY is_final (admission reject, server error path) measures
+    # from the last chunk instead of raising NameError in receiver()
+    t_final_sent = last_sent
     async with websockets.connect(f"ws://127.0.0.1:{port}",
                                   subprotocols=["binary"],
                                   max_size=None) as ws:
