@@ -48,7 +48,20 @@ def main():
                     help="total synthetic audio seconds")
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--max_num_seqs", type=int, default=16)
-    ap.add_argument("--tokens_per_audio_sec", type=float, default=2.0)
+    ap.add_argument("--tokens_per_audio_sec", type=float, default=3.0,
+                    help="decode length per audio second for the headline "
+                         "number. Mandarin speech runs ~3-5 chars/s and "
+                         "Qwen3 tokenizes zh at ~1 token/char, so 3.0 is "
+                         "the conservative-realistic transcript rate; the "
+                         "JSON also reports a {2,3,4} sensitivity sweep "
+                         "(decode-time share scales with this knob)")
+    ap.add_argument("--sweep", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="after the headline epochs, re-measure at "
+                         "tokens_per_audio_sec 2/4 and in manifest "
+                         "(unsorted) order, and emit every row in the "
+                         "output JSON (--no-sweep skips; --quick implies "
+                         "--no-sweep)")
     ap.add_argument("--quick", action="store_true",
                     help="tiny model + 30 s audio (smoke)")
     ap.add_argument("--dtype", type=str, default="bfloat16")
@@ -183,9 +196,9 @@ def main():
 
     # 4 s length buckets bound the number of compiled encoder shapes
     frontend = WavFrontend(dither=0.0, bucket_seconds=4.0)
-    utts = synth_utterances(args.seconds)
-    if args.sort_by_duration:
-        utts = sorted(utts, key=len)
+    utts_manifest = synth_utterances(args.seconds)
+    utts_sorted = sorted(utts_manifest, key=len)
+    utts = utts_sorted if args.sort_by_duration else utts_manifest
     audio_seconds = sum(len(u) for u in utts) / 16000.0
     print(f"# {len(utts)} utts, {audio_seconds:.1f} s audio", file=sys.stderr)
 
@@ -221,7 +234,16 @@ def main():
         dev.block_until_ready()
         return dev
 
-    def run_epoch(utt_list):
+    def ids_to_pseudo_zh(token_ids):
+        """Random weights emit arbitrary token ids; the reference
+        normalizes REAL zh hypotheses inside the timed loop
+        (infer.py:493-496). Mapping each id onto a han codepoint makes
+        the timed `normalize_text` pay the real ZhNormalizer rule cost
+        on a transcript-length zh string — digit-string stand-ins
+        short-circuit the zh rule chain."""
+        return "".join(chr(0x4E00 + (int(t) % 6000)) for t in token_ids)
+
+    def run_epoch(utt_list, tok_rate):
         """The reference hot loop (infer.py:441-501): per batch — feature
         prep, encode+prefill (one fused dispatch), decode, normalize. The
         NEXT batch's waveform upload is forced in a background thread
@@ -314,20 +336,19 @@ def main():
                 # modes fall back to f32 (in-graph unpack is a per-wave-
                 # path feature).
                 pack_wire = args.upload == "packed_prefetch"
-                if n_common % 2:
-                    n_common += 1
 
                 def prep_m(batch, fr):
+                    from fun_asr_vllm_tpu.audio.frontend import pack_pairs
+
                     t_b = time.time()
                     pcm, _ = frontend.batchify(batch)
                     pcm = np.pad(pcm,
                                  ((0, 0), (0, n_common - pcm.shape[1])))
                     n_unpack = None
                     if pack_wire:
-                        i16 = np.clip(pcm, -32768, 32767).astype("<i2")
-                        pcm = np.ascontiguousarray(
-                            i16.reshape(i16.shape[0], -1, 2)
-                            .view("<u4")[:, :, 0])
+                        # pack_pairs zero-pads an odd width on the wire;
+                        # the device unpack slices back to n_common
+                        pcm = pack_pairs(pcm)
                         n_unpack = n_common
                     _tm_add("batchify", time.time() - t_b)
                     return _force_upload(pcm, n_unpack), fr, None
@@ -342,7 +363,7 @@ def main():
                     top_p=0.001,
                     max_tokens=max(4, int(
                         np.mean([len(b) for b in batch]) / 16000.0
-                        * args.tokens_per_audio_sec)))
+                        * tok_rate)))
                 for batch in raw_batches
             ]
             t_s = time.time()
@@ -357,7 +378,7 @@ def main():
             for outs, batch in zip(results, raw_batches):
                 for o in outs[: len(batch)]:
                     _ = normalize_text(
-                        " ".join(str(t) for t in o.outputs[0].token_ids),
+                        ids_to_pseudo_zh(o.outputs[0].token_ids),
                         language="zh",
                     )
                     hyp_count += 1
@@ -385,9 +406,9 @@ def main():
             t_c = time.time()
             for o in outs:
                 # reference normalizes every hyp inside the timed loop
-                # (infer.py:493-496); token ids → pseudo-text stand-in
+                # (infer.py:493-496); han-mapped ids pay the real zh cost
                 _ = normalize_text(
-                    " ".join(str(t) for t in o.outputs[0].token_ids),
+                    ids_to_pseudo_zh(o.outputs[0].token_ids),
                     language="zh",
                 )
                 hyp_count += 1
@@ -405,7 +426,7 @@ def main():
                                            if args.no_prefetch
                                            else futs[i].result())
             tm["upload_wait"] += time.time() - t_s
-            max_toks = max(4, int(mean_dur * args.tokens_per_audio_sec))
+            max_toks = max(4, int(mean_dur * tok_rate))
             sp = SamplingParams(top_p=0.001, max_tokens=max_toks)
             t_s = time.time()
             handle = llm.generate_fused(
@@ -421,43 +442,68 @@ def main():
             consume(inflight.popleft())
         return hyp_count
 
-    # warmup: run the exact timed workload twice — the first pass
-    # compiles every (batch, bucket, burst) shape, the second flushes
-    # post-compile overheads (persistent-cache writes, allocator churn)
-    # that otherwise leak into the timed epoch on a cold cache
-    run_epoch(utts)
-    run_epoch(utts)
-    print("# warmed", file=sys.stderr)
+    def measure(utt_list, tok_rate, epochs, warmups, tag, profile=False):
+        """Warm the compiled shapes for this (order, tok_rate) config,
+        then return the best-of-N epoch wall time (steady-state
+        throughput — the shared relay adds multi-hundred-ms noise)."""
+        for _ in range(warmups):
+            run_epoch(utt_list, tok_rate)
+        best_dt = None
+        for ep in range(max(1, epochs)):
+            llm.reset_stats()
+            if profile and ep == 0:
+                jax.profiler.start_trace(args.profile_dir)
+            t0 = time.time()
+            n = run_epoch(utt_list, tok_rate)
+            dt_ep = time.time() - t0
+            if profile and ep == 0:
+                jax.profiler.stop_trace()
+            print(
+                f"# [{tag}] epoch {ep}: decode {n} utts in {dt_ep:.2f}s, "
+                f"engine stats {llm.stats}",
+                file=sys.stderr,
+            )
+            print(f"# [{tag}] epoch {ep} timings "
+                  f"{ {k: round(v, 3) for k, v in run_epoch.timings.items()} }",
+                  file=sys.stderr)
+            if best_dt is None or dt_ep < best_dt:
+                best_dt = dt_ep
+        return best_dt
 
-    best = None
-    for ep in range(max(1, args.epochs)):
-        llm.reset_stats()
-        if args.profile_dir and ep == 0:
-            jax.profiler.start_trace(args.profile_dir)
-        t0 = time.time()
-        n = run_epoch(utts)
-        dt = time.time() - t0
-        if args.profile_dir and ep == 0:
-            jax.profiler.stop_trace()
-        print(
-            f"# epoch {ep}: decode {n} utts in {dt:.2f}s, "
-            f"engine stats {llm.stats}",
-            file=sys.stderr,
-        )
-        print(f"# epoch {ep} timings "
-              f"{ {k: round(v, 3) for k, v in run_epoch.timings.items()} }",
-              file=sys.stderr)
-        if best is None or dt < best:
-            best = dt
-    dt = best
+    def to_rtfx(dt_secs):
+        return round(audio_seconds / dt_secs, 2) if dt_secs > 0 else 0.0
 
-    rtf = dt / audio_seconds
-    rtfx = 1.0 / rtf if rtf > 0 else 0.0
+    tok = args.tokens_per_audio_sec
+    dt = measure(utts, tok, args.epochs, warmups=2,
+                 tag=f"headline tok={tok:g} "
+                     f"sorted={args.sort_by_duration}",
+                 profile=bool(args.profile_dir))
+    rtfx = to_rtfx(dt)
+
+    # sensitivity sweep: decode length {2,3,4} tok/s (sorted) + manifest
+    # order at the headline rate — every row rides in the JSON so the
+    # headline's favorable-config choices are visible next to it
+    sweep = [{"tokens_per_audio_sec": tok,
+              "sort_by_duration": args.sort_by_duration, "rtfx": rtfx,
+              "headline": True}]
+    if args.sweep and not args.quick:
+        for s_tok, s_sorted in ((2.0, True), (3.0, True), (4.0, True),
+                                (tok, False)):
+            if s_tok == tok and s_sorted == args.sort_by_duration:
+                continue
+            s_utts = utts_sorted if s_sorted else utts_manifest
+            s_dt = measure(s_utts, s_tok, epochs=2, warmups=1,
+                           tag=f"sweep tok={s_tok:g} sorted={s_sorted}")
+            sweep.append({"tokens_per_audio_sec": s_tok,
+                          "sort_by_duration": s_sorted,
+                          "rtfx": to_rtfx(s_dt)})
+
     print(json.dumps({
         "metric": "RTFx_batch16_speechio_protocol",
-        "value": round(rtfx, 2),
+        "value": rtfx,
         "unit": "x_realtime",
         "vs_baseline": round(rtfx / 136.9, 3),
+        "sweep": sweep,
     }))
 
 

@@ -218,11 +218,7 @@ class WavFrontend:
         transport; uint32 rides the fast path). The fused program unpacks
         in-graph with two shifts."""
         batch, frame_counts = self.batchify(wavs)
-        i16 = np.clip(batch, -32768, 32767).astype("<i2")
-        if i16.shape[1] % 2:
-            i16 = np.pad(i16, ((0, 0), (0, 1)))
-        packed = i16.reshape(i16.shape[0], -1, 2).view("<u4")[:, :, 0]
-        return np.ascontiguousarray(packed), frame_counts
+        return pack_pairs(batch), frame_counts
 
     def batchify_sample_packed(
         self, wavs: Sequence[np.ndarray], frame_starts: Sequence[int],
@@ -244,9 +240,7 @@ class WavFrontend:
             n = min(len(w), ns - o)
             buf[o : o + n] = np.asarray(w, np.float32).reshape(-1)[:n]
         buf *= _INT16_SCALE
-        i16 = np.clip(buf, -32768, 32767).astype("<i2")
-        packed = i16.reshape(1, -1, 2).view("<u4")[:, :, 0]
-        return np.ascontiguousarray(packed)
+        return pack_pairs(buf[None])
 
     def extract(
         self, wavs: Sequence[np.ndarray]
@@ -298,6 +292,21 @@ def _fbank_np_int16(wav_int16_scale, fs, n_mels, frame_length_ms, frame_shift_ms
         window_type=window,
         dither=dither,
     )
+
+
+def pack_pairs(batch: np.ndarray) -> np.ndarray:
+    """Host-side half of the packed wire format: int16-scale float32
+    [B, N] → uint32 [B, ceil(N/2)] bit-packed int16 pairs. Odd N is
+    zero-padded by one sample ON THE WIRE only — callers keep their
+    frame-bucket-aligned N and slice after `unpack_pairs`. The single
+    packing definition shared by `batchify_packed`,
+    `batchify_sample_packed`, the pipeline multi-wave path and bench.py;
+    it pairs with `unpack_pairs` below."""
+    i16 = np.clip(batch, -32768, 32767).astype("<i2")
+    if i16.shape[-1] % 2:
+        i16 = np.pad(i16, ((0, 0), (0, 1)))
+    packed = i16.reshape(i16.shape[0], -1, 2).view("<u4")[:, :, 0]
+    return np.ascontiguousarray(packed)
 
 
 def unpack_pairs(packed: jax.Array) -> jax.Array:

@@ -676,6 +676,7 @@ class LLM:
             jnp.asarray(self._last_tokens), jnp.asarray(self._positions),
             jnp.asarray(self._block_tables), jnp.asarray(self._seq_lens),
             jnp.asarray(self._active), use_pallas=self.use_pallas,
+            mesh=self.mesh,
         )
         tokens = self._sample(logits)
         self.stats["steps"] += 1
@@ -1152,6 +1153,15 @@ class LLM:
         if self.mesh is not None or not self.packed_prefill:
             raise ValueError("generate_fused_multi needs packed_prefill "
                              "on a single chip")
+        if not ad_cfg.use_low_frame_rate:
+            # the packed frame layout hard-codes the 8x-downsample token
+            # placement (packed.plan_frame_pack tok_starts = start//8);
+            # callers must take the per-wave generate_fused path, whose
+            # packed gate falls back to the padded program
+            raise ValueError(
+                "generate_fused_multi requires an use_low_frame_rate "
+                "adaptor — use generate_fused per wave for this config"
+            )
         sp = sps[0]
         self._cur_sampling = sp
         self._all_greedy = True

@@ -183,11 +183,18 @@ def _decode_core(
     seq_lens: jax.Array,       # [S] kv length incl. new token
     active: jax.Array,         # [S] bool
     use_pallas: bool = False,
+    mesh=None,
+    pallas_interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One decode step for all slots → (logits [S, V] f32, k_cache, v_cache).
 
     Inactive slots compute garbage and write to block 0 (their block_tables
     rows must point at 0); callers ignore their logits.
+
+    With `mesh`, the Pallas route runs TP-sharded: each device's kernel
+    reads its local KV-head slice of the head-major page cache
+    (paged_attention_pallas_tp); the XLA route relies on GSPMD
+    propagation from the sharded cache instead.
     """
     s = token_ids.shape[0]
     bs = cache_block_size(k_cache)
@@ -205,8 +212,16 @@ def _decode_core(
     )
     write_offsets = positions % bs
 
-    if use_pallas:
-        from ..ops.paged_attention import paged_attention_pallas as attn_impl
+    if use_pallas and mesh is not None:
+        from ..ops.paged_attention import paged_attention_pallas_tp
+
+        attn_impl = partial(paged_attention_pallas_tp, mesh=mesh,
+                            interpret=pallas_interpret)
+    elif use_pallas:
+        from ..ops.paged_attention import paged_attention_pallas
+
+        attn_impl = partial(paged_attention_pallas,
+                            interpret=pallas_interpret)
     else:
         # thread cfg.dtype so a float32-configured int8 cache dequantizes
         # to f32, not a silently-rounded bf16 (ADVICE r2)
@@ -248,7 +263,7 @@ def _decode_core(
 
 decode_step = partial(
     jax.jit,
-    static_argnames=("cfg", "use_pallas"),
+    static_argnames=("cfg", "use_pallas", "mesh", "pallas_interpret"),
     donate_argnames=("k_cache", "v_cache"),
 )(_decode_core)
 

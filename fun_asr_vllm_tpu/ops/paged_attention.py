@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
 
 
 def _paged_decode_body(
@@ -641,3 +642,42 @@ def paged_attention_pallas_stats_v2(
         interpret=interpret,
     )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32), *operands)
     return acc, m[:, :, :1], l[:, :, :1]
+
+
+def paged_attention_pallas_tp(
+    q: jax.Array,             # [S, Nq, D] (q heads sharded over `axis`)
+    k_cache_l,                # [NB, Nkv, BS, D] or int8 {"q","s"} pytree
+    v_cache_l,                #   (kv heads = dim 1 sharded over `axis`)
+    block_tables: jax.Array,  # [S, MB] int32 (replicated)
+    seq_lens: jax.Array,      # [S] int32 (replicated)
+    *,
+    mesh,
+    axis: str = "tp",
+    interpret: bool = False,
+) -> jax.Array:
+    """Tensor-parallel paged decode attention: shard_map over the mesh
+    `axis` so every device runs the Pallas kernel on its LOCAL slice of
+    the head-major page cache and the matching q-head slice — no
+    collectives (attention is embarrassingly parallel over KV heads;
+    the Megatron wo-projection's psum happens outside, inserted by
+    GSPMD). GQA grouping stays shard-local because the engine requires
+    num_key_value_heads % tp == 0 (engine.py mesh gate) and q-head
+    group g occupies the contiguous block [g*r, (g+1)*r), so contiguous
+    per-device head chunks never split a group. Page tables are global
+    (replicated): every shard addresses the same block ids, each into
+    its own head slice — the vLLM TP layout, re-owned for TPU."""
+    heads = P(None, axis, None)
+    pages = P(None, axis, None, None)
+    kv_spec = ({"q": pages, "s": pages}
+               if isinstance(k_cache_l, dict) else pages)
+
+    def local(q_, kl_, vl_, bt_, sl_):
+        return paged_attention_pallas(q_, kl_, vl_, bt_, sl_,
+                                      interpret=interpret)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(heads, kv_spec, kv_spec, P(None, None), P(None)),
+        out_specs=heads,
+        check_vma=False,
+    )(q, k_cache_l, v_cache_l, block_tables, seq_lens)

@@ -2,11 +2,15 @@
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+_warned_int4_replicate = False
 
 
 def make_mesh(
@@ -113,6 +117,17 @@ def shard_params(mesh: Mesh, params: Dict, specs: Dict) -> Dict:
                 for nm in names:
                     nshards *= mesh.shape[nm]
                 if q.shape[-3] % nshards != 0:
+                    global _warned_int4_replicate
+                    if not _warned_int4_replicate:
+                        _warned_int4_replicate = True
+                        logger.warning(
+                            "int4 group dim G=%d is not divisible by the "
+                            "tp shard count %d — q4/scale4 are REPLICATED "
+                            "on every device for this layer shape, losing "
+                            "the weight-sharding memory benefit; use a "
+                            "group_size whose G divides the tp size",
+                            q.shape[-3], nshards,
+                        )
                     gax = None
             qspec = P(*wspec[:-2], gax, None, wspec[-1])
             sspec = P(*wspec[:-2], gax, None, wspec[-1])

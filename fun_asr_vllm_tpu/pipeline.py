@@ -19,6 +19,17 @@ from .models.nano import FunASRNano
 
 logger = logging.getLogger(__name__)
 
+_UPLOAD_MODES = ("packed", "f32")
+
+
+def _check_upload_mode(upload: str) -> None:
+    """One predicate for every entry point so the wire-format convention
+    can't drift between paths (packed = uint32 int16-pairs, f32 = raw)."""
+    if upload not in _UPLOAD_MODES:
+        raise ValueError(
+            f"upload must be one of {_UPLOAD_MODES}, got {upload!r}"
+        )
+
 
 class BatchPipeline:
     def __init__(
@@ -91,6 +102,7 @@ class BatchPipeline:
         import jax
         from .audio.frontend import unpack_pairs_f32
 
+        _check_upload_mode(upload)
         m = self.model
         fe = m.frontend
         llm = m.vllm
@@ -178,12 +190,20 @@ class BatchPipeline:
         mesh, non-greedy). Returns one list of texts per input batch."""
         import jax
 
+        _check_upload_mode(upload)
         m = self.model
         llm = m.vllm
         sp = m.vllm_sampling_params or self.sampling
         batches = [list(b) for b in batches]
+        # the multi-wave program is the PACKED fused program end to end;
+        # its frame layout hard-codes the 8x-downsample adaptor
+        # (use_low_frame_rate), so any other adaptor config takes the
+        # per-wave path where generate_fused's packed gate falls back to
+        # the padded program (reference model.py:112-124 contract: the
+        # engine must accept whatever adaptor the model dir declares)
         if (llm is None or not getattr(llm, "packed_prefill", False)
                 or llm.mesh is not None or not sp.is_greedy
+                or not m.adaptor_cfg.use_low_frame_rate
                 or not batches):
             return list(self.transcribe_many(batches, upload=upload))
         fe = m.frontend
@@ -221,19 +241,17 @@ class BatchPipeline:
             # the wire (half the bytes — this path exists for high-RTT
             # attaches where transfer time is real), unpacked to f32 by
             # a device op before the fused program
-            pack_wire = upload != "f32"
-            if pack_wire and n % 2:
-                n += 1
-            from .audio.frontend import unpack_pairs_f32
+            pack_wire = upload == "packed"
+            from .audio.frontend import pack_pairs, unpack_pairs_f32
 
             for wavs, fr in zip(wave_wavs, frames_w):
                 batch, _ = fe.batchify(wavs)
                 batch = np.pad(batch, ((0, 0), (0, n - batch.shape[1])))
                 if pack_wire:
-                    i16 = np.clip(batch, -32768, 32767).astype("<i2")
-                    pairs = np.ascontiguousarray(
-                        i16.reshape(i16.shape[0], -1, 2).view("<u4")[:, :, 0])
-                    dev = unpack_pairs_f32(jax.device_put(pairs), n)
+                    # pack_pairs zero-pads an odd n on the wire only; the
+                    # unpack slices back to the frame-bucket-aligned n
+                    dev = unpack_pairs_f32(
+                        jax.device_put(pack_pairs(batch)), n)
                 else:
                     dev = jax.device_put(batch)
                 waves.append((dev, fr, None))

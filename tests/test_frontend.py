@@ -169,3 +169,72 @@ class TestFrontendJax:
         fe = WavFrontend()
         # attributes read by the model core (reference model.py:363, 384-385)
         assert fe.fs == 16000 and fe.frame_shift == 10 and fe.lfr_n == 1
+
+
+class TestTorchFbankCrossCheck:
+    """The fbank was previously validated only against its own numpy
+    re-derivation (fbank_ref.py) — a self-referential loop. This
+    cross-checks both the numpy golden AND the jitted JAX frontend
+    against an INDEPENDENT pure-torch derivation of the
+    torchaudio.compliance.kaldi fbank (tools/torch_funasr_refs.py
+    fbank_torch), the exact surface funasr's WavFrontend wraps
+    (reference model.py:372-377)."""
+
+    @pytest.mark.parametrize("window", ["hamming", "povey", "hanning"])
+    def test_fbank_numpy_matches_torch(self, window):
+        import torch
+        from torch_funasr_refs import fbank_torch
+
+        rng = np.random.default_rng(5)
+        wav = (rng.integers(-20000, 20000, size=16000 + 37)
+               .astype(np.float32))  # already int16 scale
+        ref = fbank_torch(torch.from_numpy(wav),
+                          window_type=window).numpy()
+        got = fbank_numpy(wav, window_type=window, dither=0.0)
+        assert got.shape == ref.shape
+        # 2e-4 in the log-mel domain: float32 accumulation-order noise
+        # between torch matmul and numpy matmul
+        assert np.max(np.abs(got - ref)) < 2e-4
+
+    def test_frontend_extract_matches_torch(self):
+        """End-to-end WavFrontend.extract (jitted fbank, [-1,1] input,
+        x32768 scaling) against the torch derivation, multiple lengths
+        in one padded batch."""
+        import torch
+        from torch_funasr_refs import fbank_torch
+
+        rng = np.random.default_rng(9)
+        wavs = [
+            (rng.integers(-20000, 20000, size=n).astype(np.float32)
+             / 32768.0)
+            for n in (7 * 160 + 400, 16000, 16000 + 81)
+        ]
+        fe = WavFrontend(dither=0.0)
+        feats, lens = fe.extract(wavs)
+        feats, lens = np.asarray(feats), np.asarray(lens)
+        for i, w in enumerate(wavs):
+            ref = fbank_torch(torch.from_numpy(w * 32768.0)).numpy()
+            assert int(lens[i]) == ref.shape[0]
+            assert np.max(np.abs(feats[i, : ref.shape[0]] - ref)) < 1e-3
+
+    def test_frontend_lfr_cmvn_vs_torch_composition(self):
+        """LFR + CMVN on top of the torch fbank (composed with the
+        numpy apply_lfr/cmvn contract) matches extract() with the real
+        Fun-ASR frontend config lfr_m=7, lfr_n=6."""
+        import torch
+        from torch_funasr_refs import fbank_torch
+        from fun_asr_vllm_tpu.audio.fbank_ref import apply_cmvn
+
+        rng = np.random.default_rng(11)
+        wav = (rng.integers(-20000, 20000, size=16000).astype(np.float32)
+               / 32768.0)
+        cmvn_add = rng.normal(size=560).astype(np.float32)
+        cmvn_scale = (1.0 + 0.1 * rng.normal(size=560)).astype(np.float32)
+        fe = WavFrontend(dither=0.0, lfr_m=7, lfr_n=6)
+        fe.cmvn = (cmvn_add, cmvn_scale)
+        feats, lens = fe.extract([wav])
+        feats = np.asarray(feats)[0, : int(np.asarray(lens)[0])]
+        ref = fbank_torch(torch.from_numpy(wav * 32768.0)).numpy()
+        ref = apply_cmvn(apply_lfr(ref, 7, 6), cmvn_add, cmvn_scale)
+        assert feats.shape == ref.shape
+        assert np.max(np.abs(feats - ref)) < 1e-3

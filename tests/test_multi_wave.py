@@ -210,9 +210,13 @@ class TestTranscribeAll:
 
         md = make_test_model_dir(str(tmp_path))
         rng = np.random.default_rng(7)
+        # int16-representable PCM in [-1, 1): after batchify's x32768
+        # scaling each sample is an exact int16, so the packed wire's
+        # int16 quantization is a no-op and the formats must agree
         batches = [
-            [(rng.normal(size=int(rng.integers(3200, 9600)))
-              .astype(np.float32) * 3000).round() for _ in range(n)]
+            [(rng.integers(-12000, 12000,
+                           size=int(rng.integers(3200, 9600)))
+              .astype(np.float32) / 32768.0) for _ in range(n)]
             for n in (2, 1)
         ]
         pipe = BatchPipeline(md, dtype="float32", enable_engine=True,
@@ -224,3 +228,69 @@ class TestTranscribeAll:
         f32 = pipe.transcribe_all([list(b) for b in batches],
                                   upload="f32")
         assert packed == f32
+
+    def test_rejects_unknown_upload_mode(self, tmp_path):
+        """upload is validated against one explicit set in BOTH entry
+        points — a typo'd mode must not silently pick a wire format
+        (review finding: the two paths used opposite conventions)."""
+        from fun_asr_vllm_tpu.models.nano import make_test_model_dir
+        from fun_asr_vllm_tpu.pipeline import BatchPipeline
+
+        md = make_test_model_dir(str(tmp_path))
+        pipe = BatchPipeline(md, dtype="float32", enable_engine=True,
+                             max_num_seqs=2, max_tokens=4,
+                             max_model_len=256)
+        wavs = [np.zeros(3200, np.float32)]
+        with pytest.raises(ValueError, match="upload"):
+            pipe.transcribe_all([wavs], upload="int16")
+        with pytest.raises(ValueError, match="upload"):
+            list(pipe.transcribe_many([wavs], upload="int16"))
+
+
+class TestEntryPointLfrMatrix:
+    """Every pipeline entry point must accept every adaptor/frontend LFR
+    combination the model dir can declare (reference model.py:112-124:
+    the engine takes whatever adaptor config.yaml names) and agree on
+    the texts. Regression for the round-3 bug where transcribe_all
+    routed use_low_frame_rate=False into the packed program, which
+    raises (adaptor.py forward_packed guard)."""
+
+    @pytest.fixture(scope="class")
+    def pipe(self, tmp_path_factory):
+        from fun_asr_vllm_tpu.models.nano import make_test_model_dir
+        from fun_asr_vllm_tpu.pipeline import BatchPipeline
+
+        md = make_test_model_dir(
+            str(tmp_path_factory.mktemp("lfr_matrix_model")))
+        return BatchPipeline(md, dtype="float32", enable_engine=True,
+                             max_num_seqs=2, max_tokens=5,
+                             max_model_len=512)
+
+    @pytest.mark.parametrize("low_frame_rate", [True, False])
+    @pytest.mark.parametrize("lfr_n", [1, 2])
+    def test_all_entry_points_agree(self, pipe, low_frame_rate, lfr_n):
+        import dataclasses
+
+        rng = np.random.default_rng(19 + lfr_n)
+        batches = [
+            [rng.normal(size=int(rng.integers(3200, 9600)))
+             .astype(np.float32) * 0.1 for _ in range(n)]
+            for n in (2, 1)
+        ]
+        orig_ad, orig_fe = pipe.model.adaptor_cfg, pipe.model.frontend
+        try:
+            pipe.model.adaptor_cfg = dataclasses.replace(
+                orig_ad, use_low_frame_rate=low_frame_rate)
+            if lfr_n != 1:
+                # lfr_m stays 1 so the feature dim still matches the
+                # test encoder's input_size
+                pipe.model.frontend = WavFrontend(
+                    dither=0.0, lfr_m=1, lfr_n=lfr_n)
+            per_batch = [pipe.transcribe_batch(list(b)) for b in batches]
+            many = list(pipe.transcribe_many([list(b) for b in batches]))
+            alls = pipe.transcribe_all([list(b) for b in batches])
+            assert many == per_batch
+            assert alls == per_batch
+        finally:
+            pipe.model.adaptor_cfg = orig_ad
+            pipe.model.frontend = orig_fe

@@ -165,3 +165,89 @@ def rename_adaptor_sd(sd, naming: str):
 
 def sd_np(module: nn.Module):
     return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def fbank_torch(
+    waveform: torch.Tensor,
+    sample_frequency: float = 16000.0,
+    num_mel_bins: int = 80,
+    frame_length: float = 25.0,
+    frame_shift: float = 10.0,
+    window_type: str = "hamming",
+    preemphasis_coefficient: float = 0.97,
+    remove_dc_offset: bool = True,
+    low_freq: float = 20.0,
+    high_freq: float = 0.0,
+    snip_edges: bool = True,
+) -> torch.Tensor:
+    """Pure-torch kaldi log-mel fbank per torchaudio.compliance.kaldi
+    semantics (the surface funasr's WavFrontend calls — reference
+    model.py:372-377): int16-scale waveform -> [T, num_mel_bins].
+
+    Independent derivation of the kaldi pipeline — strided framing
+    (snip_edges), DC removal, preemphasis with the first sample
+    self-referenced, feature window, zero-pad to the next pow2, power
+    spectrum, kaldi mel scale 1127*ln(1+f/700) triangles over
+    [low_freq, nyquist], natural log with the float32-eps floor. Exists
+    so `audio/frontend.py` is cross-checked against a torch-built
+    reference rather than only its own numpy twin (torchaudio itself is
+    not installed in this environment)."""
+    wav = waveform.to(torch.float32).reshape(-1)
+    ws = int(sample_frequency * frame_length / 1000)
+    sh = int(sample_frequency * frame_shift / 1000)
+    n = wav.numel()
+    if snip_edges:
+        m = 0 if n < ws else 1 + (n - ws) // sh
+    else:
+        raise NotImplementedError("snip_edges=False not needed")
+    if m == 0:
+        return torch.zeros(0, num_mel_bins)
+    frames = wav.unfold(0, ws, sh)[:m].contiguous()  # [m, ws]
+
+    if remove_dc_offset:
+        frames = frames - frames.mean(dim=1, keepdim=True)
+    if preemphasis_coefficient != 0.0:
+        prev = torch.cat([frames[:, :1], frames[:, :-1]], dim=1)
+        frames = frames - preemphasis_coefficient * prev
+
+    i = torch.arange(ws, dtype=torch.float64)
+    a = 2.0 * torch.pi / (ws - 1)
+    if window_type == "hamming":
+        win = 0.54 - 0.46 * torch.cos(a * i)
+    elif window_type == "hanning":
+        win = 0.5 - 0.5 * torch.cos(a * i)
+    elif window_type == "povey":
+        win = (0.5 - 0.5 * torch.cos(a * i)).pow(0.85)
+    elif window_type == "rectangular":
+        win = torch.ones(ws, dtype=torch.float64)
+    else:
+        raise ValueError(window_type)
+    frames = frames * win.to(torch.float32)
+
+    n_fft = 1
+    while n_fft < ws:
+        n_fft *= 2
+    spec = torch.fft.rfft(frames, n=n_fft, dim=1)
+    power = spec.real.square() + spec.imag.square()  # [m, n_fft//2+1]
+
+    # kaldi mel banks over the first n_fft//2 bins (nyquist excluded)
+    nyq = 0.5 * sample_frequency
+    hi = nyq + high_freq if high_freq <= 0.0 else high_freq
+
+    def mel(f):
+        return 1127.0 * torch.log1p(torch.as_tensor(f, dtype=torch.float64)
+                                    / 700.0)
+
+    fft_bins = mel(sample_frequency / n_fft
+                   * torch.arange(n_fft // 2, dtype=torch.float64))
+    mlo, mhi = mel(low_freq), mel(hi)
+    delta = (mhi - mlo) / (num_mel_bins + 1)
+    left = mlo + torch.arange(num_mel_bins, dtype=torch.float64)[:, None] * delta
+    center, right = left + delta, left + 2 * delta
+    up = (fft_bins[None] - left) / (center - left)
+    down = (right - fft_bins[None]) / (right - center)
+    banks = torch.clamp(torch.minimum(up, down), min=0.0).to(torch.float32)
+
+    mel_e = power[:, : n_fft // 2] @ banks.T  # [m, num_mel_bins]
+    eps = torch.finfo(torch.float32).eps
+    return torch.log(torch.clamp(mel_e, min=eps))
