@@ -857,26 +857,45 @@ def make_test_model_dir(
     enc_dim: int = 64,
     enc_blocks: int = 2,
     seed: int = 0,
+    flagship: bool = False,
 ) -> str:
     """Fabricate a tiny random-weight FunASRNano model dir (config.yaml +
     model.safetensors, ByteTokenizer implied) for CLI/e2e tests and benches
-    — the engine-level fake-model strategy from SURVEY.md §4."""
+    — the engine-level fake-model strategy from SURVEY.md §4.
+
+    With ``flagship=True`` the weights are random but the SHAPES are the
+    real Fun-ASR-Nano stack (SenseVoice-small-family encoder + Qwen3-0.6B,
+    reference model.py:33, 74-75): per-token/per-frame compute matches the
+    real model, so serving/bench SLOs measured against it are honest."""
     os.makedirs(path, exist_ok=True)
-    llm_cfg = Qwen3Config(
-        vocab_size=vocab_size, hidden_size=hidden_size,
-        num_hidden_layers=num_layers, num_attention_heads=4,
-        num_key_value_heads=2, head_dim=max(hidden_size // 4, 8),
-        intermediate_size=hidden_size * 2, tie_word_embeddings=True,
-        eos_token_id=1, pad_token_id=0, dtype=jnp.float32,
-    )
-    enc_cfg = encoder_mod.SANMEncoderConfig(
-        input_size=80, output_size=enc_dim, attention_heads=4,
-        linear_units=enc_dim * 2, num_blocks=enc_blocks, dtype=jnp.float32,
-    )
-    ad_cfg = adaptor_mod.NanoAdaptorConfig(
-        encoder_dim=enc_dim, llm_dim=hidden_size, ffn_dim=hidden_size * 2,
-        dtype=jnp.float32,
-    )
+    if flagship:
+        llm_cfg = Qwen3Config(tie_word_embeddings=True, eos_token_id=1,
+                              pad_token_id=0, dtype=jnp.float32)
+        enc_cfg = encoder_mod.SANMEncoderConfig(
+            input_size=80, output_size=512, attention_heads=4,
+            linear_units=2048, num_blocks=50, dtype=jnp.float32,
+        )
+        ad_cfg = adaptor_mod.NanoAdaptorConfig(
+            encoder_dim=512, llm_dim=llm_cfg.hidden_size, ffn_dim=2048,
+            dtype=jnp.float32,
+        )
+    else:
+        llm_cfg = Qwen3Config(
+            vocab_size=vocab_size, hidden_size=hidden_size,
+            num_hidden_layers=num_layers, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=max(hidden_size // 4, 8),
+            intermediate_size=hidden_size * 2, tie_word_embeddings=True,
+            eos_token_id=1, pad_token_id=0, dtype=jnp.float32,
+        )
+        enc_cfg = encoder_mod.SANMEncoderConfig(
+            input_size=80, output_size=enc_dim, attention_heads=4,
+            linear_units=enc_dim * 2, num_blocks=enc_blocks,
+            dtype=jnp.float32,
+        )
+        ad_cfg = adaptor_mod.NanoAdaptorConfig(
+            encoder_dim=enc_dim, llm_dim=hidden_size,
+            ffn_dim=hidden_size * 2, dtype=jnp.float32,
+        )
     m = FunASRNano(
         encoder_params=encoder_mod.init_params(enc_cfg, jax.random.PRNGKey(seed)),
         encoder_cfg=enc_cfg,

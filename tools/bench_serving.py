@@ -95,11 +95,25 @@ async def drive_stream(port: int, wav: np.ndarray, chunk_ms: float,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=4)
+    ap.add_argument("--streams_sweep", type=str, default=None,
+                    help="comma-separated concurrency levels (e.g. "
+                         "'1,4,8,16'): one timed run + one JSON line per "
+                         "level against ONE server — the p50/p95 latency "
+                         "vs concurrency curve the SLO is stated from")
     ap.add_argument("--seconds", type=float, default=8.0)
     ap.add_argument("--chunk_ms", type=float, default=600.0)
     ap.add_argument("--model_dir", default=None)
+    ap.add_argument("--flagship", action="store_true",
+                    help="fabricate a random-weight model at the REAL "
+                         "Fun-ASR-Nano shapes (50-block SANM encoder + "
+                         "Qwen3-0.6B) so latency reflects flagship "
+                         "compute, not tiny-model scheduling overhead")
     ap.add_argument("--realtime", action="store_true")
     ap.add_argument("--max_num_seqs", type=int, default=8)
+    ap.add_argument("--max_tokens", type=int, default=None,
+                    help="decode budget per final (default 32 tiny / 48 "
+                         "flagship — random weights never emit EOS, so "
+                         "an uncapped budget would decode to max_model_len)")
     args = ap.parse_args()
 
     import jax
@@ -109,15 +123,16 @@ def main():
     from fun_asr_vllm_tpu.serving.server import ASRServer
 
     model_dir = args.model_dir
-    tiny = model_dir is None
-    if tiny:
+    tiny = model_dir is None and not args.flagship
+    if model_dir is None:
         from fun_asr_vllm_tpu.models.nano import make_test_model_dir
 
         model_dir = make_test_model_dir(
-            os.path.join(tempfile.mkdtemp(), "m"))
+            os.path.join(tempfile.mkdtemp(), "m"), flagship=args.flagship)
+    max_tokens = args.max_tokens or (32 if tiny else 48)
     server = ASRServer(model_dir, dtype="float32" if tiny else "bfloat16",
                        enable_engine=True, max_num_seqs=args.max_num_seqs,
-                       max_tokens=32 if tiny else 500)
+                       max_tokens=max_tokens)
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -138,44 +153,58 @@ def main():
         except OSError:
             time.sleep(0.1)
 
-    async def run_all():
-        jobs = [drive_stream(port, synth_speech(args.seconds, i),
-                             args.chunk_ms, args.realtime, f"s{i}")
-                for i in range(args.streams)]
-        return await asyncio.gather(*jobs)
+    def run_level(n_streams):
+        async def run_all():
+            jobs = [drive_stream(port, synth_speech(args.seconds, i),
+                                 args.chunk_ms, args.realtime, f"s{i}")
+                    for i in range(n_streams)]
+            return await asyncio.gather(*jobs)
 
-    # warmup (compiles) then the timed run
-    asyncio.new_event_loop().run_until_complete(run_all())
-    partials_before = server.metrics["partials_total"]
-    t0 = time.perf_counter()
-    results = asyncio.new_event_loop().run_until_complete(run_all())
-    wall = time.perf_counter() - t0
-    partials_computed = server.metrics["partials_total"] - partials_before
+        partials_before = server.metrics["partials_total"]
+        t0 = time.perf_counter()
+        results = asyncio.new_event_loop().run_until_complete(run_all())
+        wall = time.perf_counter() - t0
+        partials_computed = (server.metrics["partials_total"]
+                             - partials_before)
 
-    lats = sorted(l for p, _, _ in results for l in p)
-    finals = sorted(f for _, f, _ in results if f is not None)
-    pct = lambda a, q: (a[min(len(a) - 1, int(q * len(a)))] if a else None)
-    audio_s = args.streams * args.seconds
-    out = {
-        "metric": "serving_2pass_load",
-        "streams": args.streams,
-        "audio_seconds": audio_s,
-        "wall_s": round(wall, 3),
-        "throughput_x_realtime": round(audio_s / wall, 2),
-        "partial_p50_ms": round(pct(lats, 0.5) * 1e3, 1) if lats else None,
-        "partial_p95_ms": round(pct(lats, 0.95) * 1e3, 1) if lats else None,
-        "final_p50_ms": round(pct(finals, 0.5) * 1e3, 1) if finals else None,
-        "final_p95_ms": round(pct(finals, 0.95) * 1e3, 1) if finals else None,
-        # partials RECEIVED (empty deltas are protocol-suppressed, so
-        # random weights can legitimately receive fewer than computed)
-        "n_partials": len(lats),
-        "partials_computed": partials_computed,
-        "max_wave": (max(server.async_llm.wave_sizes)
-                     if server.async_llm and server.async_llm.wave_sizes
-                     else None),
-        "tiny_model": tiny,
-    }
-    print(json.dumps(out))
+        lats = sorted(l for p, _, _ in results for l in p)
+        finals = sorted(f for _, f, _ in results if f is not None)
+        pct = lambda a, q: (a[min(len(a) - 1, int(q * len(a)))]
+                            if a else None)
+        audio_s = n_streams * args.seconds
+        return {
+            "metric": "serving_2pass_load",
+            "streams": n_streams,
+            "audio_seconds": audio_s,
+            "wall_s": round(wall, 3),
+            "throughput_x_realtime": round(audio_s / wall, 2),
+            "partial_p50_ms": (round(pct(lats, 0.5) * 1e3, 1)
+                               if lats else None),
+            "partial_p95_ms": (round(pct(lats, 0.95) * 1e3, 1)
+                               if lats else None),
+            "final_p50_ms": (round(pct(finals, 0.5) * 1e3, 1)
+                             if finals else None),
+            "final_p95_ms": (round(pct(finals, 0.95) * 1e3, 1)
+                             if finals else None),
+            # partials RECEIVED (empty deltas are protocol-suppressed, so
+            # random weights can legitimately receive fewer than computed)
+            "n_partials": len(lats),
+            "partials_computed": partials_computed,
+            "max_wave": (max(server.async_llm.wave_sizes)
+                         if server.async_llm and server.async_llm.wave_sizes
+                         else None),
+            "tiny_model": tiny,
+            "max_tokens": max_tokens,
+        }
+
+    levels = ([int(x) for x in args.streams_sweep.split(",")]
+              if args.streams_sweep else [args.streams])
+    # warmup at the largest level (compiles every wave shape)
+    run_level(max(levels))
+    for n in levels:
+        if server.async_llm is not None:
+            server.async_llm.wave_sizes.clear()
+        print(json.dumps(run_level(n)), flush=True)
 
 
 if __name__ == "__main__":
