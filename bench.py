@@ -162,7 +162,11 @@ def main():
         on_tpu = jax.devices()[0].platform != "cpu"
         enc_cfg = encoder_mod.SANMEncoderConfig(
             output_size=512, attention_heads=4, linear_units=2048,
-            num_blocks=50, use_flash=on_tpu, dtype=jdtype,
+            num_blocks=50, use_flash=on_tpu,
+            # fused attention sublayer for the PADDED encoder path
+            # (--no-packed); the packed path routes the one-shot
+            # segmented kernel via k_window_rows
+            fused_attention=on_tpu, dtype=jdtype,
         )
         llm_cfg = qwen3_mod.Qwen3Config(use_flash=on_tpu, dtype=jdtype)
     ad_cfg = adaptor_mod.NanoAdaptorConfig(
@@ -442,61 +446,83 @@ def main():
             consume(inflight.popleft())
         return hyp_count
 
-    def measure(utt_list, tok_rate, epochs, warmups, tag, profile=False):
-        """Warm the compiled shapes for this (order, tok_rate) config,
-        then return the best-of-N epoch wall time (steady-state
-        throughput — the shared relay adds multi-hundred-ms noise)."""
-        for _ in range(warmups):
-            run_epoch(utt_list, tok_rate)
-        best_dt = None
-        for ep in range(max(1, epochs)):
-            llm.reset_stats()
-            if profile and ep == 0:
-                jax.profiler.start_trace(args.profile_dir)
-            t0 = time.time()
-            n = run_epoch(utt_list, tok_rate)
-            dt_ep = time.time() - t0
-            if profile and ep == 0:
-                jax.profiler.stop_trace()
-            print(
-                f"# [{tag}] epoch {ep}: decode {n} utts in {dt_ep:.2f}s, "
-                f"engine stats {llm.stats}",
-                file=sys.stderr,
-            )
-            print(f"# [{tag}] epoch {ep} timings "
-                  f"{ {k: round(v, 3) for k, v in run_epoch.timings.items()} }",
-                  file=sys.stderr)
-            if best_dt is None or dt_ep < best_dt:
-                best_dt = dt_ep
-        return best_dt
+    def timed_epoch(utt_list, tok_rate, tag, ep, profile=False):
+        llm.reset_stats()
+        if profile:
+            jax.profiler.start_trace(args.profile_dir)
+        t0 = time.time()
+        n = run_epoch(utt_list, tok_rate)
+        dt_ep = time.time() - t0
+        if profile:
+            jax.profiler.stop_trace()
+        print(
+            f"# [{tag}] epoch {ep}: decode {n} utts in {dt_ep:.2f}s, "
+            f"engine stats {llm.stats}",
+            file=sys.stderr,
+        )
+        print(f"# [{tag}] epoch {ep} timings "
+              f"{ {k: round(v, 3) for k, v in run_epoch.timings.items()} }",
+              file=sys.stderr)
+        return dt_ep
 
     def to_rtfx(dt_secs):
         return round(audio_seconds / dt_secs, 2) if dt_secs > 0 else 0.0
 
     tok = args.tokens_per_audio_sec
-    dt = measure(utts, tok, args.epochs, warmups=2,
-                 tag=f"headline tok={tok:g} "
-                     f"sorted={args.sort_by_duration}",
-                 profile=bool(args.profile_dir))
-    rtfx = to_rtfx(dt)
-
-    # sensitivity sweep: decode length {2,3,4} tok/s (sorted) + manifest
-    # order at the headline rate — every row rides in the JSON so the
-    # headline's favorable-config choices are visible next to it
-    sweep = [{"tokens_per_audio_sec": tok,
-              "sort_by_duration": args.sort_by_duration, "rtfx": rtfx,
-              "headline": True}]
+    # configs measured this run: headline first, then the sensitivity
+    # sweep — decode length {2,3,4} tok/s (sorted) + manifest order at
+    # the headline rate. Every row rides in the JSON so the headline's
+    # favorable-config choices are visible next to it.
+    configs = [{"tokens_per_audio_sec": tok,
+                "sort_by_duration": args.sort_by_duration,
+                "headline": True}]
     if args.sweep and not args.quick:
         for s_tok, s_sorted in ((2.0, True), (3.0, True), (4.0, True),
                                 (tok, False)):
             if s_tok == tok and s_sorted == args.sort_by_duration:
                 continue
-            s_utts = utts_sorted if s_sorted else utts_manifest
-            s_dt = measure(s_utts, s_tok, epochs=2, warmups=1,
-                           tag=f"sweep tok={s_tok:g} sorted={s_sorted}")
-            sweep.append({"tokens_per_audio_sec": s_tok,
-                          "sort_by_duration": s_sorted,
-                          "rtfx": to_rtfx(s_dt)})
+            configs.append({"tokens_per_audio_sec": s_tok,
+                            "sort_by_duration": s_sorted})
+
+    def cfg_utts(c):
+        return utts_sorted if c["sort_by_duration"] else utts_manifest
+
+    def cfg_tag(c):
+        return (f"{'headline' if c.get('headline') else 'sweep'} "
+                f"tok={c['tokens_per_audio_sec']:g} "
+                f"sorted={c['sort_by_duration']}")
+
+    # warm every config's compiled shapes up front (the headline twice —
+    # the first pass compiles, the second flushes post-compile overheads)
+    run_epoch(cfg_utts(configs[0]), configs[0]["tokens_per_audio_sec"])
+    for c in configs:
+        run_epoch(cfg_utts(c), c["tokens_per_audio_sec"])
+    print("# warmed", file=sys.stderr)
+
+    # timed epochs INTERLEAVED round-robin across configs: the shared
+    # relay's speed drifts on multi-minute scales, so sequential
+    # per-config measurement hands whichever config runs last a tail
+    # wind (observed: manifest-order measured FASTER than sorted when
+    # run minutes later); cycling configs each round exposes every
+    # config to the same relay conditions, best-of-rounds per config
+    best = {i: None for i in range(len(configs))}
+    for ep in range(max(1, args.epochs)):
+        for i, c in enumerate(configs):
+            profile = bool(args.profile_dir) and ep == 0 and i == 0
+            dt_ep = timed_epoch(cfg_utts(c), c["tokens_per_audio_sec"],
+                                cfg_tag(c), ep, profile=profile)
+            if best[i] is None or dt_ep < best[i]:
+                best[i] = dt_ep
+
+    rtfx = to_rtfx(best[0])
+    sweep = []
+    for i, c in enumerate(configs):
+        row = {"tokens_per_audio_sec": c["tokens_per_audio_sec"],
+               "sort_by_duration": c["sort_by_duration"],
+               "rtfx": to_rtfx(best[i])}
+        if c.get("headline"):
+            row["headline"] = True
+        sweep.append(row)
 
     print(json.dumps({
         "metric": "RTFx_batch16_speechio_protocol",

@@ -337,9 +337,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         "llm": model.llm_params,
     }
     enc_cfg, llm_cfg = model.encoder_cfg, model.llm_cfg
-    if args.remat:
-        import dataclasses as _dc
+    import dataclasses as _dc
 
+    # the Pallas inference kernels carry no VJP — training always runs
+    # the differentiable XLA paths (from_pretrained auto-enables the
+    # kernels on TPU for inference callers)
+    if enc_cfg.use_flash or enc_cfg.fused_attention:
+        enc_cfg = _dc.replace(enc_cfg, use_flash=False,
+                              fused_attention=False)
+    if llm_cfg.use_flash:
+        llm_cfg = _dc.replace(llm_cfg, use_flash=False)
+    if args.remat:
         enc_cfg = _dc.replace(enc_cfg, remat=True)
         llm_cfg = _dc.replace(llm_cfg, remat=True)
     cfgs = T.NanoConfigs(enc_cfg, model.adaptor_cfg, llm_cfg)

@@ -1038,6 +1038,7 @@ class LLM:
                                      else None),
                             early_exit=self.early_exit_bursts,
                             frame_k_window=fp.k_window,
+                            frame_k_window_rows=fp.k_window_rows,
                             prompt_k_window=ppk.k_window,
                             sample_packed=sample_packed,
                             **fe_kw,
@@ -1248,6 +1249,7 @@ class LLM:
                                           bucket=ttp)
                     for pk, fp in zip(ppks, fps)]
             fkw = max(fp.k_window for fp in fps)
+            fkwr = max(fp.k_window_rows for fp in fps)
             pkw = max(pk.k_window for pk in ppks)
 
             # group waves into descending power-of-two dispatches so jit
@@ -1297,7 +1299,8 @@ class LLM:
                         eos_ids=(self._eos_arr if self.early_exit_bursts
                                  else None),
                         early_exit=self.early_exit_bursts,
-                        frame_k_window=fkw, prompt_k_window=pkw,
+                        frame_k_window=fkw, frame_k_window_rows=fkwr,
+                        prompt_k_window=pkw,
                         sample_packed=sample_packed,
                         **fe_kw, **kwargs,
                     )

@@ -67,6 +67,31 @@ def _k_window(seg: np.ndarray, block: int = PACK_BLOCK) -> int:
     return min(nb, -(-width // 2) * 2)
 
 
+def _k_window_rows(seg: np.ndarray, block_q: int = 512,
+                   snap: int = 256) -> int:
+    """Widest q-block key span in ROWS for the ONE-SHOT windowed
+    segmented kernel (flash_attention_segmented_oneshot): max over
+    q-blocks of (last key of its last segment − first key of its first
+    segment + 1), +128 for the kernel's 128-aligned window start,
+    snapped up to `snap` to bound compile variants."""
+    t = len(seg)
+    starts: Dict[int, int] = {}
+    ends: Dict[int, int] = {}
+    for i, sgm in enumerate(seg.tolist()):
+        if sgm >= 0:
+            starts.setdefault(sgm, i)
+            ends[sgm] = i
+    span = 1
+    for b in range(0, t, block_q):
+        blk = seg[b : b + block_q]
+        valid = blk[blk >= 0]
+        if valid.size == 0:
+            continue
+        lo, hi = int(valid.min()), int(valid.max())
+        span = max(span, ends[hi] - starts[lo] + 1)
+    return min(t, -(-(span + 128) // snap) * snap)
+
+
 @dataclasses.dataclass
 class FramePack:
     tt: int
@@ -79,6 +104,7 @@ class FramePack:
     tok_starts: List[int]   # audio-token start per utt (= start//8)
     tok_counts: List[int]   # = downsampled_length(t_i)
     k_window: int = 0       # static W for the windowed segmented kernel
+    k_window_rows: int = 0  # static row window for the ONE-SHOT kernel
 
 
 def plan_frame_pack(
@@ -116,7 +142,7 @@ def plan_frame_pack(
         off += allocs[i]
     return FramePack(tt, seg, pos, src, m1[:, None], m2[:, None],
                      starts, tok_starts, tok_counts,
-                     _k_window(seg, FRAME_BLOCK))
+                     _k_window(seg, FRAME_BLOCK), _k_window_rows(seg))
 
 
 @dataclasses.dataclass
@@ -178,7 +204,7 @@ def plan_prompt_pack(
     static_argnames=("enc_cfg", "ad_cfg", "llm_cfg", "num_steps",
                      "frame_length", "frame_shift", "n_mels", "window_type",
                      "fs", "lfr_m", "lfr_n", "early_exit",
-                     "decode_only_prefill", "frame_k_window",
+                     "decode_only_prefill", "frame_k_window", "frame_k_window_rows",
                      "prompt_k_window", "use_pallas", "sample_packed",
                      "chunked_kernel"),
     donate_argnames=("k_cache", "v_cache"),
@@ -222,6 +248,7 @@ def fused_encode_prefill_decode_packed(
     early_exit: bool = False,
     decode_only_prefill: bool = False,
     frame_k_window: int = 0,
+    frame_k_window_rows: int = 0,
     prompt_k_window: int = 0,
     use_pallas: bool = False,
     chunked_kernel: bool = False,
@@ -241,7 +268,9 @@ def fused_encode_prefill_decode_packed(
         fs=fs, lfr_m=lfr_m, lfr_n=lfr_n, cmvn=cmvn,
         pre_lfr_frames=pre_lfr_frames, eos_ids=eos_ids,
         early_exit=early_exit, decode_only_prefill=decode_only_prefill,
-        frame_k_window=frame_k_window, prompt_k_window=prompt_k_window,
+        frame_k_window=frame_k_window,
+        frame_k_window_rows=frame_k_window_rows,
+        prompt_k_window=prompt_k_window,
         use_pallas=use_pallas, chunked_kernel=chunked_kernel,
         sample_packed=sample_packed,
     )
@@ -254,8 +283,8 @@ def _packed_core(
     prefix, suffix, prompt_lengths, block_tables,
     *, num_steps, frame_length, frame_shift, n_mels, window_type, fs,
     lfr_m, lfr_n, cmvn, pre_lfr_frames, eos_ids, early_exit,
-    decode_only_prefill, frame_k_window, prompt_k_window, use_pallas,
-    chunked_kernel, sample_packed,
+    decode_only_prefill, frame_k_window, frame_k_window_rows,
+    prompt_k_window, use_pallas, chunked_kernel, sample_packed,
 ):
     if speech.dtype == jnp.uint32:
         # bit-packed int16-pair upload (frontend.batchify_packed)
@@ -286,7 +315,7 @@ def _packed_core(
         x = flat[frame_src] * gap.astype(flat.dtype)
     enc = encoder_mod.encode_packed(
         enc_params, enc_cfg, x, frame_seg, frame_pos,
-        k_window=frame_k_window,
+        k_window=frame_k_window, k_window_rows=frame_k_window_rows,
     )
     audio = adaptor_mod.forward_packed(ad_params, ad_cfg, enc, m1, m2)
     h = audio.shape[-1]
@@ -319,7 +348,8 @@ def _packed_core(
     static_argnames=("enc_cfg", "ad_cfg", "llm_cfg", "num_steps",
                      "frame_length", "frame_shift", "n_mels", "window_type",
                      "fs", "lfr_m", "lfr_n", "early_exit",
-                     "frame_k_window", "prompt_k_window", "use_pallas",
+                     "frame_k_window", "frame_k_window_rows",
+                     "prompt_k_window", "use_pallas",
                      "sample_packed", "chunked_kernel"),
     donate_argnames=("k_cache", "v_cache"),
 )
@@ -361,6 +391,7 @@ def fused_encode_prefill_decode_packed_multi(
     eos_ids=None,
     early_exit: bool = False,
     frame_k_window: int = 0,
+    frame_k_window_rows: int = 0,
     prompt_k_window: int = 0,
     use_pallas: bool = False,
     chunked_kernel: bool = False,
@@ -405,6 +436,7 @@ def fused_encode_prefill_decode_packed_multi(
             cmvn=cmvn, pre_lfr_frames=x.get("pre_lfr_frames"),
             eos_ids=eos_ids, early_exit=early_exit,
             decode_only_prefill=False, frame_k_window=frame_k_window,
+            frame_k_window_rows=frame_k_window_rows,
             prompt_k_window=prompt_k_window, use_pallas=use_pallas,
             chunked_kernel=chunked_kernel, sample_packed=sample_packed,
         )

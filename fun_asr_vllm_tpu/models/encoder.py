@@ -59,6 +59,12 @@ class SANMEncoderConfig:
     sanm_shift: int = 0
     dropout_rate: float = 0.1  # unused at inference; kept for config parity
     use_flash: bool = False  # Pallas flash attention (TPU, lane-aligned dims)
+    # fused attention SUBLAYER kernel (ops/sanm_fused.py): qkv proj +
+    # attention + out proj + FSMN in one dispatch — no HBM intermediates.
+    # Inference-only (no VJP); requires head_dim % 128 == 0 and in_dim
+    # lane-aligned, so layer0 (in_dim 80) always takes the unfused path.
+    fused_attention: bool = False
+    fused_interpret: bool = False  # interpret-mode fused kernel (tests)
     remat: bool = False  # rematerialize layers in backward (training)
     dtype: Any = jnp.bfloat16
 
@@ -74,6 +80,7 @@ class SANMEncoderConfig:
             kernel_size=conf.get("kernel_size", 11),
             sanm_shift=conf.get("sanm_shift", 0),
             use_flash=conf.get("use_flash", False),
+            fused_attention=conf.get("fused_attention", False),
             dtype=dtype,
         )
 
@@ -135,6 +142,15 @@ def _sanm_attention(
     b, t, _ = x.shape
     d = cfg.output_size
     h = cfg.attention_heads
+    if (cfg.fused_attention and x.shape[-1] % 128 == 0
+            and (d // h) % 128 == 0 and t % 8 == 0):
+        from ..ops.sanm_fused import sanm_attention_fused
+
+        return sanm_attention_fused(
+            x, lp["w_qkv"], lp["b_qkv"], lp["fsmn_kernel"], lp["w_out"],
+            lp["b_out"], lengths, heads=h, shift=cfg.sanm_shift,
+            interpret=cfg.fused_interpret,
+        )
     qkv = x @ lp["w_qkv"] + lp["b_qkv"]  # [B, T, 3D]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     mem = _fsmn_memory(v, lp["fsmn_kernel"], mask, cfg.sanm_shift)
@@ -224,6 +240,7 @@ def _sanm_attention_packed(
     seg_ids: jax.Array,  # [TT]
     gap_mask: jax.Array,  # [TT, 1] 1.0 valid / 0.0 gap
     k_window: int = 0,
+    k_window_rows: int = 0,
 ) -> jax.Array:
     d = cfg.output_size
     h = cfg.attention_heads
@@ -235,7 +252,19 @@ def _sanm_attention_packed(
     mem = _fsmn_memory(
         v2[None], lp["fsmn_kernel"], gap_mask[None], cfg.sanm_shift
     )[0]
-    if cfg.use_flash:
+    if cfg.use_flash and k_window_rows > 0:
+        from ..ops.flash_attention import flash_attention_segmented_oneshot
+
+        # ONE-SHOT windowed kernel: the online multi-k-block variant ran
+        # at ~1% MFU (per-head m/l scratch column updates + per-tile acc
+        # rescales dominated); with each q-block's whole key window in
+        # VMEM the softmax is plain — −17% full packed encode at the
+        # bench mix (BENCH_NOTES round 4)
+        att = flash_attention_segmented_oneshot(
+            q2, k2, v2, seg_ids, nq=h, nkv=h, d=d // h,
+            window=k_window_rows, interpret=cfg.fused_interpret,
+        )
+    elif cfg.use_flash:
         from ..ops.flash_attention import flash_attention_segmented
 
         # 512×1024 tiles: fewer grid programs than 512² at the bench's
@@ -261,15 +290,17 @@ def _encoder_layer_packed(
     gap_mask: jax.Array,
     residual_attn: bool = True,
     k_window: int = 0,
+    k_window_rows: int = 0,
 ) -> jax.Array:
     h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
-    att = _sanm_attention_packed(lp, cfg, h, seg_ids, gap_mask, k_window)
+    att = _sanm_attention_packed(lp, cfg, h, seg_ids, gap_mask, k_window,
+                                 k_window_rows)
     x = x + att if residual_attn else att
     h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
     return x + _ffn(lp, h)
 
 
-@partial(jax.jit, static_argnames=("cfg", "k_window"))
+@partial(jax.jit, static_argnames=("cfg", "k_window", "k_window_rows"))
 def encode_packed(
     params: Dict,
     cfg: SANMEncoderConfig,
@@ -277,6 +308,7 @@ def encode_packed(
     seg_ids: jax.Array,  # [TT] int32: utterance id, -1 = gap
     pos_ids: jax.Array,  # [TT] int32: frame position WITHIN its utterance
     k_window: int = 0,
+    k_window_rows: int = 0,
 ) -> jax.Array:
     """Packed (ragged) encoder forward → [TT, output_size].
 
@@ -299,13 +331,14 @@ def encode_packed(
     x = _encoder_layer_packed(
         params["layer0"], cfg, x, seg_ids, gap_mask,
         residual_attn=(cfg.input_size == cfg.output_size),
-        k_window=k_window,
+        k_window=k_window, k_window_rows=k_window_rows,
     )
 
     def body(carry, lp):
         return (
             _encoder_layer_packed(lp, cfg, carry, seg_ids, gap_mask,
-                                  k_window=k_window),
+                                  k_window=k_window,
+                                  k_window_rows=k_window_rows),
             None,
         )
 

@@ -646,7 +646,12 @@ class FunASRNano:
         ):
             import dataclasses as _dc
 
-            enc_cfg = _dc.replace(enc_cfg, use_flash=True)
+            # fused_attention: the single-dispatch attention-sublayer
+            # kernel for the PADDED path (ops/sanm_fused.py, −10% full
+            # encode at [16,1200,512] vs flash; BENCH_NOTES round 4) —
+            # the packed path routes its own one-shot segmented kernel
+            enc_cfg = _dc.replace(enc_cfg, use_flash=True,
+                                  fused_attention=True)
         ad_cfg = adaptor_mod.NanoAdaptorConfig.from_conf(
             cfg.audio_adaptor_conf, dtype=jdtype
         )

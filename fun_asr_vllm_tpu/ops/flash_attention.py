@@ -685,3 +685,210 @@ def flash_attention(
     )(kv_lengths.astype(jnp.int32), qh, kh, vh)
     out = out[:, :t].reshape(b, nq, t, d)
     return jnp.moveaxis(out, 1, 2)
+
+
+def _seg_oneshot_kernel(
+    kstart_ref,    # scalar prefetch: [NQB] int32 window start ROW per q-block
+    segq_ref,      # [1, 8, BQ] int32 segment ids for this q-block
+    q_ref,         # [BQ, Nq*D] VMEM
+    k_hbm,         # [TT/128, 128, Nkv*D] ANY/HBM (tile-reshaped)
+    v_hbm,         # [TT/128, 128, Nkv*D] ANY/HBM
+    segk_hbm,      # [TT/128, 128] int32 ANY/HBM
+    out_ref,       # [BQ, Nq*D] VMEM
+    k_vmem,        # scratch [W/128, 128, Nkv*D]
+    v_vmem,        # scratch [W/128, 128, Nkv*D]
+    segk_vmem,     # scratch [W/128, 128] int32
+    sems,          # DMA semaphores (3,)
+    *,
+    nq: int,
+    n_rep: int,
+    d: int,
+    block_q: int,
+    window: int,
+    causal: bool,
+    scale: float,
+):
+    """ONE-SHOT windowed segment attention: each q-block's entire key
+    window lives in VMEM, so the softmax is a plain masked softmax — no
+    online-softmax running state at all.
+
+    Round-4 finding (BENCH_NOTES): the online multi-k-block segmented
+    kernel ran at ~1% MFU — per-head single-COLUMN m/l scratch updates
+    and per-tile acc rescales dominated (0.51 ms per tile vs ~5 µs of
+    MXU work), and SHRINKING k blocks made it slower (more tiles, same
+    per-tile overhead). Segments are ≤ ~1.5k frames while VMEM holds a
+    multi-k-window easily, so the flash structure was pure overhead
+    here. The window start row is 128-aligned per q-block (scalar
+    prefetch, computed in-graph by the wrapper) and every key of every
+    segment the q-block touches lies inside [kstart, kstart+W)."""
+    qi = pl.program_id(0)
+    # window start in 128-row TILES: the HBM operands are shaped
+    # [TT/128, 128, D] so DMAs move whole tiles — Mosaic cannot prove an
+    # arbitrary row offset sublane-aligned, and dynamic-START multi-tile
+    # slices fault at runtime (round-4 finding); single-tile dynamic
+    # INDEXING (the paged-attention kernels' pattern) is solid
+    kb = kstart_ref[qi]
+    wb = window // 128
+
+    def _tile_copies(j):
+        return [
+            pltpu.make_async_copy(k_hbm.at[kb + j], k_vmem.at[j],
+                                  sems.at[0, j]),
+            pltpu.make_async_copy(v_hbm.at[kb + j], v_vmem.at[j],
+                                  sems.at[1, j]),
+            pltpu.make_async_copy(segk_hbm.at[kb + j], segk_vmem.at[j],
+                                  sems.at[2, j]),
+        ]
+
+    for j in range(wb):
+        for op in _tile_copies(j):
+            op.start()
+    for j in range(wb):
+        for op in _tile_copies(j):
+            op.wait()
+
+    kstart = kb * 128
+    seg_q = segq_ref[0, 0, :]                      # [BQ]
+    seg_k = segk_vmem[:].reshape(window)           # [W]
+    mask = jnp.logical_and(
+        seg_q[:, None] == seg_k[None, :], seg_q[:, None] >= 0
+    )
+    if causal:
+        qpos = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, window), 0
+        )
+        kpos = kstart + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, window), 1
+        )
+        mask = jnp.logical_and(mask, kpos <= qpos)
+
+    kw = k_vmem[:].reshape(window, -1)
+    vw = v_vmem[:].reshape(window, -1)
+    for h in range(nq):
+        g = h // n_rep
+        q = q_ref[:, h * d : (h + 1) * d]
+        if scale != 1.0:
+            q = q * jnp.asarray(scale, q.dtype)
+        k = kw[:, g * d : (g + 1) * d]
+        v = vw[:, g * d : (g + 1) * d]
+        scores = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, W]
+        scores = jnp.where(mask, scores, _NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # gap rows (seg -1) have ALL columns masked: exp(-1e30 − m)
+        # degenerates to exp(0)=1 (m = -1e30), so l > 0 — zero them by
+        # segment validity, and guard rows whose window truly has no
+        # matching key (m stays -1e30 → any_live false)
+        any_live = m > _NEG_INF / 2
+        live = jnp.logical_and(seg_q[:, None] >= 0, any_live)
+        out = jnp.where(live, pv / jnp.maximum(l, 1e-30), 0.0)
+        out_ref[:, h * d : (h + 1) * d] = out.astype(out_ref.dtype)
+
+
+def flash_attention_segmented_oneshot(
+    q2: jax.Array,       # [TT, Nq*D] packed tokens
+    k2: jax.Array,       # [TT, Nkv*D]
+    v2: jax.Array,
+    seg_ids: jax.Array,  # [TT] int32, -1 = gap
+    *,
+    nq: int,
+    nkv: int,
+    d: int,
+    window: int,         # key-window ROWS (static; wrapper snaps to 128)
+    block_q: int = 512,
+    causal: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """One-shot windowed segment attention → [TT, Nq*D]. `window` must
+    cover max_segment_len + block_q (the widest span one q-block's
+    segments can reach) — engine/packed.py computes it from the frame
+    plan and snaps to 128. Replaces `flash_attention_segmented` as the
+    packed encoder's kernel (same contract; ~3x faster at the bench
+    pack, see BENCH_NOTES round 4)."""
+    tt = q2.shape[0]
+    n_rep = nq // nkv
+    while tt % block_q:
+        block_q //= 2
+    window = min(-(-window // 128) * 128, tt)
+    # VMEM budget: k+v window scratch + double-buffered q/out blocks +
+    # the f32 score tile must fit the ~16 MB scoped limit
+    def _vmem(bq):
+        kv = 2 * window * nkv * d * q2.dtype.itemsize
+        qo = 2 * 2 * bq * nq * d * q2.dtype.itemsize
+        # ~3 coexisting [BQ, W] f32 transients (scores, mask, p) — the
+        # Mosaic stack allocator is not minimal (measured 21.8M at
+        # bq=512/W=2560 and 16.1M at bq=512/W=1536, where this estimate
+        # reads 23.1M / 14.7M; the 12M budget keeps ~25% headroom under
+        # the 16M scoped limit — bq=256 also measured FASTER than 512
+        # at the bench pack, BENCH_NOTES round 4)
+        sc = 3 * bq * window * 4
+        return kv + qo + sc
+    while block_q > 8 and (_vmem(block_q) > 12 * 1024 * 1024
+                           or tt % block_q):
+        block_q //= 2
+    seg_ids = seg_ids.astype(jnp.int32)
+
+    # per-q-block 128-aligned window start row, in-graph (cheap [TT]
+    # reductions, same machinery as the online variant)
+    big = jnp.int32(2**30)
+    segc = jnp.where(seg_ids >= 0, seg_ids, 0)
+    seg_start = jnp.full((_MAX_SEGMENTS,), big, jnp.int32).at[segc].min(
+        jnp.where(seg_ids >= 0, jnp.arange(tt, dtype=jnp.int32), big)
+    )
+    segq = seg_ids.reshape(tt // block_q, block_q)
+    q_lo = jnp.min(jnp.where(segq >= 0, segq, big), axis=1)
+    empty = jnp.max(segq, axis=1) < 0
+    start = jnp.where(
+        empty, 0, seg_start[jnp.clip(q_lo, 0, _MAX_SEGMENTS - 1)]
+    )
+    # start TILE index (128-row units; operands are tile-reshaped below)
+    kstart = jnp.clip(start // 128, 0, (tt - window) // 128).astype(
+        jnp.int32)
+
+    seg_row_q = jnp.broadcast_to(seg_ids[None, None, :], (1, 8, tt))
+    seg_tiles = seg_ids.reshape(tt // 128, 128)
+    k3 = k2.reshape(tt // 128, 128, nkv * d)
+    v3 = v2.reshape(tt // 128, 128, nkv * d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tt // block_q,),
+        in_specs=[
+            pl.BlockSpec((1, 8, block_q), lambda qi, ks: (0, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, nq * d), lambda qi, ks: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_q, nq * d), lambda qi, ks: (qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((window // 128, 128, nkv * d), k2.dtype),
+            pltpu.VMEM((window // 128, 128, nkv * d), v2.dtype),
+            pltpu.VMEM((window // 128, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((3, window // 128)),
+        ],
+    )
+    kernel = functools.partial(
+        _seg_oneshot_kernel, nq=nq, n_rep=n_rep, d=d, block_q=block_q,
+        window=window, causal=causal, scale=d ** -0.5,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tt, nq * d), q2.dtype),
+        interpret=interpret,
+    )(kstart, seg_row_q, q2, k3, v3, seg_tiles)

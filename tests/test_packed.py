@@ -254,3 +254,35 @@ class TestPlanProperties:
                 assert pp.last_idx[i] == off + L - 1
                 off += -(-L // 16) * 16
             assert (pp.write_blocks[pp.seg_ids < 0] == 0).all()
+
+
+class TestEncodePackedOneshotKernel:
+    def test_oneshot_kernel_matches_xla(self):
+        """encode_packed routed through the ONE-SHOT windowed segmented
+        kernel (interpret mode) matches the XLA segment-attention path
+        — the configuration the TPU bench runs (k_window_rows > 0)."""
+        import dataclasses
+
+        rng = np.random.default_rng(3)
+        # head_dim must be 128 for the kernel: 2 heads x 128 = 256
+        cfg = encoder_mod.SANMEncoderConfig(
+            input_size=40, output_size=256, attention_heads=2,
+            linear_units=128, num_blocks=2, dtype=jnp.float32,
+        )
+        params = encoder_mod.init_params(cfg, jax.random.PRNGKey(0))
+        feats = _feats(rng, len(FRAMES), T_PAD)
+        fp = plan_frame_pack(FRAMES, T_PAD, bucket=256)
+        assert fp.k_window_rows > 0
+        flat = feats.reshape(-1, feats.shape[-1])
+        x = flat[fp.src_idx] * (fp.seg_ids >= 0)[:, None]
+        ref = np.asarray(encoder_mod.encode_packed(
+            params, cfg, jnp.asarray(x), jnp.asarray(fp.seg_ids),
+            jnp.asarray(fp.pos_ids),
+        ))
+        cfg_k = dataclasses.replace(cfg, use_flash=True,
+                                    fused_interpret=True)
+        got = np.asarray(encoder_mod.encode_packed(
+            params, cfg_k, jnp.asarray(x), jnp.asarray(fp.seg_ids),
+            jnp.asarray(fp.pos_ids), k_window_rows=fp.k_window_rows,
+        ))
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
