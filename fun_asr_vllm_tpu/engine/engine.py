@@ -1040,6 +1040,7 @@ class LLM:
                             frame_k_window=fp.k_window,
                             frame_k_window_rows=fp.k_window_rows,
                             prompt_k_window=ppk.k_window,
+                            prompt_k_window_rows=ppk.k_window_rows,
                             sample_packed=sample_packed,
                             **fe_kw,
                         )
@@ -1251,6 +1252,7 @@ class LLM:
             fkw = max(fp.k_window for fp in fps)
             fkwr = max(fp.k_window_rows for fp in fps)
             pkw = max(pk.k_window for pk in ppks)
+            pkwr = max(pk.k_window_rows for pk in ppks)
 
             # group waves into descending power-of-two dispatches so jit
             # compiles at most log2 scan lengths per geometry
@@ -1300,7 +1302,7 @@ class LLM:
                                  else None),
                         early_exit=self.early_exit_bursts,
                         frame_k_window=fkw, frame_k_window_rows=fkwr,
-                        prompt_k_window=pkw,
+                        prompt_k_window=pkw, prompt_k_window_rows=pkwr,
                         sample_packed=sample_packed,
                         **fe_kw, **kwargs,
                     )

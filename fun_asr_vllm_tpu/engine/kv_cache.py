@@ -641,6 +641,7 @@ def _prefill_core_packed(
     last_idx: jax.Array,        # [B] packed index of each prompt's last token
     use_flash: bool = False,
     k_window: int = 0,
+    k_window_rows: int = 0,
 ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array, jax.Array]:
     """Ragged/varlen prefill: every sequence's prompt tokens packed
     along ONE time axis (segment-block-diagonal causal attention) —
@@ -670,7 +671,25 @@ def _prefill_core_packed(
         k = apply_rope(k, cos, sin)
         kc = _cache_write(kc, (lid, write_blocks, write_offsets), k, cfg.dtype)
         vc = _cache_write(vc, (lid, write_blocks, write_offsets), v, cfg.dtype)
-        if use_flash:
+        if use_flash and k_window_rows > 0 and nq <= 8:
+            from ..ops.flash_attention import (
+                flash_attention_segmented_oneshot,
+            )
+
+            # one-shot windowed kernel (same rationale as the encoder:
+            # the online variant's per-head m/l scratch machinery ran at
+            # ~1% MFU — BENCH_NOTES round 4); GQA + causal in-kernel.
+            # nq <= 8 only: the unrolled 16-head body's [BQ, W]
+            # transients exceed VMEM at any legal block size (measured
+            # 18.1M at bq=128/W=1536 vs the 16M scoped limit) — Qwen3's
+            # 16-head prompts stay on the online kernel until a
+            # two-pass head-group variant exists
+            att = flash_attention_segmented_oneshot(
+                q.reshape(ttp, -1), k.reshape(ttp, -1), v.reshape(ttp, -1),
+                seg_ids, nq=nq, nkv=nkv, d=d, causal=True,
+                window=k_window_rows,
+            )
+        elif use_flash:
             from ..ops.flash_attention import flash_attention_segmented
 
             # bq=256 keeps the head-batched block set (q/out at Nq·D=2048
@@ -704,7 +723,7 @@ def _prefill_core_packed(
 
 prefill_step_packed = partial(
     jax.jit,
-    static_argnames=("cfg", "use_flash", "k_window"),
+    static_argnames=("cfg", "use_flash", "k_window", "k_window_rows"),
     donate_argnames=("k_cache", "v_cache"),
 )(_prefill_core_packed)
 

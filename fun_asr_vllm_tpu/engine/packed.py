@@ -156,6 +156,7 @@ class PromptPack:
     last_idx: np.ndarray   # [B]
     prompt_lens: np.ndarray  # [B]
     k_window: int = 0      # static W for the windowed segmented kernel
+    k_window_rows: int = 0  # static row window for the ONE-SHOT kernel
 
 
 def plan_prompt_pack(
@@ -196,7 +197,8 @@ def plan_prompt_pack(
         last[i] = off + L - 1
         off += allocs[i]
     return PromptPack(ttp, seg, pos, emb, wb, wo, last,
-                      np.asarray(lens, np.int64), _k_window(seg))
+                      np.asarray(lens, np.int64), _k_window(seg),
+                      _k_window_rows(seg))
 
 
 @partial(
@@ -205,7 +207,8 @@ def plan_prompt_pack(
                      "frame_length", "frame_shift", "n_mels", "window_type",
                      "fs", "lfr_m", "lfr_n", "early_exit",
                      "decode_only_prefill", "frame_k_window", "frame_k_window_rows",
-                     "prompt_k_window", "use_pallas", "sample_packed",
+                     "prompt_k_window", "prompt_k_window_rows",
+                     "use_pallas", "sample_packed",
                      "chunked_kernel"),
     donate_argnames=("k_cache", "v_cache"),
 )
@@ -250,6 +253,7 @@ def fused_encode_prefill_decode_packed(
     frame_k_window: int = 0,
     frame_k_window_rows: int = 0,
     prompt_k_window: int = 0,
+    prompt_k_window_rows: int = 0,
     use_pallas: bool = False,
     chunked_kernel: bool = False,
     sample_packed: bool = False,
@@ -271,6 +275,7 @@ def fused_encode_prefill_decode_packed(
         frame_k_window=frame_k_window,
         frame_k_window_rows=frame_k_window_rows,
         prompt_k_window=prompt_k_window,
+        prompt_k_window_rows=prompt_k_window_rows,
         use_pallas=use_pallas, chunked_kernel=chunked_kernel,
         sample_packed=sample_packed,
     )
@@ -284,7 +289,8 @@ def _packed_core(
     *, num_steps, frame_length, frame_shift, n_mels, window_type, fs,
     lfr_m, lfr_n, cmvn, pre_lfr_frames, eos_ids, early_exit,
     decode_only_prefill, frame_k_window, frame_k_window_rows,
-    prompt_k_window, use_pallas, chunked_kernel, sample_packed,
+    prompt_k_window, prompt_k_window_rows, use_pallas, chunked_kernel,
+    sample_packed,
 ):
     if speech.dtype == jnp.uint32:
         # bit-packed int16-pair upload (frontend.batchify_packed)
@@ -328,6 +334,7 @@ def _packed_core(
         llm_params, llm_cfg, k_cache, v_cache, embeds, p_pos, p_seg,
         write_blocks, write_offsets, last_idx,
         use_flash=llm_cfg.use_flash, k_window=prompt_k_window,
+        k_window_rows=prompt_k_window_rows,
     )
     if decode_only_prefill:
         return first_ids[None], k_cache, v_cache
@@ -349,7 +356,8 @@ def _packed_core(
                      "frame_length", "frame_shift", "n_mels", "window_type",
                      "fs", "lfr_m", "lfr_n", "early_exit",
                      "frame_k_window", "frame_k_window_rows",
-                     "prompt_k_window", "use_pallas",
+                     "prompt_k_window", "prompt_k_window_rows",
+                     "use_pallas",
                      "sample_packed", "chunked_kernel"),
     donate_argnames=("k_cache", "v_cache"),
 )
@@ -393,6 +401,7 @@ def fused_encode_prefill_decode_packed_multi(
     frame_k_window: int = 0,
     frame_k_window_rows: int = 0,
     prompt_k_window: int = 0,
+    prompt_k_window_rows: int = 0,
     use_pallas: bool = False,
     chunked_kernel: bool = False,
     sample_packed: bool = False,
@@ -437,6 +446,7 @@ def fused_encode_prefill_decode_packed_multi(
             eos_ids=eos_ids, early_exit=early_exit,
             decode_only_prefill=False, frame_k_window=frame_k_window,
             frame_k_window_rows=frame_k_window_rows,
+            prompt_k_window_rows=prompt_k_window_rows,
             prompt_k_window=prompt_k_window, use_pallas=use_pallas,
             chunked_kernel=chunked_kernel, sample_packed=sample_packed,
         )

@@ -824,17 +824,24 @@ def flash_attention_segmented_oneshot(
     def _vmem(bq):
         kv = 2 * window * nkv * d * q2.dtype.itemsize
         qo = 2 * 2 * bq * nq * d * q2.dtype.itemsize
-        # ~3 coexisting [BQ, W] f32 transients (scores, mask, p) — the
-        # Mosaic stack allocator is not minimal (measured 21.8M at
-        # bq=512/W=2560 and 16.1M at bq=512/W=1536, where this estimate
-        # reads 23.1M / 14.7M; the 12M budget keeps ~25% headroom under
-        # the 16M scoped limit — bq=256 also measured FASTER than 512
-        # at the bench pack, BENCH_NOTES round 4)
-        sc = 3 * bq * window * 4
+        # [BQ, W] transients scale with the UNROLLED head loop — the
+        # Mosaic stack allocator keeps a large fraction of the per-head
+        # scores/p buffers live simultaneously. Empirical model fit on
+        # measured OOMs: extra ≈ (1 + 0.75·nq) f32 [BQ, W] buffers
+        # (nq=4/bq=512/W=1536 → est 17.8M vs 16.1M actual;
+        # nq=16/bq=128/W=1536 → est 18.6M vs 18.1M actual).
+        sc = int((1 + 0.75 * nq) * bq * window * 4)
         return kv + qo + sc
-    while block_q > 8 and (_vmem(block_q) > 12 * 1024 * 1024
-                           or tt % block_q):
+    while block_q > 128 and (_vmem(block_q) > 12 * 1024 * 1024
+                             or tt % block_q):
         block_q //= 2
+    if _vmem(block_q) > 15 * 1024 * 1024:
+        raise ValueError(
+            f"oneshot segment kernel cannot fit VMEM: nq={nq} "
+            f"window={window} block_q={block_q} (est "
+            f"{_vmem(block_q) / 1e6:.1f}M) — use the online "
+            "flash_attention_segmented for this geometry"
+        )
     seg_ids = seg_ids.astype(jnp.int32)
 
     # per-q-block 128-aligned window start row, in-graph (cheap [TT]

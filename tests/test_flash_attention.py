@@ -253,3 +253,61 @@ class TestFlashAttentionSegmented:
             np.testing.assert_allclose(
                 got[s : s + n], np.asarray(ref)[0], atol=2e-5, rtol=1e-4
             )
+
+
+class TestSegmentedOneshot:
+    """One-shot windowed segment attention (the packed encoder + prompt
+    prefill kernel since round 4) vs the XLA segment reference."""
+
+    def _pack(self, seed=0, tt=1024):
+        rng = np.random.default_rng(seed)
+        seg = np.full(tt, -1, np.int32)
+        for s, e, i in [(0, 300, 0), (320, 500, 1), (512, 900, 2),
+                        (912, 1000, 3)]:
+            seg[s:e] = i
+        return rng, seg
+
+    @pytest.mark.parametrize("window,bq", [(1028, 256), (1024, 512),
+                                           (640, 128)])
+    def test_full_attention_matches_xla(self, window, bq):
+        from fun_asr_vllm_tpu.ops.attention import segment_attention_xla
+        from fun_asr_vllm_tpu.ops.flash_attention import (
+            flash_attention_segmented_oneshot,
+        )
+
+        rng, seg = self._pack()
+        tt, nq, nkv, d = len(seg), 4, 4, 128
+        q2 = rng.normal(size=(tt, nq * d)).astype(np.float32)
+        k2 = rng.normal(size=(tt, nkv * d)).astype(np.float32)
+        v2 = rng.normal(size=(tt, nkv * d)).astype(np.float32)
+        ref = segment_attention_xla(
+            jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2),
+            jnp.asarray(seg), nq, d)
+        got = flash_attention_segmented_oneshot(
+            jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2),
+            jnp.asarray(seg), nq=nq, nkv=nkv, d=d, window=window,
+            block_q=bq, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_causal_gqa_matches_xla(self):
+        """The prompt-prefill configuration: causal, nq=4 over nkv=2."""
+        from fun_asr_vllm_tpu.ops.attention import segment_attention_xla
+        from fun_asr_vllm_tpu.ops.flash_attention import (
+            flash_attention_segmented_oneshot,
+        )
+
+        rng, seg = self._pack(seed=2)
+        tt, nq, nkv, d = len(seg), 4, 2, 128
+        q2 = rng.normal(size=(tt, nq * d)).astype(np.float32)
+        k2 = rng.normal(size=(tt, nkv * d)).astype(np.float32)
+        v2 = rng.normal(size=(tt, nkv * d)).astype(np.float32)
+        ref = segment_attention_xla(
+            jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2),
+            jnp.asarray(seg), nq, d, causal=True)
+        got = flash_attention_segmented_oneshot(
+            jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2),
+            jnp.asarray(seg), nq=nq, nkv=nkv, d=d, window=1024,
+            block_q=256, causal=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
