@@ -45,7 +45,8 @@ def synth_speech(seconds: float, seed: int, fs: int = 16000) -> np.ndarray:
 
 
 async def drive_stream(port: int, wav: np.ndarray, chunk_ms: float,
-                       realtime: bool, name: str):
+                       realtime: bool, name: str,
+                       final_timeout: float = 300.0):
     """One 2pass session; returns (partial_latencies, final_latency,
     n_partials)."""
     import websockets
@@ -87,7 +88,7 @@ async def drive_stream(port: int, wav: np.ndarray, chunk_ms: float,
             await asyncio.sleep(chunk_ms / 1000 if realtime else 0.001)
         t_final_sent = time.perf_counter()
         await ws.send(json.dumps({"is_speaking": False}))
-        await asyncio.wait_for(recv_done.wait(), timeout=300)
+        await asyncio.wait_for(recv_done.wait(), timeout=final_timeout)
         rx.cancel()
     return partial_lat, final_lat, len(partial_lat)
 
@@ -153,10 +154,11 @@ def main():
         except OSError:
             time.sleep(0.1)
 
-    def run_level(n_streams):
+    def run_level(n_streams, final_timeout=300.0):
         async def run_all():
             jobs = [drive_stream(port, synth_speech(args.seconds, i),
-                                 args.chunk_ms, args.realtime, f"s{i}")
+                                 args.chunk_ms, args.realtime, f"s{i}",
+                                 final_timeout=final_timeout)
                     for i in range(n_streams)]
             return await asyncio.gather(*jobs)
 
@@ -199,8 +201,10 @@ def main():
 
     levels = ([int(x) for x in args.streams_sweep.split(",")]
               if args.streams_sweep else [args.streams])
-    # warmup at the largest level (compiles every wave shape)
-    run_level(max(levels))
+    # warmup at the largest level (compiles every wave shape; flagship
+    # compiles on a cold relay cache can take many minutes — generous
+    # per-final timeout here, the TIMED levels keep the strict one)
+    run_level(max(levels), final_timeout=2400.0)
     for n in levels:
         if server.async_llm is not None:
             server.async_llm.wave_sizes.clear()
