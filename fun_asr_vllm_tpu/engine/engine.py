@@ -1040,7 +1040,14 @@ class LLM:
                             frame_k_window=fp.k_window,
                             frame_k_window_rows=fp.k_window_rows,
                             prompt_k_window=ppk.k_window,
-                            prompt_k_window_rows=ppk.k_window_rows,
+                            # prompt oneshot measured SLOWER than the
+                            # online kernel at flagship prompt geometry
+                            # (518 vs 322 ms: causal wastes half the
+                            # window + q-blocks straddling two ~460-tok
+                            # prompts inflate it to 1280 rows x 2
+                            # head-passes — BENCH_NOTES round 4); keep
+                            # prompts on the online kernel
+                            prompt_k_window_rows=0,
                             sample_packed=sample_packed,
                             **fe_kw,
                         )
@@ -1252,7 +1259,7 @@ class LLM:
             fkw = max(fp.k_window for fp in fps)
             fkwr = max(fp.k_window_rows for fp in fps)
             pkw = max(pk.k_window for pk in ppks)
-            pkwr = max(pk.k_window_rows for pk in ppks)
+            pkwr = 0  # prompts: online kernel (oneshot measured slower)
 
             # group waves into descending power-of-two dispatches so jit
             # compiles at most log2 scan lengths per geometry

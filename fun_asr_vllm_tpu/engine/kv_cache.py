@@ -671,7 +671,7 @@ def _prefill_core_packed(
         k = apply_rope(k, cos, sin)
         kc = _cache_write(kc, (lid, write_blocks, write_offsets), k, cfg.dtype)
         vc = _cache_write(vc, (lid, write_blocks, write_offsets), v, cfg.dtype)
-        if use_flash and k_window_rows > 0 and nq <= 8:
+        if use_flash and k_window_rows > 0:
             from ..ops.flash_attention import (
                 flash_attention_segmented_oneshot,
             )
@@ -679,11 +679,9 @@ def _prefill_core_packed(
             # one-shot windowed kernel (same rationale as the encoder:
             # the online variant's per-head m/l scratch machinery ran at
             # ~1% MFU — BENCH_NOTES round 4); GQA + causal in-kernel.
-            # nq <= 8 only: the unrolled 16-head body's [BQ, W]
-            # transients exceed VMEM at any legal block size (measured
-            # 18.1M at bq=128/W=1536 vs the 16M scoped limit) — Qwen3's
-            # 16-head prompts stay on the online kernel until a
-            # two-pass head-group variant exists
+            # 16-head prompts split into two 8-head passes inside the
+            # wrapper (a fully-unrolled 16-head body exceeds VMEM at any
+            # legal block size: 18.1M measured vs the 16M scoped limit)
             att = flash_attention_segmented_oneshot(
                 q.reshape(ttp, -1), k.reshape(ttp, -1), v.reshape(ttp, -1),
                 seg_ids, nq=nq, nkv=nkv, d=d, causal=True,

@@ -707,6 +707,7 @@ def _seg_oneshot_kernel(
     window: int,
     causal: bool,
     scale: float,
+    head_base: int = 0,
 ):
     """ONE-SHOT windowed segment attention: each q-block's entire key
     window lives in VMEM, so the softmax is a plain masked softmax — no
@@ -765,7 +766,7 @@ def _seg_oneshot_kernel(
     kw = k_vmem[:].reshape(window, -1)
     vw = v_vmem[:].reshape(window, -1)
     for h in range(nq):
-        g = h // n_rep
+        g = (head_base + h) // n_rep
         q = q_ref[:, h * d : (h + 1) * d]
         if scale != 1.0:
             q = q * jnp.asarray(scale, q.dtype)
@@ -819,6 +820,37 @@ def flash_attention_segmented_oneshot(
     while tt % block_q:
         block_q //= 2
     window = min(-(-window // 128) * 128, tt)
+    # many-head bodies (Qwen3 prompts: nq=16) cannot fit VMEM fully
+    # unrolled at any legal block size — split into head-GROUP passes of
+    # ≤8 heads (group-aligned so GQA kv slices stay shard-local); each
+    # pass re-DMAs the k/v window (2× traffic, ~30 µs/layer at prompt
+    # geometry) but runs the cheap one-shot body
+    if nq > 8:
+        half = (nq // 2 // n_rep) * n_rep or nq // 2
+        outs = []
+        for h0 in range(0, nq, half):
+            nh = min(half, nq - h0)
+            outs.append(_seg_oneshot_headgroup(
+                q2[:, h0 * d : (h0 + nh) * d], k2, v2, seg_ids,
+                nq=nh, nkv=nkv, d=d, window=window, block_q=block_q,
+                causal=causal, interpret=interpret, head_base=h0,
+                n_rep=n_rep,
+            ))
+        return jnp.concatenate(outs, axis=-1)
+    return _seg_oneshot_headgroup(
+        q2, k2, v2, seg_ids, nq=nq, nkv=nkv, d=d, window=window,
+        block_q=block_q, causal=causal, interpret=interpret,
+        head_base=0, n_rep=n_rep,
+    )
+
+
+def _seg_oneshot_headgroup(
+    q2, k2, v2, seg_ids, *, nq, nkv, d, window, block_q, causal,
+    interpret, head_base, n_rep,
+):
+    """One pallas_call over `nq` q-heads starting at `head_base` (kv
+    groups resolved in-kernel); kv/seg inputs are the FULL arrays."""
+    tt = q2.shape[0]
     # VMEM budget: k+v window scratch + double-buffered q/out blocks +
     # the f32 score tile must fit the ~16 MB scoped limit
     def _vmem(bq):
@@ -892,6 +924,7 @@ def flash_attention_segmented_oneshot(
     kernel = functools.partial(
         _seg_oneshot_kernel, nq=nq, n_rep=n_rep, d=d, block_q=block_q,
         window=window, causal=causal, scale=d ** -0.5,
+        head_base=head_base,
     )
     return pl.pallas_call(
         kernel,

@@ -311,3 +311,27 @@ class TestSegmentedOneshot:
             block_q=256, causal=True, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+    def test_16_head_two_pass(self):
+        """nq=16 (Qwen3 prompt config) splits into two 8-head passes
+        inside the wrapper — a fully-unrolled 16-head body exceeds the
+        VMEM scoped limit at any legal block size."""
+        from fun_asr_vllm_tpu.ops.attention import segment_attention_xla
+        from fun_asr_vllm_tpu.ops.flash_attention import (
+            flash_attention_segmented_oneshot,
+        )
+
+        rng, seg = self._pack(seed=5)
+        tt, nq, nkv, d = len(seg), 16, 8, 128
+        q2 = rng.normal(size=(tt, nq * d)).astype(np.float32)
+        k2 = rng.normal(size=(tt, nkv * d)).astype(np.float32)
+        v2 = rng.normal(size=(tt, nkv * d)).astype(np.float32)
+        ref = segment_attention_xla(
+            jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2),
+            jnp.asarray(seg), nq, d, causal=True)
+        got = flash_attention_segmented_oneshot(
+            jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2),
+            jnp.asarray(seg), nq=nq, nkv=nkv, d=d, window=1024,
+            causal=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
