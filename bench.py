@@ -103,16 +103,17 @@ def main():
                          "serialized uploads cost real time — see "
                          "BENCH_NOTES); for true high-RTT attaches only")
     ap.add_argument("--sort_by_duration", action=argparse.BooleanOptionalAction,
-                    default=True,
+                    default=False,
                     help="length-sort utterances before batching (tighter "
                          "padding buckets + duration-matched decode "
-                         "bursts per wave). Default ON: this is offline-"
-                         "eval scheduling freedom our own CLIs expose "
-                         "(--sort_by_duration on infer_kaldidata), and "
-                         "the vLLM baseline is order-insensitive anyway "
-                         "(continuous batching absorbs length mix), so "
-                         "the comparison stays apples-to-apples; "
-                         "--no-sort_by_duration measures manifest order")
+                         "bursts per wave). Default OFF since round 4: "
+                         "with the RAGGED pipeline + one-shot segment "
+                         "kernel, manifest order measured FASTER than "
+                         "sorted in the interleaved sweep (381.8 vs "
+                         "360.6 RTFx) — packing removed the padding "
+                         "waste sorting existed to curb — and manifest "
+                         "order is the reference protocol verbatim. "
+                         "The sweep still reports the sorted row.")
     ap.add_argument("--quantize", type=str, default=None,
                     choices=(None, "int8", "int4"),
                     help="weight-only decoder quantization (opt-in; "
@@ -477,8 +478,12 @@ def main():
                 "sort_by_duration": args.sort_by_duration,
                 "headline": True}]
     if args.sweep and not args.quick:
-        for s_tok, s_sorted in ((2.0, True), (3.0, True), (4.0, True),
-                                (tok, False)):
+        # tok-rate rows follow the HEADLINE's ordering; one row flips
+        # the ordering at the headline rate
+        for s_tok, s_sorted in ((2.0, args.sort_by_duration),
+                                (3.0, args.sort_by_duration),
+                                (4.0, args.sort_by_duration),
+                                (tok, not args.sort_by_duration)):
             if s_tok == tok and s_sorted == args.sort_by_duration:
                 continue
             configs.append({"tokens_per_audio_sec": s_tok,
