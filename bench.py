@@ -108,12 +108,14 @@ def main():
                          "padding buckets + duration-matched decode "
                          "bursts per wave). Default OFF since round 4: "
                          "with the RAGGED pipeline + one-shot segment "
-                         "kernel, manifest order measured FASTER than "
-                         "sorted in the interleaved sweep (381.8 vs "
-                         "360.6 RTFx) — packing removed the padding "
-                         "waste sorting existed to curb — and manifest "
-                         "order is the reference protocol verbatim. "
-                         "The sweep still reports the sorted row.")
+                         "kernel the two orderings measure within "
+                         "session noise of each other (interleaved "
+                         "sweeps: 381.8 vs 360.6 favoring manifest, "
+                         "then 377.4 vs 371.0 favoring sorted — packing "
+                         "removed the padding waste sorting existed to "
+                         "curb), so the default is the reference "
+                         "protocol verbatim. The sweep still reports "
+                         "the sorted row.")
     ap.add_argument("--quantize", type=str, default=None,
                     choices=(None, "int8", "int4"),
                     help="weight-only decoder quantization (opt-in; "
