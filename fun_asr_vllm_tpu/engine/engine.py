@@ -992,6 +992,7 @@ class LLM:
                 t0 = time.perf_counter()
                 if packed_ok:
                     from .packed import (
+                        PROMPT_ONESHOT_MAX_ROWS,
                         fused_encode_prefill_decode_packed,
                         plan_frame_pack,
                         plan_prompt_pack,
@@ -1040,14 +1041,15 @@ class LLM:
                             frame_k_window=fp.k_window,
                             frame_k_window_rows=fp.k_window_rows,
                             prompt_k_window=ppk.k_window,
-                            # prompt oneshot measured SLOWER than the
-                            # online kernel at flagship prompt geometry
-                            # (518 vs 322 ms: causal wastes half the
-                            # window + q-blocks straddling two ~460-tok
-                            # prompts inflate it to 1280 rows x 2
-                            # head-passes — BENCH_NOTES round 4); keep
-                            # prompts on the online kernel
-                            prompt_k_window_rows=0,
+                            # one-shot for narrow windows (short-utterance
+                            # mixes: 55.9 vs 84.2 ms prefill28), online
+                            # for wide ones (long prompts: 322 vs 518 ms)
+                            # — measured crossover in packed.py's
+                            # PROMPT_ONESHOT_MAX_ROWS note
+                            prompt_k_window_rows=(
+                                ppk.k_window_rows
+                                if ppk.k_window_rows
+                                <= PROMPT_ONESHOT_MAX_ROWS else 0),
                             sample_packed=sample_packed,
                             **fe_kw,
                         )
@@ -1142,6 +1144,7 @@ class LLM:
 
         → one List[RequestOutput] per wave, in submission order."""
         from .packed import (
+            PROMPT_ONESHOT_MAX_ROWS,
             fused_encode_prefill_decode_packed_multi,
             plan_frame_pack,
             plan_prompt_pack,
@@ -1259,7 +1262,11 @@ class LLM:
             fkw = max(fp.k_window for fp in fps)
             fkwr = max(fp.k_window_rows for fp in fps)
             pkw = max(pk.k_window for pk in ppks)
-            pkwr = 0  # prompts: online kernel (oneshot measured slower)
+            # narrow windows: one-shot kernel; wide: online (measured
+            # crossover — packed.py PROMPT_ONESHOT_MAX_ROWS note)
+            pkwr = max(pk.k_window_rows for pk in ppks)
+            if pkwr > PROMPT_ONESHOT_MAX_ROWS:
+                pkwr = 0
 
             # group waves into descending power-of-two dispatches so jit
             # compiles at most log2 scan lengths per geometry

@@ -642,6 +642,11 @@ def _prefill_core_packed(
     use_flash: bool = False,
     k_window: int = 0,
     k_window_rows: int = 0,
+    pad_idx: Optional[jax.Array] = None,    # [B, Lmax] dense-route gather
+    unpad_idx: Optional[jax.Array] = None,  # [TTP] dense-route scatter
+    lens: Optional[jax.Array] = None,       # [B] true prompt lengths
+    dense_lmax: int = 0,       # >0 routes attention via the padded dense
+                               # layout (ops.attention.prompt_dense_attention)
 ) -> Tuple[Tuple[jax.Array, jax.Array], jax.Array, jax.Array]:
     """Ragged/varlen prefill: every sequence's prompt tokens packed
     along ONE time axis (segment-block-diagonal causal attention) —
@@ -671,7 +676,17 @@ def _prefill_core_packed(
         k = apply_rope(k, cos, sin)
         kc = _cache_write(kc, (lid, write_blocks, write_offsets), k, cfg.dtype)
         vc = _cache_write(vc, (lid, write_blocks, write_offsets), v, cfg.dtype)
-        if use_flash and k_window_rows > 0:
+        if dense_lmax > 0:
+            from ..ops.attention import prompt_dense_attention
+
+            # per-sequence padded DENSE attention: measured SLOWER than
+            # the segmented kernels at the bench mix (see the function's
+            # docstring), so the ENGINE never passes dense_lmax>0 — this
+            # branch exists for the A/B tools and the parity tests
+            att = prompt_dense_attention(
+                q, k, v, pad_idx, unpad_idx, seg_ids, lens
+            ).reshape(ttp, nq * d)
+        elif use_flash and k_window_rows > 0:
             from ..ops.flash_attention import (
                 flash_attention_segmented_oneshot,
             )

@@ -43,6 +43,16 @@ ALIGN = 16  # frame segment alignment; gap ≥ ALIGN zeros between segments
 PACK_BLOCK = 512        # prompt-level segmented-kernel tile (ttp bucket)
 FRAME_BLOCK = 1024      # frame-level segmented-kernel tile (tt bucket)
 
+# Widest key window (rows) at which the ONE-SHOT two-pass kernel still
+# beats the online segmented kernel for the CAUSAL prompt prefill.
+# Measured (tools/probe_prompt_prefill.py, interleaved best-of-rounds,
+# BENCH_NOTES round 4): W=768 one-shot WINS (55.9 vs 84.2 ms prefill28
+# at the bench mix); W=1280 it LOSES (518 vs 322 ms at 150–440-token
+# prompts — causal masking wastes ~half of each [BQ, W] tile and the
+# window spans 2.8× the mean segment). Above the cap the engine routes
+# the online kernel, which skips strictly-future k-blocks entirely.
+PROMPT_ONESHOT_MAX_ROWS = 1024
+
 
 def _k_window(seg: np.ndarray, block: int = PACK_BLOCK) -> int:
     """Width (in k-blocks) of the widest q-block's segment span — the
@@ -157,6 +167,13 @@ class PromptPack:
     prompt_lens: np.ndarray  # [B]
     k_window: int = 0      # static W for the windowed segmented kernel
     k_window_rows: int = 0  # static row window for the ONE-SHOT kernel
+    # per-seq padded-view maps for the DENSE prompt-attention route
+    # (ops.attention.prompt_dense_attention — measured SLOWER than the
+    # one-shot kernel at the bench mix, so the engine never routes it;
+    # kept for the A/B tools and the parity tests)
+    pad_idx: np.ndarray = None    # [B, Lmax] packed row per (seq, pos)
+    unpad_idx: np.ndarray = None  # [ttp] into [B*Lmax]; gaps → 0
+    dense_lmax: int = 0    # 128-bucketed max prompt len (dense route)
 
 
 def plan_prompt_pack(
@@ -183,6 +200,9 @@ def plan_prompt_pack(
     wb = np.zeros(ttp, np.int32)
     wo = np.zeros(ttp, np.int32)
     last = np.zeros(b, np.int32)
+    lmax = max(128, -(-max(lens) // 128) * 128)
+    pad_idx = np.zeros((b, lmax), np.int32)
+    unpad = np.zeros(ttp, np.int32)
     off = 0
     for i, L in enumerate(lens):
         c = int(tok_counts[i])
@@ -195,10 +215,15 @@ def plan_prompt_pack(
         wb[off : off + L] = block_tables[i][pp // block_size]
         wo[off : off + L] = pp % block_size
         last[i] = off + L - 1
+        # dense-attention layout: row (i, j) of the [B, Lmax] padded view
+        # reads packed row off+j (tail clamped to off, masked by lens)
+        pad_idx[i, :L] = off + pp
+        pad_idx[i, L:] = off
+        unpad[off : off + L] = i * lmax + pp
         off += allocs[i]
     return PromptPack(ttp, seg, pos, emb, wb, wo, last,
                       np.asarray(lens, np.int64), _k_window(seg),
-                      _k_window_rows(seg))
+                      _k_window_rows(seg), pad_idx, unpad, lmax)
 
 
 @partial(

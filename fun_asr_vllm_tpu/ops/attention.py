@@ -104,6 +104,58 @@ def full_attention(
     return gqa_attention(q, k, v, causal=False, kv_lengths=kv_lengths, scale=scale)
 
 
+def prompt_dense_attention(
+    q: jax.Array,          # [TT, Nq, D] packed prompt queries (post-RoPE)
+    k: jax.Array,          # [TT, Nkv, D]
+    v: jax.Array,          # [TT, Nkv, D]
+    pad_idx: jax.Array,    # [B, Lmax] int32 packed row per (seq, pos);
+                           #   out-of-range positions clamped (masked below)
+    unpad_idx: jax.Array,  # [TT] int32 into [B*Lmax]; gap rows → 0
+    seg_ids: jax.Array,    # [TT] int32, -1 = gap (zeroes gap outputs)
+    lens: jax.Array,       # [B] true prompt lengths (key validity)
+) -> jax.Array:
+    """Causal prompt attention over a PACKED sequence via a per-sequence
+    PADDED dense layout: gather q/k/v to [B, Lmax, …], one batched-matmul
+    softmax-attention, scatter back to packed rows. → [TT, Nq*D].
+
+    Status: built as a short-prompt hypothesis (segmented-kernel per-tile
+    overhead vs tiny dense scores), then MEASURED SLOWER than both
+    segmented kernels at the bench prompt mix (47–144-token prompts,
+    ttp=2048, 28 layers: dense 35.9 ms vs one-shot 28.9 / online 30.8 —
+    tools/probe_prompt_prefill.py, interleaved best-of-5; full-prefill
+    probe read 63.9 vs 55.9 / 84.2 the same night,
+    tools/bench_packed_stages.py). The gathers to/from the padded view
+    plus the masked-out score work cost more than the kernels' tile
+    machinery. The engine therefore NEVER routes this; it stays as the
+    measured alternative + parity oracle (tests/test_packed.py)."""
+    tt, nq, d = q.shape
+    nkv = k.shape[1]
+    n_rep = nq // nkv
+    b, lmax = pad_idx.shape
+    flat = pad_idx.reshape(-1)
+    qp = q[flat].reshape(b, lmax, nkv, n_rep, d)
+    kp = k[flat].reshape(b, lmax, nkv, d)
+    vp = v[flat].reshape(b, lmax, nkv, d)
+    scale = jnp.asarray(d ** -0.5, qp.dtype)
+    scores = jnp.einsum(
+        "bqgrd,bkgd->bgrqk", qp * scale, kp,
+        preferred_element_type=jnp.float32,
+    )  # [B, G, R, Lq, Lk]
+    pos = jnp.arange(lmax)
+    causal = pos[None, :] <= pos[:, None]              # [Lq, Lk]
+    valid_k = pos[None, :] < lens[:, None]             # [B, Lk]
+    mask = jnp.logical_and(causal[None], valid_k[:, None])[:, None, None]
+    scores = jnp.where(mask, scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(mask, probs, 0.0)
+    out = jnp.einsum(
+        "bgrqk,bkgd->bqgrd", probs.astype(vp.dtype), vp,
+        preferred_element_type=jnp.float32,
+    )
+    att = out.reshape(b * lmax, nq * d).astype(q.dtype)[unpad_idx]
+    return att * (seg_ids >= 0)[:, None].astype(att.dtype)
+
+
 def segment_attention_xla(
     q2: jax.Array,       # [TT, Nq*D] packed tokens
     k2: jax.Array,       # [TT, Nkv*D]

@@ -205,6 +205,115 @@ class TestPrefillPacked:
                 )
 
 
+class TestPrefillDense:
+    """Per-seq padded DENSE prompt attention (the short-prompt route,
+    ops.attention.prompt_dense_attention) must reproduce the padded
+    reference prefill exactly — same masked-softmax math, different
+    layout."""
+
+    def _setup(self):
+        from fun_asr_vllm_tpu.engine.kv_cache import CacheConfig, init_cache
+        from fun_asr_vllm_tpu.models import qwen3 as qwen3_mod
+
+        cfg = qwen3_mod.Qwen3Config(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            intermediate_size=96, dtype=jnp.float32,
+        )
+        params = qwen3_mod.init_params(cfg, jax.random.PRNGKey(2))
+        cc = CacheConfig(num_blocks=64, block_size=4,
+                         max_blocks_per_seq=16, dtype=jnp.float32)
+        return cfg, params, cc, init_cache
+
+    def test_dense_route_matches_padded_prefill(self):
+        from fun_asr_vllm_tpu.engine.kv_cache import (
+            _prefill_core, _prefill_core_packed,
+        )
+
+        cfg, params, cc, init_cache = self._setup()
+        rng = np.random.default_rng(5)
+        lens = [9, 14, 6, 11]
+        b = len(lens)
+        tb = 16
+        embeds = rng.normal(size=(b, tb, 64)).astype(np.float32) * 0.3
+        for i, n in enumerate(lens):
+            embeds[i, n:] = 0.0
+        tables = np.zeros((b, cc.max_blocks_per_seq), np.int32)
+        nb = 1
+        for i, n in enumerate(lens):
+            need = -(-n // cc.block_size)
+            tables[i, :need] = np.arange(nb, nb + need)
+            nb += need
+
+        kc, vc = init_cache(cfg, cc)
+        (logits_ref, ids_ref), kc_ref, vc_ref = _prefill_core(
+            params, cfg, kc, vc, jnp.asarray(embeds),
+            jnp.asarray(lens, np.int32), jnp.asarray(tables),
+        )
+
+        # pack via the real planner (it emits the dense maps)
+        tok_starts = [0] * b   # prompts only: p=0, q=0, counts=lens
+        ppk = plan_prompt_pack(0, 0, tok_starts, lens, tables,
+                               cc.block_size, bucket=64)
+        packed_emb = np.zeros((ppk.ttp, 64), np.float32)
+        for i, n in enumerate(lens):
+            s = int(np.argmax(ppk.seg_ids == i))
+            packed_emb[s : s + n] = embeds[i, :n]
+
+        kc2, vc2 = init_cache(cfg, cc)
+        (logits_d, ids_d), kc_d, vc_d = _prefill_core_packed(
+            params, cfg, kc2, vc2, jnp.asarray(packed_emb),
+            jnp.asarray(ppk.pos_ids), jnp.asarray(ppk.seg_ids),
+            jnp.asarray(ppk.write_blocks), jnp.asarray(ppk.write_offsets),
+            jnp.asarray(ppk.last_idx), use_flash=False,
+            pad_idx=jnp.asarray(ppk.pad_idx),
+            unpad_idx=jnp.asarray(ppk.unpad_idx),
+            lens=jnp.asarray(lens, np.int32),
+            dense_lmax=ppk.dense_lmax,
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_d), np.asarray(logits_ref),
+            atol=1e-4, rtol=1e-3,
+        )
+        assert list(np.asarray(ids_d)) == list(np.asarray(ids_ref))
+        # cache pages written by the dense-route prefill must match too
+        for i, n in enumerate(lens):
+            for t in range(n):
+                blk = tables[i][t // cc.block_size]
+                o = t % cc.block_size
+                np.testing.assert_allclose(
+                    np.asarray(kc_d)[:, blk, :, o],
+                    np.asarray(kc_ref)[:, blk, :, o],
+                    atol=1e-4, rtol=1e-3,
+                )
+
+    def test_prompt_dense_attention_matches_segment_xla(self):
+        from fun_asr_vllm_tpu.ops.attention import (
+            prompt_dense_attention, segment_attention_xla,
+        )
+
+        rng = np.random.default_rng(7)
+        lens = [5, 12, 3]
+        tables = np.zeros((3, 8), np.int32)
+        ppk = plan_prompt_pack(0, 0, [0, 0, 0], lens, tables, 4,
+                               bucket=48)
+        tt, nq, nkv, d = ppk.ttp, 4, 2, 16
+        q = rng.normal(size=(tt, nq, d)).astype(np.float32)
+        k = rng.normal(size=(tt, nkv, d)).astype(np.float32)
+        v = rng.normal(size=(tt, nkv, d)).astype(np.float32)
+        seg = jnp.asarray(ppk.seg_ids)
+        want = segment_attention_xla(
+            jnp.asarray(q.reshape(tt, -1)), jnp.asarray(k.reshape(tt, -1)),
+            jnp.asarray(v.reshape(tt, -1)), seg, nq, d, causal=True,
+        )
+        got = prompt_dense_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(ppk.pad_idx), jnp.asarray(ppk.unpad_idx), seg,
+            jnp.asarray(lens, np.int32),
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-4)
+
 class TestPlanProperties:
     def test_random_lengths_invariants(self):
         """Planner invariants over random utterance mixes: 16-aligned
