@@ -30,6 +30,7 @@ Two lowerings share one kernel body:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -721,7 +722,20 @@ def _seg_oneshot_kernel(
     multi-k-window easily, so the flash structure was pure overhead
     here. The window start row is 128-aligned per q-block (scalar
     prefetch, computed in-graph by the wrapper) and every key of every
-    segment the q-block touches lies inside [kstart, kstart+W)."""
+    segment the q-block touches lies inside [kstart, kstart+W).
+
+    Round-5 DMA dedup (rolling ring scratch): consecutive q-blocks
+    share most of their window tiles — kstart is NON-DECREASING across
+    the grid (packed segments are position-ordered; the wrapper
+    enforces it with a running max), so grid step qi only copies the
+    delta tiles [prev_kstart + W, kstart + W) into a ring buffer (VMEM
+    slot = tile index mod W/128; scratch persists across the
+    sequential grid). The window columns land ROTATED in VMEM, which
+    is harmless: softmax + weighted sum are permutation-invariant over
+    keys, the segment mask rides the same rotated segk tiles, and
+    causal positions are reconstructed from the ring offset. Cuts
+    per-layer window traffic ~W/BQ-fold (bench pack: 20 tiles → ~2
+    per step)."""
     qi = pl.program_id(0)
     # window start in 128-row TILES: the HBM operands are shaped
     # [TT/128, 128, D] so DMAs move whole tiles — Mosaic cannot prove an
@@ -730,27 +744,41 @@ def _seg_oneshot_kernel(
     # INDEXING (the paged-attention kernels' pattern) is solid
     kb = kstart_ref[qi]
     wb = window // 128
+    prev_kb = kstart_ref[jnp.maximum(qi - 1, 0)]
+    first = qi == 0
+    # tiles resident from the previous step: [prev_kb, prev_kb + wb);
+    # needed now: [kb, kb + wb). New = [max(kb, prev_kb + wb), kb + wb)
+    # (kb ≥ prev_kb by the wrapper's running max). Step 0 loads all.
+    for j in range(wb):
+        a = kb + j
+        slot = jax.lax.rem(a, wb)
+        need = jnp.logical_or(first, a >= prev_kb + wb)
 
-    def _tile_copies(j):
-        return [
-            pltpu.make_async_copy(k_hbm.at[kb + j], k_vmem.at[j],
-                                  sems.at[0, j]),
-            pltpu.make_async_copy(v_hbm.at[kb + j], v_vmem.at[j],
-                                  sems.at[1, j]),
-            pltpu.make_async_copy(segk_hbm.at[kb + j], segk_vmem.at[j],
-                                  sems.at[2, j]),
-        ]
+        @pl.when(need)
+        def _start(a=a, slot=slot):
+            pltpu.make_async_copy(k_hbm.at[a], k_vmem.at[slot],
+                                  sems.at[0, slot]).start()
+            pltpu.make_async_copy(v_hbm.at[a], v_vmem.at[slot],
+                                  sems.at[1, slot]).start()
+            pltpu.make_async_copy(segk_hbm.at[a], segk_vmem.at[slot],
+                                  sems.at[2, slot]).start()
 
     for j in range(wb):
-        for op in _tile_copies(j):
-            op.start()
-    for j in range(wb):
-        for op in _tile_copies(j):
-            op.wait()
+        a = kb + j
+        slot = jax.lax.rem(a, wb)
+        need = jnp.logical_or(first, a >= prev_kb + wb)
 
-    kstart = kb * 128
+        @pl.when(need)
+        def _wait(a=a, slot=slot):
+            pltpu.make_async_copy(k_hbm.at[a], k_vmem.at[slot],
+                                  sems.at[0, slot]).wait()
+            pltpu.make_async_copy(v_hbm.at[a], v_vmem.at[slot],
+                                  sems.at[1, slot]).wait()
+            pltpu.make_async_copy(segk_hbm.at[a], segk_vmem.at[slot],
+                                  sems.at[2, slot]).wait()
+
     seg_q = segq_ref[0, 0, :]                      # [BQ]
-    seg_k = segk_vmem[:].reshape(window)           # [W]
+    seg_k = segk_vmem[:].reshape(window)           # [W] (ring order)
     mask = jnp.logical_and(
         seg_q[:, None] == seg_k[None, :], seg_q[:, None] >= 0
     )
@@ -758,9 +786,16 @@ def _seg_oneshot_kernel(
         qpos = qi * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, window), 0
         )
-        kpos = kstart + jax.lax.broadcasted_iota(
+        # ring slot m holds absolute tile a_m = kb + ((m − kb) mod wb);
+        # avoid a vector mod: (m − kb mod wb) ∈ (−wb, wb) so the mod is
+        # a single conditional +wb
+        kbm = jax.lax.rem(kb, wb)
+        widx = jax.lax.broadcasted_iota(
             jnp.int32, (block_q, window), 1
         )
+        m_idx = widx // 128
+        off = m_idx - kbm + jnp.where(m_idx < kbm, wb, 0)
+        kpos = (kb + off) * 128 + (widx - m_idx * 128)
         mask = jnp.logical_and(mask, kpos <= qpos)
 
     kw = k_vmem[:].reshape(window, -1)
@@ -864,10 +899,11 @@ def _seg_oneshot_headgroup(
         # nq=16/bq=128/W=1536 → est 18.6M vs 18.1M actual).
         sc = int((1 + 0.75 * nq) * bq * window * 4)
         return kv + qo + sc
-    while block_q > 128 and (_vmem(block_q) > 12 * 1024 * 1024
+    budget_mb = int(os.environ.get("FUN_ASR_ONESHOT_VMEM_MB", "12"))
+    while block_q > 128 and (_vmem(block_q) > budget_mb * 1024 * 1024
                              or tt % block_q):
         block_q //= 2
-    if _vmem(block_q) > 15 * 1024 * 1024:
+    if _vmem(block_q) > max(15, budget_mb) * 1024 * 1024:
         raise ValueError(
             f"oneshot segment kernel cannot fit VMEM: nq={nq} "
             f"window={window} block_q={block_q} (est "
@@ -892,6 +928,13 @@ def _seg_oneshot_headgroup(
     # start TILE index (128-row units; operands are tile-reshaped below)
     kstart = jnp.clip(start // 128, 0, (tt - window) // 128).astype(
         jnp.int32)
+    # the kernel's rolling ring scratch requires NON-DECREASING window
+    # starts across q-blocks. Packed segment ids are position-ordered
+    # (the packers assign ids in layout order) so this is already true
+    # except for all-gap q-blocks (start 0 above); the running max
+    # makes those inherit the previous window — their rows are fully
+    # masked, so any window content is correct for them.
+    kstart = jax.lax.associative_scan(jnp.maximum, kstart)
 
     seg_row_q = jnp.broadcast_to(seg_ids[None, None, :], (1, 8, tt))
     seg_tiles = seg_ids.reshape(tt // 128, 128)

@@ -335,3 +335,42 @@ class TestSegmentedOneshot:
             causal=True, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_ring_scratch_long_pack(self, causal):
+        """Round-5 rolling ring scratch: a LONG pack (tt=4096, window
+        1024 → kstart advances across 24 q-blocks with many mod-wb
+        wrap-arounds and repeated-kstart no-copy steps) must still match
+        the XLA reference exactly. Randomized segment layout with gaps
+        so empty q-blocks inherit windows via the running max."""
+        from fun_asr_vllm_tpu.ops.attention import segment_attention_xla
+        from fun_asr_vllm_tpu.ops.flash_attention import (
+            flash_attention_segmented_oneshot,
+        )
+
+        rng = np.random.default_rng(11)
+        tt, nq, nkv, d = 4096, 4, 2, 128
+        seg = np.full(tt, -1, np.int32)
+        pos, sid = 0, 0
+        while pos < tt - 64:
+            # window coverage: a q-block can touch a segment starting
+            # L-1 rows before it and another ending L-1 rows after, so
+            # window >= 2L + block_q + 127 (alignment slack); L<=300
+            # keeps 896 legal while still wrapping the wb=7 ring often
+            ln = int(rng.integers(40, 300))
+            ln = min(ln, tt - pos)
+            seg[pos : pos + ln] = sid
+            sid += 1
+            pos += ln + int(rng.integers(0, 90))
+        q2 = rng.normal(size=(tt, nq * d)).astype(np.float32)
+        k2 = rng.normal(size=(tt, nkv * d)).astype(np.float32)
+        v2 = rng.normal(size=(tt, nkv * d)).astype(np.float32)
+        ref = segment_attention_xla(
+            jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2),
+            jnp.asarray(seg), nq, d, causal=causal)
+        got = flash_attention_segmented_oneshot(
+            jnp.asarray(q2), jnp.asarray(k2), jnp.asarray(v2),
+            jnp.asarray(seg), nq=nq, nkv=nkv, d=d, window=896,
+            block_q=128, causal=causal, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
