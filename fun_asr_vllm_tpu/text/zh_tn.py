@@ -75,7 +75,11 @@ class ZhNormalizer:
 
     @staticmethod
     def _percent(m: re.Match) -> str:
-        return "百分之" + number_to_hanzi(m.group(1))
+        v = m.group(1)
+        # WTP percent.tsv: -6% reads 负百分之六 (sign OUTSIDE the 百分之)
+        if v.startswith("-"):
+            return "负百分之" + number_to_hanzi(v[1:])
+        return "百分之" + number_to_hanzi(v)
 
     @staticmethod
     def _fraction(m: re.Match) -> str:
@@ -103,7 +107,7 @@ class ZhNormalizer:
     def _number(m: re.Match) -> str:
         s = m.group(0)
         # very long integers are read digit-by-digit (IDs, zip codes)
-        if "." not in s and (len(s) > 9 or (s.startswith("0") and len(s) > 1)):
+        if "." not in s and (len(s) > 12 or (s.startswith("0") and len(s) > 1)):
             return digits_to_hanzi(s)
         return number_to_hanzi(s)
 
@@ -130,6 +134,27 @@ class ZhNormalizer:
     def normalize(self, text: str) -> str:
         if self.full_to_half:
             text = unicodedata.normalize("NFKC", text)
+        # thousands separators: 1,400,000 → 1400000 (WTP whitelists
+        # comma-grouped digits before its number grammar)
+        text = re.sub(r"(?<=\d),(?=\d{3})", "", text)
+        # temperature: ℃ NFKC-folds to °C; -27°C reads 零下 (WTP
+        # measure grammar), positive just appends 摄氏度
+        text = re.sub(
+            r"(-?)(\d+(?:\.\d+)?)\s*(?:℃|°C)",
+            lambda m: ("零下" if m.group(1) else "")
+            + number_to_hanzi(m.group(2)) + "摄氏度",
+            text,
+        )
+        # ISO-style dates 2002-01-28 / 2002/01/28 (WTP date.tsv accepts
+        # both separators) — before fraction/minus handling would
+        # misparse the separators
+        text = re.sub(
+            r"(?<!\d)(\d{4})[-/](\d{1,2})[-/](\d{1,2})(?!\d)",
+            lambda m: digits_to_hanzi(m.group(1)) + "年"
+            + int_to_hanzi(int(m.group(2))) + "月"
+            + int_to_hanzi(int(m.group(3))) + "日",
+            text,
+        )
         # ranges: 3-5个 → 三到五个 (before minus/number handling)
         text = re.sub(
             r"(\d+)\s*[-~—至]\s*(\d+)(?=[个件天年人次只张条位名%月])",
@@ -142,13 +167,37 @@ class ZhNormalizer:
         )
         text = re.sub(r"(\d{2,4})年", self._year, text)
         text = re.sub(r"(\d{1,2})月(\d{1,2})(日|号)", self._date_md, text)
-        text = re.sub(rf"({_NUM})%", self._percent, text)
+        text = re.sub(rf"(-?{_NUM})%", self._percent, text)
         text = re.sub(r"(\d+)/(\d+)", self._fraction, text)
-        text = re.sub(r"(\d{1,2}):(\d{2})(?::(\d{2}))?", self._time, text)
-        # telephone-like: 7+ digit runs possibly separated by dashes
+        # clock time: hour ≤ 23 and minutes 00-59; anything else
+        # colon-separated falls through to the score rule below
         text = re.sub(
-            r"(?<!\d)(?:\d{3,4}-)?\d{7,11}(?!\d)",
-            lambda m: digits_to_hanzi(m.group(0).replace("-", ""), phone_style=True),
+            r"(?<!\d)((?:[01]?\d|2[0-3])):([0-5]\d)(?::([0-5]\d))?(?!\d)",
+            self._time, text,
+        )
+        # sports scores / ratios (WTP sport rule): 3:2 → 三比二
+        text = re.sub(
+            r"(?<!\d)(\d{1,3}):(\d{1,3})(?!\d)",
+            lambda m: int_to_hanzi(int(m.group(1))) + "比"
+            + int_to_hanzi(int(m.group(2))),
+            text,
+        )
+        # telephone numbers, digit-by-digit with 1 → 幺 (WTP telephone
+        # convention). Context-gated so plain big integers (1000000)
+        # keep their whole-number reading: either a telephony noun
+        # prefix, a mobile-shaped 1[3-9]··· 11-digit run, or an
+        # area-code 0···-······· dashed pair.
+        text = re.sub(
+            r"((?:电话|手机|固话|座机|热线|号码|传真|短信|拨打|致电)"
+            r"[:：]?\s*)((?:\d{3,4}-)?\d{5,12})(?!\d)",
+            lambda m: m.group(1) + digits_to_hanzi(
+                m.group(2).replace("-", ""), phone_style=True),
+            text,
+        )
+        text = re.sub(
+            r"(?<!\d)(?:1[3-9]\d{9}|0\d{2,3}-\d{7,8})(?!\d)",
+            lambda m: digits_to_hanzi(m.group(0).replace("-", ""),
+                                      phone_style=True),
             text,
         )
         # alphanumeric serials (A380, MP3, G1024): digits read one by one
@@ -163,9 +212,10 @@ class ZhNormalizer:
         # 个月, caught by 个)
         # (?<!\d\.) keeps the 2 of a decimal fraction (1.2米) for the
         # generic decimal rule — 一点二米, not 一两米
+        # 第2名 is ordinal 第二, never 第两 (WTP ordinal precedes measure)
         text = re.sub(
-            rf"(?<!\d)(?<!\d\.)2(?=[{_MEASURES.replace('月', '')}])", "两",
-            text,
+            rf"(?<!\d)(?<!\d\.)(?<!第)2(?=[{_MEASURES.replace('月', '')}])",
+            "两", text,
         )
         text = re.sub(r"-?\d+(?:\.\d+)?", self._number, text)
         if self.remove_erhua:

