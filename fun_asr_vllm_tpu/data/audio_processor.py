@@ -438,8 +438,11 @@ def main(argv=None):
     p.add_argument("--data_dir", default="./data")
     p.add_argument("--output_dir", default="./simple_results")
     p.add_argument("--asr_model", default=None,
-                   help="Fun-ASR model dir for transcription (engine-"
-                        "backed); omit to skip transcription")
+                   help="model dir for transcription (engine-backed): "
+                        "a Fun-ASR config.yaml dir OR a Qwen3-ASR-style "
+                        "HF checkpoint dir (the reference's Qwen3-ASR-"
+                        "1.7B seam, simple_audio_processor.py:791-822); "
+                        "omit to skip transcription")
     p.add_argument("--vad_model", default="fsmn-vad",
                    help="fsmn-vad (weights via --vad_model_dir), "
                         "fireredvad, or energy")

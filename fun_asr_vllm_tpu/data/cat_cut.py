@@ -710,7 +710,12 @@ def parse_args(argv=None):
     p4.add_argument("--text_file", required=True)
     p4.add_argument("--output_excel", required=True)
     p4.add_argument("--asr_model", required=True,
-                    help="model dir for the TPU pipeline")
+                    help="model dir for the TPU pipeline: a Fun-ASR "
+                         "config.yaml dir OR a Qwen3-ASR-style HF "
+                         "checkpoint dir (the reference's dedicated "
+                         "stage4 transcriber, run_audio_cat_cut.py:566, "
+                         "603-609 — converted via models/convert.py "
+                         "qwen3_asr_from_pretrained)")
     p4.add_argument("--batch_size", type=int, default=16)
     p4.add_argument("--device", default=None,
                     help="accepted for reference parity (run_audio_cat_cut"

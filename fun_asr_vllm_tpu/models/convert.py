@@ -345,3 +345,131 @@ def load_lora_dir(lora_dir: str) -> Tuple[Dict[str, np.ndarray], Optional[float]
         if c.get("r"):
             scaling = c.get("lora_alpha", c["r"]) / c["r"]
     return sd, scaling
+
+
+# --------------------- Qwen3-ASR checkpoint layout --------------------------
+#
+# The reference's data factory transcribes with a dedicated Qwen3-ASR-1.7B
+# model via the `qwen_asr` package (reference simple_audio_processor.py:791-822
+# `self.asr_model.transcribe(audio=[...], language=[...])`;
+# run_audio_cat_cut.py:566 `from qwen_asr import Qwen3ASRModel`,
+# :603-609 `Qwen3ASRModel.from_pretrained("./Qwen/Qwen3-ASR-1.7B")`).
+# Architecturally it is an audio tower + projector feeding a Qwen3-1.7B
+# decoder — the decoder is exactly the Qwen3 layout `qwen3_from_state_dict`
+# already covers (hidden 2048 / 28 layers / 16q+8kv heads / inter 6144),
+# under a multimodal key prefix. This converter resolves the prefix, maps
+# the decoder, and maps the audio tower when it matches the Fun-ASR
+# SANM-encoder/adaptor contract; an incompatible tower raises a loud
+# NotImplementedError naming the seam instead of silently degrading.
+
+# decoder keys live at <prefix>model.layers.* in the multimodal checkpoint
+QWEN3_ASR_DECODER_PREFIXES = ("", "thinker.", "language_model.", "decoder.",
+                              "llm.")
+QWEN3_ASR_AUDIO_PREFIXES = ("audio_encoder.", "audio_tower.",
+                            "thinker.audio_encoder.", "thinker.audio_tower.")
+QWEN3_ASR_ADAPTOR_PREFIXES = ("audio_adaptor.", "multi_modal_projector.",
+                              "projector.", "thinker.audio_adaptor.")
+
+
+def read_hf_config(model_dir: str) -> Optional[Dict]:
+    path = os.path.join(model_dir, "config.json")
+    if not os.path.exists(path):
+        return None
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def is_qwen3_asr_dir(model_dir: str) -> bool:
+    """A Qwen3-ASR-style checkpoint dir: HF config.json whose model_type
+    names qwen3 + asr/audio/omni, no funasr config.yaml."""
+    if os.path.exists(os.path.join(model_dir, "config.yaml")):
+        return False
+    cfg = read_hf_config(model_dir)
+    if not cfg:
+        return False
+    mt = str(cfg.get("model_type", "")).lower().replace("-", "_")
+    return mt.startswith("qwen3_asr") or (
+        "qwen3" in mt and ("audio" in mt or "omni" in mt)
+    )
+
+
+def qwen3_asr_decoder_config(cfg: Dict, dtype=jnp.bfloat16) -> Qwen3Config:
+    """Resolve the decoder sub-config (flat, or nested under
+    text_config/thinker_config/llm_config) → Qwen3Config."""
+    dec = cfg
+    for key in ("text_config", "thinker_config", "llm_config"):
+        if isinstance(cfg.get(key), dict):
+            dec = cfg[key]
+            # thinker_config may nest once more
+            if isinstance(dec.get("text_config"), dict):
+                dec = dec["text_config"]
+            break
+    return Qwen3Config.from_hf_dict(dec, dtype=dtype)
+
+
+def qwen3_asr_from_pretrained(
+    model_dir: str, dtype=jnp.bfloat16
+) -> Tuple[Optional[Dict], Optional[Dict], Dict,
+           Optional[Any], Optional[Any], Qwen3Config]:
+    """Qwen3-ASR checkpoint dir → (enc, adaptor, llm) params + configs.
+
+    Returns (enc_params, ad_params, llm_params, enc_cfg, ad_cfg, llm_cfg);
+    enc/ad are None when the checkpoint carries no Fun-ASR-shaped audio
+    tower configuration (audio_encoder_conf/audio_adaptor_conf keys)."""
+    cfg = read_hf_config(model_dir)
+    if cfg is None:
+        raise FileNotFoundError(f"no config.json in {model_dir}")
+    llm_cfg = qwen3_asr_decoder_config(cfg, dtype=dtype)
+    sd = load_state_dict(model_dir)
+
+    prefix = next(
+        (p for p in QWEN3_ASR_DECODER_PREFIXES
+         if p + "model.embed_tokens.weight" in sd), None)
+    if prefix is None:
+        raise KeyError(
+            "no Qwen3 decoder found: tried prefixes "
+            f"{QWEN3_ASR_DECODER_PREFIXES} + 'model.embed_tokens.weight'; "
+            f"checkpoint keys start with: "
+            f"{sorted({k.split('.', 1)[0] for k in sd})}"
+        )
+    llm = qwen3_from_state_dict(sd, llm_cfg, prefix=prefix)
+
+    enc = ad = enc_cfg = ad_cfg = None
+    audio_prefix = next(
+        (p for p in QWEN3_ASR_AUDIO_PREFIXES
+         if any(k.startswith(p) for k in sd)), None)
+    if audio_prefix is not None:
+        enc_conf = cfg.get("audio_encoder_conf")
+        ad_conf = cfg.get("audio_adaptor_conf")
+        if not enc_conf:
+            raise NotImplementedError(
+                f"{model_dir} carries an audio tower under "
+                f"{audio_prefix!r} but no Fun-ASR-style "
+                "audio_encoder_conf in config.json — a non-SANM tower "
+                "(e.g. a Whisper-style AuT encoder) needs its own JAX "
+                "graph; this converter covers the SANM-shaped tower only"
+            )
+        from . import adaptor as adaptor_mod
+        from . import encoder as encoder_mod
+
+        enc_cfg = encoder_mod.SANMEncoderConfig.from_conf(
+            enc_conf, input_size=cfg.get("input_size", 80), dtype=dtype)
+        ad_cfg = adaptor_mod.NanoAdaptorConfig.from_conf(
+            ad_conf or {}, dtype=dtype)
+        import dataclasses as _dc
+
+        ad_cfg = _dc.replace(
+            ad_cfg, encoder_dim=enc_cfg.output_size,
+            llm_dim=llm_cfg.hidden_size)
+        enc = encoder_from_funasr_sd(sd, enc_cfg, prefix=audio_prefix)
+        adaptor_prefix = next(
+            (p for p in QWEN3_ASR_ADAPTOR_PREFIXES
+             if any(k.startswith(p) for k in sd)), None)
+        if adaptor_prefix is None:
+            raise KeyError(
+                "audio tower present but no adaptor/projector under "
+                f"{QWEN3_ASR_ADAPTOR_PREFIXES}")
+        ad = adaptor_from_funasr_sd(sd, ad_cfg, prefix=adaptor_prefix)
+    return enc, ad, llm, enc_cfg, ad_cfg, llm_cfg

@@ -630,6 +630,15 @@ class FunASRNano:
         AutoModel (model.py:44-55)."""
         jdtype = _resolve_dtype(dtype)
         model = resolve_model_dir(model)
+        from .convert import is_qwen3_asr_dir
+
+        if is_qwen3_asr_dir(model):
+            # Qwen3-ASR-style checkpoint (the data factory's dedicated
+            # transcriber, reference run_audio_cat_cut.py:566/603-609,
+            # simple_audio_processor.py:791-822): HF config.json with a
+            # multimodal-prefixed Qwen3 decoder + audio tower
+            return FunASRNano._from_qwen3_asr_dir(
+                model, jdtype, device=device, **kwargs)
         cfg = NanoModelConfig.from_dir(model)
         if llm_dir:
             cfg.llm_conf["init_param_path"] = llm_dir
@@ -754,6 +763,67 @@ class FunASRNano:
 
             llm_cfg = _dc.replace(llm_cfg, use_flash=True)
 
+        m = FunASRNano(
+            encoder_params=enc_params, encoder_cfg=enc_cfg,
+            adaptor_params=ad_params, adaptor_cfg=ad_cfg,
+            llm_params=llm_params, llm_cfg=llm_cfg,
+            frontend=frontend, tokenizer=tokenizer, model_dir=model,
+        )
+        out_kwargs = dict(kwargs)
+        out_kwargs.update(
+            tokenizer=tokenizer, frontend=frontend, model_path=model,
+            device=device or "tpu",
+        )
+        return m, out_kwargs
+
+    @staticmethod
+    def _from_qwen3_asr_dir(
+        model: str, jdtype, device: str = None, **kwargs,
+    ) -> Tuple["FunASRNano", Dict]:
+        """Build from a Qwen3-ASR-style multimodal checkpoint dir.
+
+        The reference's data factory transcribes with Qwen3-ASR-1.7B
+        (`Qwen3ASRModel.from_pretrained`, reference
+        run_audio_cat_cut.py:603-609); passing such a dir as
+        `--asr_model` to our cat_cut stage4 / audio_processor routes
+        here via BatchPipeline → from_pretrained. The decoder converts
+        through the generic Qwen3 mapping under its multimodal prefix;
+        the audio tower converts when SANM-shaped (convert.py
+        qwen3_asr_from_pretrained raises a named-seam error otherwise)."""
+        from .convert import qwen3_asr_from_pretrained, read_hf_config
+
+        enc_params, ad_params, llm_params, enc_cfg, ad_cfg, llm_cfg = (
+            qwen3_asr_from_pretrained(model, dtype=jdtype))
+        hf_cfg = read_hf_config(model) or {}
+        frontend = WavFrontend(**(hf_cfg.get("frontend_conf") or {}))
+        tokenizer = load_tokenizer(model)
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        import dataclasses as _dc
+
+        if on_tpu and llm_cfg.head_dim % 128 == 0 and not llm_cfg.use_flash:
+            llm_cfg = _dc.replace(llm_cfg, use_flash=True)
+        if enc_params is None:
+            # decoder-only checkpoint: random audio stack at default
+            # Fun-ASR shapes (test/bench mode, mirrors the config.yaml
+            # path's random-init warning)
+            logger.warning(
+                "Qwen3-ASR dir %s has no audio tower — random-"
+                "initializing encoder/adaptor", model)
+            enc_cfg = encoder_mod.SANMEncoderConfig(dtype=jdtype)
+            ad_cfg = adaptor_mod.NanoAdaptorConfig(
+                encoder_dim=enc_cfg.output_size,
+                llm_dim=llm_cfg.hidden_size, dtype=jdtype)
+            enc_params = encoder_mod.init_params(
+                enc_cfg, jax.random.PRNGKey(1))
+            ad_params = adaptor_mod.init_params(
+                ad_cfg, jax.random.PRNGKey(2))
+        if (
+            on_tpu
+            and not enc_cfg.use_flash
+            and enc_cfg.output_size % (enc_cfg.attention_heads * 128) == 0
+        ):
+            enc_cfg = _dc.replace(enc_cfg, use_flash=True,
+                                  fused_attention=True)
         m = FunASRNano(
             encoder_params=enc_params, encoder_cfg=enc_cfg,
             adaptor_params=ad_params, adaptor_cfg=ad_cfg,
