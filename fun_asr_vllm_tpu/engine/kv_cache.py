@@ -663,7 +663,7 @@ def _prefill_core_packed(
     layer_ids = jnp.arange(cfg.num_hidden_layers)
 
     def body(carry, scanned):
-        xc, kc, vc = carry
+        xc = carry
         lp, lid = scanned
         h = rms_norm(xc, lp["input_ln"], cfg.rms_norm_eps)
         qkv = qwen3.mm(h, lp["wqkv"])  # [TTP, (Nq+2Nkv)D]
@@ -674,8 +674,6 @@ def _prefill_core_packed(
         k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        kc = _cache_write(kc, (lid, write_blocks, write_offsets), k, cfg.dtype)
-        vc = _cache_write(vc, (lid, write_blocks, write_offsets), v, cfg.dtype)
         if dense_lmax > 0:
             from ..ops.attention import prompt_dense_attention
 
@@ -722,11 +720,17 @@ def _prefill_core_packed(
         xc = xc + qwen3.mm(att.astype(cfg.dtype), lp["wo"])
         h = rms_norm(xc, lp["post_ln"], cfg.rms_norm_eps)
         xc = xc + qwen3._layer_mlp(lp, h)
-        return (xc, kc, vc), None
+        return xc, (k.astype(cfg.dtype), v.astype(cfg.dtype))
 
-    (x, k_cache, v_cache), _ = jax.lax.scan(
-        body, (x, k_cache, v_cache), (params["layers"], layer_ids)
-    )
+    # K/V stack as scan OUTPUTS; ONE all-layer scatter outside the loop
+    # (the padded _prefill_core's structure). Carrying the caches
+    # through the scan cost ~2.9 ms of whole-cache layout round-trip
+    # copies + 28x2 per-layer scatters (~8 ms of the 27.6 ms prefill28
+    # device time — round-5 xplane trace, BENCH_NOTES)
+    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], layer_ids))
+    idx = (slice(None), write_blocks, write_offsets)
+    k_cache = _cache_write(k_cache, idx, ks, cfg.dtype)
+    v_cache = _cache_write(v_cache, idx, vs, cfg.dtype)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     last = x[last_idx]  # [B, H]
     logits = qwen3.lm_logits(params, cfg, last)
