@@ -786,7 +786,7 @@ def _extend_core(
     layer_ids = jnp.arange(cfg.num_hidden_layers)
 
     def body(carry, scanned):
-        xc, kc, vc = carry
+        xc = carry
         lp, lid = scanned
         h = rms_norm(xc, lp["input_ln"], cfg.rms_norm_eps)
         qkv = qwen3.mm(h, lp["wqkv"])
@@ -797,14 +797,16 @@ def _extend_core(
         k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        kc = _cache_write(kc, (lid, write_blocks, write_offsets),
-                          k.reshape(b * t, nkv, d), cfg.dtype)
-        vc = _cache_write(vc, (lid, write_blocks, write_offsets),
-                          v.reshape(b * t, nkv, d), cfg.dtype)
-        # combined attention: [cached pages ⧺ chunk] with causal masking
-        kcached = _gather_pages(_cache_layer(kc, lid), block_tables,
+        # combined attention: [cached pages ⧺ chunk] with causal
+        # masking. The gathers read the PRE-write cache: rows this
+        # chunk writes are masked out anyway (mask < cached_lens), so
+        # the caches stay scan-INVARIANT and the chunk K/V scatter
+        # moves outside the loop (same restructure as
+        # _prefill_core_packed — avoids carrying the caches through
+        # the scan: whole-cache layout copies + per-layer scatters)
+        kcached = _gather_pages(_cache_layer(k_cache, lid), block_tables,
                                 cfg.dtype)  # [B, Tc, nkv, d]
-        vcached = _gather_pages(_cache_layer(vc, lid), block_tables,
+        vcached = _gather_pages(_cache_layer(v_cache, lid), block_tables,
                                 cfg.dtype)
         tc = kcached.shape[1]
         n_rep = nq // nkv
@@ -838,11 +840,13 @@ def _extend_core(
         xc = xc + qwen3.mm(att.astype(cfg.dtype), lp["wo"])
         h = rms_norm(xc, lp["post_ln"], cfg.rms_norm_eps)
         xc = xc + qwen3._layer_mlp(lp, h)
-        return (xc, kc, vc), None
+        return xc, (k.reshape(b * t, nkv, d).astype(cfg.dtype),
+                    v.reshape(b * t, nkv, d).astype(cfg.dtype))
 
-    (x, k_cache, v_cache), _ = jax.lax.scan(
-        body, (x, k_cache, v_cache), (params["layers"], layer_ids)
-    )
+    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], layer_ids))
+    idx = (slice(None), write_blocks, write_offsets)
+    k_cache = _cache_write(k_cache, idx, ks, cfg.dtype)
+    v_cache = _cache_write(v_cache, idx, vs, cfg.dtype)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     last = jnp.take_along_axis(
         x, jnp.maximum(new_lens - 1, 0)[:, None, None].astype(jnp.int32),
