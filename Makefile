@@ -2,14 +2,13 @@
 
 PYTHON ?= python
 
-.PHONY: test test-fast native wheel bench bench-quick clean
+.PHONY: test test-fast native wheel bench bench-quick loc clean
 
 test:                ## full suite on the virtual 8-device CPU mesh
 	$(PYTHON) -m pytest tests/ -q
 
-test-fast:           ## CPU-cheap subset (no encoder/engine compiles)
-	$(PYTHON) -m pytest tests/test_text.py tests/test_data_factory.py \
-		tests/test_harness.py tests/test_native.py tests/test_serialization.py -q
+test-fast:           ## fast tier: conformance/numerics core, <8 min
+	$(PYTHON) -m pytest tests/ -q -m "not slow"
 
 native:              ## build the C++ runtime kernels
 	$(MAKE) -C csrc
@@ -22,6 +21,12 @@ bench:               ## full flagship benchmark on the attached TPU
 
 bench-quick:         ## tiny-model smoke bench
 	$(PYTHON) bench.py --quick
+
+loc:                 ## reproducible non-test source line count
+	@echo "package py:"; find fun_asr_vllm_tpu -name '*.py' | xargs wc -l | tail -1
+	@echo "csrc:"; find csrc -name '*.cpp' -o -name '*.h' | xargs wc -l | tail -1
+	@echo "tools+bench+entry py:"; wc -l tools/*.py bench.py __graft_entry__.py | tail -1
+	@echo "tests py:"; find tests -name '*.py' | xargs wc -l | tail -1
 
 clean:
 	rm -rf dist/ build/ *.egg-info csrc/build/
