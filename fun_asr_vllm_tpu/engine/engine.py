@@ -35,12 +35,15 @@ import numpy as np
 from ..models import qwen3 as qwen3_mod
 from ..models.qwen3 import Qwen3Config
 from .kv_cache import (
+    _HOIST_GATHER_BYTES_CAP,
     CacheConfig,
+    cache_pin_format,
     decode_step,
     decode_steps,
     extend_step,
     init_cache,
     prefill_step,
+    step_fns,
 )
 from .sampling import (SamplingParams, sample_tokens,
                        sample_tokens_per_row)
@@ -269,6 +272,7 @@ class LLM:
         quantize: Optional[str] = None,
         packed_prefill: bool = False,
         kv_cache_dtype: Optional[str] = None,
+        pin_cache_layout: Optional[bool] = None,
         **_ignored,
     ) -> None:
         # ragged mode: generate_fused packs all valid frames/tokens along
@@ -409,6 +413,44 @@ class LLM:
             mesh is None and _kernel_shapes_ok and self.use_pallas
         )
 
+        # Cache device-layout pin (kv_cache.CACHE_TOKEN_MAJOR_M2M): commit
+        # the pages token-major-within-page and pin every cache-touching
+        # program's cache outputs to the same Format — removes the
+        # whole-cache relayout copies XLA otherwise inserts at every
+        # dispatch entry/exit (~2.2 ms/burst measured, BENCH_NOTES r5).
+        if pin_cache_layout is None:
+            itemsize = jnp.zeros((), jdtype).dtype.itemsize
+            hoist_full = (2 * config.num_hidden_layers * self.n_slots
+                          * self.cache_cfg.max_model_len
+                          * config.num_key_value_heads * config.head_dim
+                          * itemsize)
+            pin_cache_layout = (
+                _on_tpu and mesh is None and not kv_quant
+                and not self.use_pallas_burst
+                # never auto-pin a config whose bursts can route the v2
+                # chunked Pallas kernel (hoist cap exceedable): Mosaic
+                # wants default operand layouts, so the pin would ADD a
+                # whole-cache relayout on a path that has none today
+                and not (self._chunked_burst
+                         and hoist_full > _HOIST_GATHER_BYTES_CAP)
+            )
+        self.pin_cache_layout = bool(pin_cache_layout)
+        if self.pin_cache_layout:
+            if kv_quant:
+                raise ValueError(
+                    "pin_cache_layout composes with bf16 pages only "
+                    "(int8 page/scale layout preference is unmeasured)")
+            if mesh is not None:
+                raise ValueError(
+                    "pin_cache_layout is single-chip only (sharded caches "
+                    "keep XLA-chosen layouts)")
+            _fmt = cache_pin_format(self.k_cache)
+            self.k_cache = jax.device_put(self.k_cache, _fmt)
+            self.v_cache = jax.device_put(self.v_cache, _fmt)
+            self._step_fns = step_fns(_fmt)
+        else:
+            self._step_fns = step_fns()
+
         self.eos_ids = {config.eos_token_id, config.pad_token_id}
         if tokenizer is not None and getattr(tokenizer, "eos_token_id", None):
             self.eos_ids.add(tokenizer.eos_token_id)
@@ -532,7 +574,7 @@ class LLM:
                     embeds[j, : req.prompt_len] = req.embeds
                     lengths[j] = req.prompt_len
                     tables[j, : len(req.blocks)] = req.blocks
-                (logits, first_ids), self.k_cache, self.v_cache = prefill_step(
+                (logits, first_ids), self.k_cache, self.v_cache = self._step_fns.prefill_step(
                     self.params, self.cfg, self.k_cache, self.v_cache,
                     self._dp_shard(embeds), jnp.asarray(lengths),
                     jnp.asarray(tables),
@@ -642,7 +684,7 @@ class LLM:
         snapshot = list(self._slots)
         mbu = self._burst_table_width(k)
         t0 = time.perf_counter()
-        tokens, self.k_cache, self.v_cache = decode_steps(
+        tokens, self.k_cache, self.v_cache = self._step_fns.decode_steps(
             self.params, self.cfg, self.k_cache, self.v_cache,
             jnp.asarray(self._last_tokens), jnp.asarray(self._positions),
             jnp.asarray(self._block_tables[:, :mbu]),
@@ -671,7 +713,7 @@ class LLM:
                 self._handle_token(req, int(tokens[step, slot]))
 
     def _decode_once(self) -> None:
-        logits, self.k_cache, self.v_cache = decode_step(
+        logits, self.k_cache, self.v_cache = self._step_fns.decode_step(
             self.params, self.cfg, self.k_cache, self.v_cache,
             jnp.asarray(self._last_tokens), jnp.asarray(self._positions),
             jnp.asarray(self._block_tables), jnp.asarray(self._seq_lens),
@@ -844,7 +886,7 @@ class LLM:
             )
             total_np = np.asarray(total_lens, dtype=np.int64)
             reqs, tables = self._admit_direct(total_np, sp)
-            (logits, first_ids), self.k_cache, self.v_cache = prefill_step(
+            (logits, first_ids), self.k_cache, self.v_cache = self._step_fns.prefill_step(
                 self.params, self.cfg, self.k_cache, self.v_cache,
                 embeds, jnp.asarray(total_np.astype(np.int32)),
                 jnp.asarray(tables),
@@ -883,9 +925,6 @@ class LLM:
         `pipeline_depth >= 2` (disjoint slot/block pools per wave); with
         depth 1 the next call auto-finishes the outstanding handle."""
         from ..models.adaptor import downsampled_length
-        from .fused import fused_encode_prefill
-
-        from .fused import fused_encode_prefill_decode
 
         sp = sampling_params or SamplingParams()
         self._cur_sampling = sp
@@ -993,7 +1032,6 @@ class LLM:
                 if packed_ok:
                     from .packed import (
                         PROMPT_ONESHOT_MAX_ROWS,
-                        fused_encode_prefill_decode_packed,
                         plan_frame_pack,
                         plan_prompt_pack,
                     )
@@ -1015,7 +1053,7 @@ class LLM:
                         p, q, fp.tok_starts, fp.tok_counts, tables, bs_blk
                     )
                     tokens, self.k_cache, self.v_cache = (
-                        fused_encode_prefill_decode_packed(
+                        self._step_fns.fused_encode_prefill_decode_packed(
                             enc_params, ad_params, self.params,
                             enc_cfg, ad_cfg, self.cfg,
                             self.k_cache, self.v_cache,
@@ -1055,7 +1093,7 @@ class LLM:
                         )
                     )
                 else:
-                    tokens, self.k_cache, self.v_cache = fused_encode_prefill_decode(
+                    tokens, self.k_cache, self.v_cache = self._step_fns.fused_encode_prefill_decode(
                         enc_params, ad_params, self.params,
                         enc_cfg, ad_cfg, self.cfg,
                         self.k_cache, self.v_cache,
@@ -1093,7 +1131,7 @@ class LLM:
                     all_reqs.extend(reqs)
             else:
                 (logits, first_ids), self.k_cache, self.v_cache = (
-                    fused_encode_prefill(
+                    self._step_fns.fused_encode_prefill(
                         enc_params, ad_params, self.params,
                         enc_cfg, ad_cfg, self.cfg,
                         self.k_cache, self.v_cache,
@@ -1145,7 +1183,6 @@ class LLM:
         → one List[RequestOutput] per wave, in submission order."""
         from .packed import (
             PROMPT_ONESHOT_MAX_ROWS,
-            fused_encode_prefill_decode_packed_multi,
             plan_frame_pack,
             plan_prompt_pack,
         )
@@ -1291,7 +1328,7 @@ class LLM:
                     kwargs["pre_lfr_frames"] = stk(
                         lambda i: np.asarray(waves[i][1], np.int32))
                 tokens, self.k_cache, self.v_cache = (
-                    fused_encode_prefill_decode_packed_multi(
+                    self._step_fns.fused_encode_prefill_decode_packed_multi(
                         enc_params, ad_params, self.params,
                         enc_cfg, ad_cfg, self.cfg,
                         self.k_cache, self.v_cache,
@@ -1656,7 +1693,7 @@ def extend_batch(llm: "LLM", jobs) -> None:
         new_lens[j] = t
         wj = min(len(s.blocks), w)
         tables[j, :wj] = s.blocks[:wj]
-    (_logits, _ids), llm.k_cache, llm.v_cache = extend_step(
+    (_logits, _ids), llm.k_cache, llm.v_cache = llm._step_fns.extend_step(
         llm.params, llm.cfg, llm.k_cache, llm.v_cache,
         jnp.asarray(embeds_arr), jnp.asarray(cached_lens),
         jnp.asarray(new_lens), jnp.asarray(tables),
@@ -1722,7 +1759,7 @@ def arm_suffix_batch(llm: "LLM", jobs) -> List[Optional[_Request]]:
             # always fits: _prepare_suffix raises when ceil(total/bs) >
             # max_blocks_per_seq, and w >= ceil(max total/bs)
             tables[j, : len(p["blocks"])] = p["blocks"]
-        (logits, first_ids), llm.k_cache, llm.v_cache = extend_step(
+        (logits, first_ids), llm.k_cache, llm.v_cache = llm._step_fns.extend_step(
             llm.params, llm.cfg, llm.k_cache, llm.v_cache,
             jnp.asarray(embeds), jnp.asarray(cached_lens),
             jnp.asarray(new_lens), jnp.asarray(tables),

@@ -31,11 +31,14 @@ from .engine import build_prompt_embeds_device
 from .kv_cache import _burst_core, _prefill_core
 
 
+FUSED_ENCODE_PREFILL_STATICS = (
+    "enc_cfg", "ad_cfg", "llm_cfg", "t_bucket", "frame_length",
+    "frame_shift", "n_mels", "window_type", "fs", "lfr_m", "lfr_n")
+
+
 @partial(
     jax.jit,
-    static_argnames=("enc_cfg", "ad_cfg", "llm_cfg", "t_bucket", "frame_length",
-                     "frame_shift", "n_mels", "window_type", "fs",
-                     "lfr_m", "lfr_n"),
+    static_argnames=FUSED_ENCODE_PREFILL_STATICS,
     donate_argnames=("k_cache", "v_cache"),
 )
 def fused_encode_prefill(
@@ -76,12 +79,15 @@ def fused_encode_prefill(
     )
 
 
+FUSED_ENCODE_PREFILL_DECODE_STATICS = (
+    "enc_cfg", "ad_cfg", "llm_cfg", "t_bucket", "num_steps",
+    "frame_length", "frame_shift", "n_mels", "window_type",
+    "fs", "use_pallas", "lfr_m", "lfr_n", "early_exit", "chunked_kernel")
+
+
 @partial(
     jax.jit,
-    static_argnames=("enc_cfg", "ad_cfg", "llm_cfg", "t_bucket", "num_steps",
-                     "frame_length", "frame_shift", "n_mels", "window_type",
-                     "fs", "use_pallas", "lfr_m", "lfr_n", "early_exit",
-                     "chunked_kernel"),
+    static_argnames=FUSED_ENCODE_PREFILL_DECODE_STATICS,
     donate_argnames=("k_cache", "v_cache"),
 )
 def fused_encode_prefill_decode(

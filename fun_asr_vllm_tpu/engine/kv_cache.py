@@ -30,7 +30,8 @@ Two step functions:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
+from types import SimpleNamespace
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -261,9 +262,10 @@ def _decode_core(
     return logits, k_cache, v_cache
 
 
+DECODE_STEP_STATICS = ("cfg", "use_pallas", "mesh", "pallas_interpret")
 decode_step = partial(
     jax.jit,
-    static_argnames=("cfg", "use_pallas", "mesh", "pallas_interpret"),
+    static_argnames=DECODE_STEP_STATICS,
     donate_argnames=("k_cache", "v_cache"),
 )(_decode_core)
 
@@ -489,10 +491,11 @@ def _burst_core(
     return tokens, k_cache, v_cache
 
 
+DECODE_STEPS_STATICS = ("cfg", "num_steps", "use_pallas", "early_exit",
+                        "chunked_kernel")
 decode_steps = partial(
     jax.jit,
-    static_argnames=("cfg", "num_steps", "use_pallas", "early_exit",
-                     "chunked_kernel"),
+    static_argnames=DECODE_STEPS_STATICS,
     donate_argnames=("k_cache", "v_cache"),
 )(_burst_core)
 
@@ -621,9 +624,10 @@ def _prefill_core(
     return (logits, first_ids), k_cache, v_cache
 
 
+PREFILL_STEP_STATICS = ("cfg",)
 prefill_step = partial(
     jax.jit,
-    static_argnames=("cfg",),
+    static_argnames=PREFILL_STEP_STATICS,
     donate_argnames=("k_cache", "v_cache"),
 )(_prefill_core)
 
@@ -857,8 +861,92 @@ def _extend_core(
     return (logits, first_ids), k_cache, v_cache
 
 
+EXTEND_STEP_STATICS = ("cfg",)
 extend_step = partial(
     jax.jit,
-    static_argnames=("cfg",),
+    static_argnames=EXTEND_STEP_STATICS,
     donate_argnames=("k_cache", "v_cache"),
 )(_extend_core)
+
+
+# ---------------- cache device-layout pinning ----------------
+#
+# The round-5 xplane decomposition (BENCH_NOTES) found ~2.2 ms/burst plus
+# ~2.9 ms/prefill of whole-cache relayout copies at program entry/exit:
+# XLA's gather/scatter programs PREFER the caches token-major within each
+# page — major_to_minor (0, 1, 3, 2, 4) over the [L, NB, Nkv, BS, D]
+# head-major shape, i.e. memory order [L, NB, BS, Nkv, D] — while
+# committed arrays default to (0, 1, 2, 3, 4), so every dispatch paid a
+# relayout in AND back out. Committing the cache arrays in the preferred
+# layout and re-jitting every cache-touching program with its cache
+# outputs pinned to the same Format removes both copies (in == out +
+# donation → XLA aliases the buffers). Measured −5% per burst at the
+# bench geometry (tools/probe_burst_layout.py), tokens identical.
+#
+# The engine gates the pin (LLM(pin_cache_layout=...)): single-chip TPU,
+# bf16 pages, XLA burst route only — Pallas kernels require default
+# operand layouts, so pinned caches would ADD a relayout before each
+# pallas_call on routes that today have none.
+CACHE_TOKEN_MAJOR_M2M = (0, 1, 3, 2, 4)
+
+
+def cache_pin_format(cache):
+    """→ the token-major `Format` for a plain (non-quantized) cache
+    array, carrying its current single-device sharding."""
+    from jax.experimental.layout import Format, Layout
+
+    return Format(Layout(major_to_minor=CACHE_TOKEN_MAJOR_M2M),
+                  cache.sharding)
+
+
+def _rejit(jitted, statics, out_shardings):
+    return partial(
+        jax.jit, static_argnames=statics,
+        donate_argnames=("k_cache", "v_cache"),
+        out_shardings=out_shardings,
+    )(jitted.__wrapped__)
+
+
+@lru_cache(maxsize=None)
+def step_fns(fmt=None) -> SimpleNamespace:
+    """The engine's eight cache-touching jitted programs as one
+    namespace. With `fmt` (a `jax.experimental.layout.Format`), each is
+    re-jitted with its k/v cache outputs pinned to that format; with
+    None, the module-level default jits are returned. Memoized so
+    engines sharing a device/layout share compile caches."""
+    from . import fused as _fused
+    from . import packed as _packed
+
+    if fmt is None:
+        return SimpleNamespace(
+            decode_step=decode_step,
+            decode_steps=decode_steps,
+            prefill_step=prefill_step,
+            extend_step=extend_step,
+            fused_encode_prefill=_fused.fused_encode_prefill,
+            fused_encode_prefill_decode=_fused.fused_encode_prefill_decode,
+            fused_encode_prefill_decode_packed=(
+                _packed.fused_encode_prefill_decode_packed),
+            fused_encode_prefill_decode_packed_multi=(
+                _packed.fused_encode_prefill_decode_packed_multi),
+        )
+    tok = (None, fmt, fmt)  # (tokens|logits, k_cache, v_cache)
+    pf = (None, fmt, fmt)   # ((logits, first_ids), k_cache, v_cache)
+    return SimpleNamespace(
+        decode_step=_rejit(decode_step, DECODE_STEP_STATICS, tok),
+        decode_steps=_rejit(decode_steps, DECODE_STEPS_STATICS, tok),
+        prefill_step=_rejit(prefill_step, PREFILL_STEP_STATICS, pf),
+        extend_step=_rejit(extend_step, EXTEND_STEP_STATICS, pf),
+        fused_encode_prefill=_rejit(
+            _fused.fused_encode_prefill,
+            _fused.FUSED_ENCODE_PREFILL_STATICS, pf),
+        fused_encode_prefill_decode=_rejit(
+            _fused.fused_encode_prefill_decode,
+            _fused.FUSED_ENCODE_PREFILL_DECODE_STATICS, tok),
+        fused_encode_prefill_decode_packed=_rejit(
+            _packed.fused_encode_prefill_decode_packed,
+            _packed.FUSED_PACKED_STATICS, tok),
+        fused_encode_prefill_decode_packed_multi=_rejit(
+            _packed.fused_encode_prefill_decode_packed_multi,
+            _packed.FUSED_PACKED_MULTI_STATICS, tok),
+    )

@@ -226,15 +226,18 @@ def plan_prompt_pack(
                       _k_window_rows(seg), pad_idx, unpad, lmax)
 
 
+FUSED_PACKED_STATICS = (
+    "enc_cfg", "ad_cfg", "llm_cfg", "num_steps",
+    "frame_length", "frame_shift", "n_mels", "window_type",
+    "fs", "lfr_m", "lfr_n", "early_exit",
+    "decode_only_prefill", "frame_k_window", "frame_k_window_rows",
+    "prompt_k_window", "prompt_k_window_rows",
+    "use_pallas", "sample_packed", "chunked_kernel")
+
+
 @partial(
     jax.jit,
-    static_argnames=("enc_cfg", "ad_cfg", "llm_cfg", "num_steps",
-                     "frame_length", "frame_shift", "n_mels", "window_type",
-                     "fs", "lfr_m", "lfr_n", "early_exit",
-                     "decode_only_prefill", "frame_k_window", "frame_k_window_rows",
-                     "prompt_k_window", "prompt_k_window_rows",
-                     "use_pallas", "sample_packed",
-                     "chunked_kernel"),
+    static_argnames=FUSED_PACKED_STATICS,
     donate_argnames=("k_cache", "v_cache"),
 )
 def fused_encode_prefill_decode_packed(
@@ -375,15 +378,18 @@ def _packed_core(
     return tokens, k_cache, v_cache
 
 
+FUSED_PACKED_MULTI_STATICS = (
+    "enc_cfg", "ad_cfg", "llm_cfg", "num_steps",
+    "frame_length", "frame_shift", "n_mels", "window_type",
+    "fs", "lfr_m", "lfr_n", "early_exit",
+    "frame_k_window", "frame_k_window_rows",
+    "prompt_k_window", "prompt_k_window_rows",
+    "use_pallas", "sample_packed", "chunked_kernel")
+
+
 @partial(
     jax.jit,
-    static_argnames=("enc_cfg", "ad_cfg", "llm_cfg", "num_steps",
-                     "frame_length", "frame_shift", "n_mels", "window_type",
-                     "fs", "lfr_m", "lfr_n", "early_exit",
-                     "frame_k_window", "frame_k_window_rows",
-                     "prompt_k_window", "prompt_k_window_rows",
-                     "use_pallas",
-                     "sample_packed", "chunked_kernel"),
+    static_argnames=FUSED_PACKED_MULTI_STATICS,
     donate_argnames=("k_cache", "v_cache"),
 )
 def fused_encode_prefill_decode_packed_multi(

@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--stretch", type=float, default=1.0,
                     help="tile utterances by this factor (longer prompts "
                          "-> wider one-shot window; finds the crossover)")
+    ap.add_argument("--extra_kwr", type=str, default="",
+                    help="comma list of FORCED one-shot window rows to time "
+                         "in addition to the plan's natural window (each "
+                         "must be >= the natural window for correctness); "
+                         "isolates window-width cost at a fixed workload")
+    ap.add_argument("--variants", type=str, default="online,oneshot,dense",
+                    help="comma subset of online,oneshot,dense to compile")
     args = ap.parse_args()
 
     from bench import synth_utterances
@@ -48,9 +55,10 @@ def main():
 
     utts = synth_utterances(480.0)[:16]
     if args.stretch != 1.0:
-        utts = [np.tile(u, max(1, round(args.stretch)))
-                if args.stretch >= 1.0 else u[: int(len(u) * args.stretch)]
-                for u in utts]
+        # fractional stretches supported: tile up then trim (2.25 means
+        # each utterance is 2.25x its base length, not round(2.25)=2x)
+        utts = [np.tile(u, int(np.ceil(args.stretch)))
+                [: int(len(u) * args.stretch)] for u in utts]
     frontend = WavFrontend(dither=0.0, bucket_seconds=4.0)
     frames = np.asarray([frontend.frame_count(len(u)) for u in utts],
                         np.int32)
@@ -93,11 +101,20 @@ def main():
                 lens=plens32 if dense else None, dense_lmax=dense)
         return s_pf
 
-    variants = {
-        "online ": mk(True, ppk.k_window, 0, 0),
-        "oneshot": mk(True, ppk.k_window, ppk.k_window_rows, 0),
-        "dense  ": mk(True, 0, 0, ppk.dense_lmax),
-    }
+    wanted = {v.strip() for v in args.variants.split(",") if v.strip()}
+    variants = {}
+    if "online" in wanted:
+        variants["online "] = mk(True, ppk.k_window, 0, 0)
+    if "oneshot" in wanted:
+        variants["oneshot"] = mk(True, ppk.k_window, ppk.k_window_rows, 0)
+    if "dense" in wanted:
+        variants["dense  "] = mk(True, 0, 0, ppk.dense_lmax)
+    for tok in (t for t in args.extra_kwr.split(",") if t.strip()):
+        kwr = int(tok)
+        if kwr < ppk.k_window_rows:
+            raise SystemExit(f"--extra_kwr {kwr} < natural window "
+                             f"{ppk.k_window_rows}: results would be wrong")
+        variants[f"os@{kwr}"] = mk(True, ppk.k_window, kwr, 0)
     best = {n: [] for n in variants}
     for name, fn in variants.items():  # compile warmup
         r = fn(llm_params, k_cache, v_cache, embeds)
