@@ -45,12 +45,15 @@ FRAME_BLOCK = 1024      # frame-level segmented-kernel tile (tt bucket)
 
 # Widest key window (rows) at which the ONE-SHOT two-pass kernel still
 # beats the online segmented kernel for the CAUSAL prompt prefill.
-# Measured (tools/probe_prompt_prefill.py, interleaved best-of-rounds,
-# BENCH_NOTES round 4): W=768 one-shot WINS (55.9 vs 84.2 ms prefill28
-# at the bench mix); W=1280 it LOSES (518 vs 322 ms at 150–440-token
-# prompts — causal masking wastes ~half of each [BQ, W] tile and the
-# window spans 2.8× the mean segment). Above the cap the engine routes
-# the online kernel, which skips strictly-future k-blocks entirely.
+# Re-swept post the round-5 KV-write restructure across five geometries
+# (tools/probe_prompt_prefill.py, interleaved best-of-rounds, BENCH_NOTES
+# round 5): one-shot wins below the gate (W=768: 25.89 vs 27.64 ms
+# prefill28; W=1024: 36.76 vs 38.08), ties at W=1280, and loses ≤2.5%
+# at W=1536 — the routes are within ~3% everywhere now that the
+# per-layer page scatters left the layer scan (the round-4 "518 vs 322
+# at W=1280" cliff was a scatter-regime artifact). Above the cap the
+# engine routes the online kernel, which skips strictly-future k-blocks
+# entirely.
 PROMPT_ONESHOT_MAX_ROWS = 1024
 
 
