@@ -490,3 +490,102 @@ def greedy_decode_simple(
         buf = jax.lax.dynamic_update_slice(buf, nxt_embed[None], (0, length, 0))
         length += 1
     return np.asarray(out_ids, dtype=np.int64)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _padded_step_logits(params, cfg, buf, kv_mask, row):
+    """One step of the right-padded batched fallback: full-buffer forward
+    with an explicit key mask, logits read at the shared buffer `row`.
+
+    Mirrors HF `generate(inputs_embeds, attention_mask)` mechanics
+    (reference infer.py:484-489): RoPE positions are
+    `cumsum(attention_mask) - 1` with pad rows pinned to 1 (HF's
+    `masked_fill`), causality is over buffer rows, and padded keys are
+    masked additively.
+    """
+    csum = jnp.cumsum(kv_mask.astype(jnp.int32), axis=1) - 1
+    positions = jnp.where(kv_mask > 0, csum, 1).astype(jnp.int32)
+    key_bias = jnp.where(
+        kv_mask > 0, 0.0, -1e9
+    ).astype(jnp.float32)[:, None, None, :]
+
+    def attn_fn(lid, q, k, v):
+        del lid
+        return gqa_attention(q, k, v, causal=True, bias=key_bias)
+
+    hidden, _ = forward_with_attn_fn(
+        params, cfg, buf.astype(cfg.dtype), positions, attn_fn
+    )
+    last = jnp.take_along_axis(
+        hidden,
+        jnp.broadcast_to(
+            row.astype(jnp.int32)[None, None, None],
+            (hidden.shape[0], 1, 1),
+        ),
+        axis=1,
+    )
+    return lm_logits(params, cfg, last)[:, 0]
+
+
+def greedy_decode_padded(
+    params: Dict,
+    cfg: Qwen3Config,
+    inputs_embeds: jax.Array,  # [B, T, H] right-padded with zeros
+    input_lens: jax.Array,  # [B] valid prefix lengths
+    max_new_tokens: int = 512,
+    eos_id: Optional[int] = None,
+) -> list:
+    """Engine-less BATCHED greedy decode over a right-padded embed batch —
+    the analogue of the reference's HF fallback
+    `llm.generate(inputs_embeds=pad_sequence(...), attention_mask=...)`
+    (reference infer.py:477-491).
+
+    Faithful to that contract, including its known flaw: every sequence's
+    next token is read at the SHARED last buffer row, so sequences shorter
+    than the batch max predict their first token from a zero-embedding pad
+    row (query roped at HF's masked_fill position 1) that attends over
+    their valid prefix. That padding geometry is what produces the
+    reference README's 8.53%-CER batch-16 HF row vs 7.02% at batch 1
+    (README.md:93-94); the engine path with per-sequence prompt embeds
+    avoids it, so this exists only for reference-surface parity when the
+    engine is disabled. The longest sequence in the batch sees no padding
+    and decodes token-identically to `greedy_decode_simple`.
+
+    KV is recomputed each step (one compiled step per buffer shape — the
+    slow correctness path, like `greedy_decode_simple`). Greedy argmax,
+    matching the repo-wide decode contract. Finished sequences append
+    `pad_token_id` (HF's `unfinished_sequences` semantics) with the key
+    mask still extended, exactly as HF extends `attention_mask` with ones.
+
+    Returns a list of B np.int64 arrays (truncated before the first eos).
+    """
+    eos = cfg.eos_token_id if eos_id is None else eos_id
+    b, t0, h = inputs_embeds.shape
+    buf = jnp.concatenate(
+        [jnp.asarray(inputs_embeds, cfg.dtype),
+         jnp.zeros((b, max_new_tokens, h), cfg.dtype)],
+        axis=1,
+    )
+    lens = jnp.asarray(input_lens, jnp.int32)
+    col = jnp.arange(t0 + max_new_tokens, dtype=jnp.int32)
+    kv_mask = (col[None, :] < lens[:, None]).astype(jnp.int32)
+
+    out_ids: list = [[] for _ in range(b)]
+    done = np.zeros(b, dtype=bool)
+    for step in range(max_new_tokens):
+        row = jnp.asarray(t0 + step - 1, jnp.int32)
+        logits = _padded_step_logits(params, cfg, buf, kv_mask, row)
+        nxt = np.asarray(jnp.argmax(logits, axis=-1))
+        nxt = np.where(done, cfg.pad_token_id, nxt)
+        done |= nxt == eos
+        for i in range(b):
+            if not done[i] and nxt[i] != eos:
+                out_ids[i].append(int(nxt[i]))
+        if bool(done.all()):
+            break
+        nxt_embed = embed_tokens(params, jnp.asarray(nxt)).astype(cfg.dtype)
+        buf = jax.lax.dynamic_update_slice(
+            buf, nxt_embed[:, None, :], (0, t0 + step, 0)
+        )
+        kv_mask = kv_mask.at[:, t0 + step].set(1)
+    return [np.asarray(ids, dtype=np.int64) for ids in out_ids]

@@ -312,15 +312,35 @@ class BatchPipeline:
         from .models import qwen3 as qwen3_mod
         import jax.numpy as jnp
 
-        texts = []
-        for e in embeds:
-            ids = qwen3_mod.greedy_decode_simple(
-                m.llm_params, m.llm_cfg, jnp.asarray(e)[None],
-                max_new_tokens=self.sampling.max_tokens,
+        if len(embeds) > 1:
+            # batched right-padded HF-generate analogue (reference
+            # infer.py:477-491: pad_sequence + attention_mask) — carries
+            # the reference's padded-batch decode geometry, including its
+            # short-sequence quality cost (README.md:94's 8.53% CER row)
+            lens = np.asarray([e.shape[0] for e in embeds], np.int32)
+            tmax = int(lens.max())
+            padded = np.zeros((len(embeds), tmax, embeds[0].shape[1]),
+                              np.float32)
+            for i, e in enumerate(embeds):
+                padded[i, : e.shape[0]] = e
+            ids_list = qwen3_mod.greedy_decode_padded(
+                m.llm_params, m.llm_cfg, jnp.asarray(padded),
+                lens, max_new_tokens=self.sampling.max_tokens,
             )
-            texts.append(
+            texts = [
                 m.tokenizer.decode(ids.tolist(), skip_special_tokens=True)
-            )
+                for ids in ids_list
+            ]
+        else:
+            texts = []
+            for e in embeds:
+                ids = qwen3_mod.greedy_decode_simple(
+                    m.llm_params, m.llm_cfg, jnp.asarray(e)[None],
+                    max_new_tokens=self.sampling.max_tokens,
+                )
+                texts.append(
+                    m.tokenizer.decode(ids.tolist(), skip_special_tokens=True)
+                )
         t3 = time.perf_counter()
         self.timings["fbank"] += t1 - t0
         self.timings["encode"] += t2 - t1

@@ -139,3 +139,79 @@ class TestModel:
         b = greedy_decode_simple(params, cfg, embeds, max_new_tokens=6)
         assert a.tolist() == b.tolist()
         assert len(a) <= 6
+
+
+class TestPaddedBatchFallback:
+    """greedy_decode_padded — the HF right-padded batch-generate analogue
+    (reference infer.py:477-491; docs/MIGRATION.md)."""
+
+    def _mk(self, seed=3):
+        cfg = tiny_cfg()
+        params = init_params(cfg, jax.random.PRNGKey(seed))
+        return cfg, params
+
+    def test_equal_lengths_match_simple(self):
+        """With no padding, every sequence must decode token-identically
+        to the per-sequence slow path."""
+        from fun_asr_vllm_tpu.models.qwen3 import greedy_decode_padded
+
+        cfg, params = self._mk()
+        embeds = (
+            jax.random.normal(jax.random.PRNGKey(7), (3, 5, cfg.hidden_size))
+            * 0.05
+        )
+        lens = jnp.asarray([5, 5, 5])
+        batched = greedy_decode_padded(
+            params, cfg, embeds, lens, max_new_tokens=6
+        )
+        for i in range(3):
+            single = greedy_decode_simple(
+                params, cfg, embeds[i][None], max_new_tokens=6
+            )
+            assert batched[i].tolist() == single.tolist()
+
+    def test_ragged_longest_matches_simple(self):
+        """The longest sequence sees no pad rows, so it must match its
+        batch-1 decode exactly even in a ragged batch (the reference's
+        padding geometry only perturbs the shorter members)."""
+        from fun_asr_vllm_tpu.models.qwen3 import greedy_decode_padded
+
+        cfg, params = self._mk(seed=4)
+        h = cfg.hidden_size
+        e_long = jax.random.normal(jax.random.PRNGKey(8), (7, h)) * 0.05
+        e_short = jax.random.normal(jax.random.PRNGKey(9), (3, h)) * 0.05
+        padded = jnp.zeros((2, 7, h)).at[0].set(e_long)
+        padded = padded.at[1, :3].set(e_short)
+        lens = jnp.asarray([7, 3])
+        batched = greedy_decode_padded(
+            params, cfg, padded, lens, max_new_tokens=5
+        )
+        single = greedy_decode_simple(
+            params, cfg, e_long[None], max_new_tokens=5
+        )
+        assert batched[0].tolist() == single.tolist()
+        assert len(batched[1]) <= 5
+
+    def test_pad_keys_masked(self):
+        """Pad rows are ONLY ever read as attention keys (the shared
+        logits row t0-1 is the one pad row whose content is also a
+        query, mirroring HF). Garbage in the non-queried pad rows must
+        change nothing — proving the key mask masks — and the other
+        batch member must be unaffected by any of it."""
+        from fun_asr_vllm_tpu.models.qwen3 import greedy_decode_padded
+
+        cfg, params = self._mk(seed=5)
+        h = cfg.hidden_size
+        e_long = jax.random.normal(jax.random.PRNGKey(10), (6, h)) * 0.05
+        e_short = jax.random.normal(jax.random.PRNGKey(11), (2, h)) * 0.05
+        base = jnp.zeros((2, 6, h)).at[0].set(e_long).at[1, :2].set(e_short)
+        # garbage at pad rows 2..4 only; row 5 (the shared query row)
+        # stays zero like pad_sequence fills it
+        garbage = base.at[1, 2:5].set(
+            jax.random.normal(jax.random.PRNGKey(12), (3, h)) * 5.0
+        )
+        lens = jnp.asarray([6, 2])
+        a = greedy_decode_padded(params, cfg, base, lens, max_new_tokens=4)
+        b = greedy_decode_padded(params, cfg, garbage, lens, max_new_tokens=4)
+        assert a[1].tolist() == b[1].tolist()
+        assert a[0].tolist() == b[0].tolist()
