@@ -38,11 +38,7 @@ from .kv_cache import (
     _HOIST_GATHER_BYTES_CAP,
     CacheConfig,
     cache_pin_format,
-    decode_step,
-    decode_steps,
-    extend_step,
     init_cache,
-    prefill_step,
     step_fns,
 )
 from .sampling import (SamplingParams, sample_tokens,
@@ -435,6 +431,12 @@ class LLM:
                          and hoist_full > _HOIST_GATHER_BYTES_CAP)
             )
         self.pin_cache_layout = bool(pin_cache_layout)
+        # single-step decode (the non-greedy sampling path, _decode_once)
+        # defaults to the v1 Pallas kernel — but Mosaic wants default
+        # operand layouts, so under the pin that kernel would re-layout
+        # the whole cache INSIDE every step. Route XLA decode_step when
+        # pinned (the pin's burst/prefill wins don't depend on it).
+        self._decode_once_pallas = self.use_pallas and not self.pin_cache_layout
         if self.pin_cache_layout:
             if kv_quant:
                 raise ValueError(
@@ -717,7 +719,7 @@ class LLM:
             self.params, self.cfg, self.k_cache, self.v_cache,
             jnp.asarray(self._last_tokens), jnp.asarray(self._positions),
             jnp.asarray(self._block_tables), jnp.asarray(self._seq_lens),
-            jnp.asarray(self._active), use_pallas=self.use_pallas,
+            jnp.asarray(self._active), use_pallas=self._decode_once_pallas,
             mesh=self.mesh,
         )
         tokens = self._sample(logits)

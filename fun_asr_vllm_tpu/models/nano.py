@@ -636,7 +636,17 @@ class FunASRNano:
             # Qwen3-ASR-style checkpoint (the data factory's dedicated
             # transcriber, reference run_audio_cat_cut.py:566/603-609,
             # simple_audio_processor.py:791-822): HF config.json with a
-            # multimodal-prefixed Qwen3 decoder + audio tower
+            # multimodal-prefixed Qwen3 decoder + audio tower. The
+            # checkpoint carries its OWN decoder weights — an llm_dir
+            # override (a Nano-config concept) cannot be honored here,
+            # so refuse loudly instead of silently loading the bundled
+            # decoder; apply_lora is likewise a Nano-only surface (these
+            # checkpoints have no LoRA sidecar) and is ignored.
+            if llm_dir:
+                raise ValueError(
+                    "llm_dir cannot override the decoder of a Qwen3-ASR "
+                    f"checkpoint ({model}): its decoder weights are part "
+                    "of the multimodal checkpoint itself")
             return FunASRNano._from_qwen3_asr_dir(
                 model, jdtype, device=device, **kwargs)
         cfg = NanoModelConfig.from_dir(model)

@@ -94,6 +94,14 @@ def fused_mlp(
     s, h = x.shape
     inter = w_down.shape[0]
     assert w_gateup.shape == (h, 2 * inter), (w_gateup.shape, h, inter)
+    if inter % 128 != 0 or h % 128 != 0:
+        # the I-block grid needs lane-aligned splits of BOTH column
+        # ranges of w_gateup; a non-128-multiple inter would silently
+        # misalign the `up` BlockSpec (j + n_blk) — route XLA instead
+        gu = x @ w_gateup
+        g32 = gu[..., :inter].astype(jnp.float32)
+        h1 = (g32 * jax.nn.sigmoid(g32)).astype(x.dtype) * gu[..., inter:]
+        return h1 @ w_down
     s_pad = -(-s // 16) * 16
     if s_pad != s:
         x = jnp.pad(x, ((0, s_pad - s), (0, 0)))

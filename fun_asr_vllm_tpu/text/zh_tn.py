@@ -106,9 +106,13 @@ class ZhNormalizer:
     @staticmethod
     def _number(m: re.Match) -> str:
         s = m.group(0)
-        # very long integers are read digit-by-digit (IDs, zip codes)
-        if "." not in s and (len(s) > 12 or (s.startswith("0") and len(s) > 1)):
-            return digits_to_hanzi(s)
+        # very long integers are read digit-by-digit (IDs, zip codes);
+        # the sign is stripped for the length test and digit reading
+        # (digits_to_hanzi has no '-' glyph) and restored as 负
+        body = s[1:] if s.startswith("-") else s
+        if "." not in body and (
+                len(body) > 12 or (body.startswith("0") and len(body) > 1)):
+            return ("负" if body is not s else "") + digits_to_hanzi(body)
         return number_to_hanzi(s)
 
     @staticmethod
@@ -135,8 +139,9 @@ class ZhNormalizer:
         if self.full_to_half:
             text = unicodedata.normalize("NFKC", text)
         # thousands separators: 1,400,000 → 1400000 (WTP whitelists
-        # comma-grouped digits before its number grammar)
-        text = re.sub(r"(?<=\d),(?=\d{3})", "", text)
+        # EXACT 3-digit groups before its number grammar — the (?!\d)
+        # guard keeps list-style "1997,2008" as two separate numbers)
+        text = re.sub(r"(?<=\d),(?=\d{3}(?!\d))", "", text)
         # temperature: ℃ NFKC-folds to °C; -27°C reads 零下 (WTP
         # measure grammar), positive just appends 摄氏度
         text = re.sub(

@@ -373,3 +373,19 @@ class TestQwen3ASRConvert:
         self._fab_dir(d, audio_tower=True, audio_conf=False)
         with pytest.raises(NotImplementedError, match="SANM"):
             qwen3_asr_from_pretrained(d, dtype=jnp.float32)
+
+
+class TestQwen3ASRFromPretrainedGuards:
+    def test_llm_dir_override_refused(self, tmp_path):
+        """A Qwen3-ASR checkpoint bundles its own decoder; llm_dir must
+        raise loudly instead of being silently ignored (round-5 review
+        finding)."""
+        import pytest as _pytest
+
+        from fun_asr_vllm_tpu.models.nano import FunASRNano
+
+        d = str(tmp_path / "qwen3asr")
+        TestQwen3ASRConvert()._fab_dir(d)
+        with _pytest.raises(ValueError, match="llm_dir"):
+            FunASRNano.from_pretrained(model=d, dtype="float32",
+                                       llm_dir="/some/other/decoder")

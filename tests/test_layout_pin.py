@@ -118,3 +118,27 @@ class TestLayoutPin:
         # same Format → same namespace → shared jit compile caches
         assert a._step_fns is b._step_fns
         assert step_fns() is step_fns()
+
+
+class TestPinPallasInteraction:
+    def test_decode_once_routes_xla_when_pinned(self, setup):
+        """Mosaic kernels want default operand layouts, so the pinned
+        cache must NOT route the single-step Pallas decode path — it
+        would relayout the whole cache inside every sampled-decode step
+        (round-5 review finding)."""
+        params, cfg = setup
+        llm = make_llm(params, cfg, pin_cache_layout=True)
+        # force the flag the TPU auto-gate would set
+        llm.use_pallas = True
+        llm._decode_once_pallas = (
+            llm.use_pallas and not llm.pin_cache_layout)
+        assert llm.pin_cache_layout
+        assert not llm._decode_once_pallas
+
+    def test_decode_once_keeps_pallas_unpinned(self, setup):
+        params, cfg = setup
+        llm = LLM(params=params, config=cfg, dtype="float32",
+                  use_pallas=True, pin_cache_layout=False,
+                  max_num_seqs=2, max_model_len=64, block_size=4)
+        assert not llm.pin_cache_layout
+        assert llm._decode_once_pallas

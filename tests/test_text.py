@@ -214,6 +214,24 @@ class TestZhTN:
     def test_decimal(self):
         assert self.tn.normalize("价格是12.5元") == "价格是十二点五元"
 
+    def test_comma_grouping_exact_3_digit_groups_only(self):
+        """WTP whitelists EXACT 3-digit comma groups; list-style
+        "1997,2008" must stay two numbers (round-5 review fix)."""
+        assert self.tn.normalize("总额1,400,000元") == "总额一百四十万元"
+        assert self.tn.normalize("价格12,345元") == "价格一万二千三百四十五元"
+        # full-width list comma between two 4-digit years: NOT a group
+        assert (self.tn.normalize("1997，2008年")
+                == "一千九百九十七二零零八年")
+        assert self.tn.normalize("列表1,2345") == "列表一二千三百四十五"
+
+    def test_signed_long_serial_no_crash(self):
+        """Digit-by-digit long-integer reading must survive a sign
+        (digits_to_hanzi has no '-' glyph; round-5 review fix)."""
+        assert (self.tn.normalize("编号-9999999999999")
+                == "编号负九九九九九九九九九九九九九")
+        assert (self.tn.normalize("编号9999999999999")
+                == "编号九九九九九九九九九九九九九")
+
     def test_money_symbols(self):
         """ZhNormalizer money coverage (VERDICT r2 item 7, reference
         kaldi_text_normalizer.py:78-90)."""

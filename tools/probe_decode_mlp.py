@@ -36,17 +36,6 @@ import numpy as np
 from fun_asr_vllm_tpu.ops.decode_mlp import fused_mlp
 
 
-def _time(fn, iters, *args):
-    fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) else None
-    outs = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        r = fn(*args)
-        jax.tree_util.tree_leaves(r)[0].block_until_ready()
-        outs.append(time.perf_counter() - t0)
-    return outs
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--s", type=int, default=16)
