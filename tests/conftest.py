@@ -42,6 +42,8 @@ import pytest  # noqa: E402
 _SLOW_NODE_PATTERNS = (
     # load tools / serving sweeps
     "test_serving.py::TestServingLoadTool",
+    # subprocess-driven weights-landing runner (fabricate + 3 stages)
+    "test_acceptance_tool.py",
     # the driver runs dryrun_multichip separately every round
     "test_sharding.py::TestDryrun",
     "test_sharding.py::TestMeshEngine",
