@@ -90,7 +90,8 @@ class ASR_Client:
         hs = Handshake(
             mode=self.mode, chunk_size=self.chunk_size,
             chunk_interval=self.chunk_interval,
-            wav_name=wav_name or audio_in.split("/")[-1],
+            wav_name=wav_name or (audio_in.split("/")[-1]
+                                  if isinstance(audio_in, str) else "demo"),
             hotwords=self.hotwords, itn=self.itn,
             vad_tail_sil=self.vad_tail_sil, vad_max_len=self.vad_max_len,
         )

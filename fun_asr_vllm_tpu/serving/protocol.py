@@ -47,11 +47,32 @@ class Handshake:
 
     @classmethod
     def from_json(cls, raw: str) -> "Handshake":
+        """Parse an untrusted handshake: only declared FIELDS are set
+        (a bare hasattr would also match methods — {"to_json": 1}
+        would clobber one), scalar fields are coerced to their declared
+        types (clients send "800" for vad_tail_sil), and audio_fs is
+        clamped positive so later `len(buf)/audio_fs` math can't
+        divide by zero."""
         d = json.loads(raw)
         hs = cls()
-        for k, v in d.items():
-            if hasattr(hs, k):
-                setattr(hs, k, v)
+        coerce = {int: int, bool: bool, str: str, float: float}
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            want = f.type if isinstance(f.type, type) else None
+            base = {"int": int, "bool": bool, "str": str,
+                    "Optional[int]": int}.get(str(f.type), want)
+            if v is not None and base in coerce:
+                try:
+                    v = coerce[base](v)
+                except (TypeError, ValueError):
+                    continue  # keep the safe default
+            setattr(hs, f.name, v)
+        if not isinstance(hs.audio_fs, int) or hs.audio_fs <= 0:
+            hs.audio_fs = 16000
+        if not isinstance(hs.chunk_size, list) or len(hs.chunk_size) < 2:
+            hs.chunk_size = [5, 10, 5]
         return hs
 
     def chunk_ms(self) -> float:

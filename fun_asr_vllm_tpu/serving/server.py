@@ -30,6 +30,7 @@ import argparse
 import asyncio
 import json
 import logging
+import re
 import threading
 from typing import Optional
 
@@ -38,6 +39,29 @@ import numpy as np
 from .protocol import Handshake, result_message
 
 logger = logging.getLogger(__name__)
+
+
+def parse_hotwords(raw: str) -> list:
+    """Hotword string → list. The reference CLIENT joins .txt hotword
+    files with SPACES (ASR_client_api.py:138-145) while this repo's CLI
+    convention is comma-separated (cli/test.py) — accept both."""
+    return [h for h in re.split(r"[,\s]+", raw or "") if h.strip()]
+
+
+def delta_after(prev: str, text: str) -> str:
+    """The suffix of `text` an append-assembling protocol consumer
+    still needs after having rendered `prev`: plain suffix when `text`
+    extends `prev`, otherwise cut at the longest common prefix so the
+    already-sent part is never re-sent (reference client appends
+    online-mode text, ASR_client_api.py:186-197)."""
+    if text.startswith(prev):
+        return text[len(prev):]
+    common = 0
+    for a, b in zip(prev, text):
+        if a != b:
+            break
+        common += 1
+    return text[common:]
 
 
 class ASRServer:
@@ -78,6 +102,18 @@ class ASRServer:
         # most of the time, so modest oversubscription is safe.
         self.max_connections = (max_connections if max_connections
                                 else 4 * max_num_seqs)
+        # dedicated executor for engine-blocking waits: every decode
+        # parks a thread on a Future the stepper resolves, so the pool
+        # must cover max_connections — asyncio's default pool
+        # (min(32, cpu+4)) silently serializes sessions past its size,
+        # defeating the admission-control contract above (round-5
+        # review finding; the measured co-batch width was pinned at the
+        # default pool size on a 1-CPU host)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._exec = ThreadPoolExecutor(
+            max_workers=self.max_connections + 4,
+            thread_name_prefix="asr-session")
         self._active_sessions = 0
         self.metrics = {
             "sessions_total": 0, "sessions_rejected": 0,
@@ -99,7 +135,7 @@ class ASRServer:
         if pcm.size < 400:  # below one fbank window
             return ""
         m = self.model
-        hotwords = [h for h in (hs.hotwords or "").split(",") if h.strip()]
+        hotwords = parse_hotwords(hs.hotwords)
         # feature prep is pure jitted compute — safe from any session thread
         instruction = m.build_instruction(hotwords=hotwords, itn=hs.itn)
         prefix_ids, suffix_ids = m.chatml_parts(instruction)
@@ -161,7 +197,7 @@ class ASRServer:
         m = self.model
         import jax.numpy as jnp
 
-        hotwords = [h for h in (hs.hotwords or "").split(",") if h.strip()]
+        hotwords = parse_hotwords(hs.hotwords)
         instruction = m.build_instruction(hotwords=hotwords, itn=hs.itn)
         prefix_ids, suffix_ids = m.chatml_parts(instruction)
         # bucketed frame count: avoid a recompile per growing partial
@@ -216,8 +252,7 @@ class ASRServer:
             self.psess = None
             self.fed_tokens = 0  # audio tokens already in the cached prompt
             m = server.model
-            hotwords = [h for h in (hs.hotwords or "").split(",")
-                        if h.strip()]
+            hotwords = parse_hotwords(hs.hotwords)
             instruction = m.build_instruction(hotwords=hotwords, itn=hs.itn)
             prefix_ids, suffix_ids = m.chatml_parts(instruction)
             self.prefix = np.asarray(m.embed_ids(prefix_ids))
@@ -337,26 +372,39 @@ class ASRServer:
                 pcm16 = resample(buf, hs.audio_fs, 16000)
             on_text = None
             if hs.mode == "2pass" and self.async_llm is not None:
-                # stream the final's tokens as they decode
-                # (incremental detokenization in the engine)
+                # stream the final's tokens as they decode (incremental
+                # detokenization in the engine) — but only the part
+                # BEYOND what the partials already streamed: the
+                # reference client appends every 2pass-online chunk, so
+                # re-streaming the whole final would render the
+                # utterance twice in the online buffer
+                _sent = {"cum": "", "lp": last_partial}
+
                 def on_text(chunk, _ws=websocket, _hs=hs):
+                    prev = _sent["cum"]
+                    _sent["cum"] = cum = prev + chunk
+                    start = max(len(prev), len(_sent["lp"]))
+                    if len(cum) <= start:
+                        return
                     asyncio.run_coroutine_threadsafe(
                         _ws.send(result_message(
-                            "2pass-online", _hs.wav_name, chunk, False,
+                            "2pass-online", _hs.wav_name, cum[start:], False,
                         )),
                         loop,
                     )
 
             text = await loop.run_in_executor(
-                None, lambda: self.decode_pcm(pcm16, hs, None,
-                                              on_text=on_text)
+                self._exec, lambda: self.decode_pcm(pcm16, hs, None,
+                                                    on_text=on_text)
             )
             mode = ("2pass-offline" if hs.mode == "2pass" else hs.mode)
             if hs.mode == "online":
                 # streaming consumers APPEND online-mode text — the
-                # final must be a delta like the partials
-                text = (text[len(last_partial):]
-                        if text.startswith(last_partial) else text)
+                # final must be a delta like the partials, including the
+                # longest-common-prefix fallback when the full-context
+                # re-decode revises earlier text (a bare startswith test
+                # would resend the WHOLE transcript on any divergence)
+                text = delta_after(last_partial, text)
             await websocket.send(
                 result_message(mode, hs.wav_name, text, terminal)
             )
@@ -377,7 +425,7 @@ class ASRServer:
             if epd is not None:
                 epd.reset()
             if stream_enc is not None:
-                await loop.run_in_executor(None, stream_enc.reset)
+                await loop.run_in_executor(self._exec, stream_enc.reset)
             hs.is_speaking = True  # allow another utterance
 
         try:
@@ -465,24 +513,12 @@ class ASRServer:
                                     frames, hs, cap
                                 )
 
-                            text = await loop.run_in_executor(None, _partial)
+                            text = await loop.run_in_executor(self._exec, _partial)
                             # the protocol's streaming consumers APPEND
                             # partial chunks (reference client
                             # ASR_client_api.py:186-197) — send the DELTA
                             # of the cumulative transcript, not the whole
-                            if text.startswith(last_partial):
-                                delta = text[len(last_partial):]
-                            else:
-                                # decode revised earlier text: resend only
-                                # from the longest common prefix so append-
-                                # assembling clients don't render the
-                                # already-sent prefix twice (ADVICE r2)
-                                common = 0
-                                for a, b in zip(last_partial, text):
-                                    if a != b:
-                                        break
-                                    common += 1
-                                delta = text[common:]
+                            delta = delta_after(last_partial, text)
                             last_partial = text
                             self.metrics["partials_total"] += 1
                             if delta:
@@ -505,12 +541,18 @@ class ASRServer:
         except Exception as e:
             logger.warning("session ended: %s", e)
         finally:
-            # release the session's cached-prompt KV blocks
+            # release the session's cached-prompt KV blocks — via the
+            # pool: reset() takes the engine lock, which the stepper
+            # holds across whole decode bursts; taking it on the event
+            # loop thread would stall EVERY session for the burst
+            # duration on each disconnect (round-5 review finding)
             if stream_enc is not None and hasattr(stream_enc, "psess"):
-                try:
-                    stream_enc.reset()
-                except Exception:
-                    pass
+                def _release(se=stream_enc):
+                    try:
+                        se.reset()
+                    except Exception:
+                        pass
+                self._exec.submit(_release)
 
     # -------------------------------------------------------------- metrics
 

@@ -693,3 +693,42 @@ class TestServingLoadTool:
         assert out["final_p50_ms"] is not None
         assert out["partials_computed"] >= 2
         assert out["throughput_x_realtime"] > 0
+
+
+class TestRound5ReviewFixes:
+    """Round-5 serving review findings (see commit message): protocol
+    hardening, hotword format bridge, append-protocol delta helper."""
+
+    def test_handshake_rejects_method_clobber_and_bad_types(self):
+        from fun_asr_vllm_tpu.serving.protocol import Handshake
+
+        raw = json.dumps({"mode": "2pass", "to_json": 1, "chunk_ms": 0,
+                          "vad_tail_sil": "800", "audio_fs": 0,
+                          "chunk_size": "bad"})
+        hs = Handshake.from_json(raw)
+        assert callable(hs.to_json) and callable(hs.chunk_ms)
+        assert hs.vad_tail_sil == 800 and isinstance(hs.vad_tail_sil, int)
+        assert hs.audio_fs == 16000  # zero clamped: no div-by-zero later
+        assert hs.chunk_size == [5, 10, 5]
+        assert hs.chunk_ms() == 60.0
+
+    def test_parse_hotwords_accepts_reference_space_join(self):
+        """The reference client joins .txt hotword files with SPACES
+        (ASR_client_api.py:138-145); the repo CLI convention is commas.
+        The server must split both."""
+        from fun_asr_vllm_tpu.serving.server import parse_hotwords
+
+        assert parse_hotwords("foo bar baz") == ["foo", "bar", "baz"]
+        assert parse_hotwords("foo,bar, baz") == ["foo", "bar", "baz"]
+        assert parse_hotwords("") == []
+        assert parse_hotwords(None) == []
+
+    def test_delta_after_lcp(self):
+        from fun_asr_vllm_tpu.serving.server import delta_after
+
+        assert delta_after("", "abc") == "abc"
+        assert delta_after("abc", "abcdef") == "def"
+        # revision: resend only from the divergence point, never the
+        # whole transcript (the online-final bug this fixed)
+        assert delta_after("abcX", "abcdY") == "dY"
+        assert delta_after("abc", "abc") == ""
