@@ -552,7 +552,12 @@ class ASRServer:
                         se.reset()
                     except Exception:
                         pass
-                self._exec.submit(_release)
+                try:
+                    self._exec.submit(_release)
+                except RuntimeError:
+                    # interpreter/pool shutdown: the engine dies with
+                    # the process, nothing left to release
+                    pass
 
     # -------------------------------------------------------------- metrics
 
