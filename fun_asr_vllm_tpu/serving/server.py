@@ -539,7 +539,7 @@ class ASRServer:
                 if data.get("is_speaking") is False:
                     await _finalize()
         except Exception as e:
-            logger.warning("session ended: %s", e)
+            logger.warning("session ended: %s", e, exc_info=True)
         finally:
             # release the session's cached-prompt KV blocks — via the
             # pool: reset() takes the engine lock, which the stepper

@@ -686,6 +686,14 @@ class TestServingLoadTool:
              "--seconds", "3", "--realtime"],
             capture_output=True, text=True, timeout=600,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            # conftest's JAX_PLATFORMS=cpu is ignored by the axon
+            # sitecustomize in CHILD processes (it pins jax_platforms at
+            # interpreter boot) — FUN_ASR_PLATFORM is the env the package
+            # itself honors. Without it this CPU suite silently ran its
+            # one subprocess on the shared TPU relay, whose stalls/faults
+            # made the test flake (round-5: 385 s pass → 600 s timeout on
+            # a relay-sick evening, identical code).
+            env={**os.environ, "FUN_ASR_PLATFORM": "cpu"},
         )
         assert r.returncode == 0, r.stderr[-500:]
         out = js.loads(r.stdout.strip().splitlines()[-1])
